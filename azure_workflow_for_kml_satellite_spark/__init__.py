@@ -1,0 +1,59 @@
+"""PySpark-native spatial-join + tiling engine.
+
+A from-scratch re-expression of the compute semantics of
+``Hardcoreprawn/azure-workflow-for-kml-satellite`` (read-only reference at
+``/root/reference``) as batch DataFrame operators over a Common-Crawl-style
+``pages`` table: KML geometries embedded in page HTML are parsed with
+vectorized Arrow UDFs, prepared into AOIs, cell-indexed and spatially joined
+against a synthetic STAC-style scene grid, and per-(geometry, frame) NDVI /
+band statistics are computed as a partition-parallel numpy inner loop.
+
+Design notes (Spark-first, not a port):
+- All relational structure (joins, windows, aggregations, filters) is plain
+  DataFrame API so Catalyst/AQE optimize it; Python only runs inside
+  Arrow-batched pandas UDFs for geometry parsing and raster kernels.
+- The spatial join is an equi-join on discretized grid cells followed by an
+  exact bbox/point-in-polygon refinement predicate (SURVEY.md J1).
+- Skewed (hot) cells are handled with explicit deterministic salting plus
+  AQE skew-join (see ``plans/skew.py``).
+- Every stage can checkpoint per-partition lineage + metrics and resume
+  (see ``plans/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__version__ = "0.1.0"
+
+
+def get_spark(
+    app_name: str = "kmlsat-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for this engine.
+
+    On a real cluster the same settings apply minus ``master``; deploy with
+    ``spark-submit --py-files`` per the reference's operating model.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,255 @@
+"""Geometry kernels (SURVEY.md §2.8 G1-G16).
+
+Semantics replicate the reference's pure-Python geometry module
+(reference: treesight/geo.py). pyproj is not available in this environment,
+so geodesic area/perimeter use the reference's own documented fallback path
+(spherical excess + haversine — treesight/geo.py:107-140); those fallbacks
+ARE the canonical semantics for this engine and its oracle.
+
+All coordinate pairs are [lon, lat].
+"""
+
+from __future__ import annotations
+
+import math
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    EARTH_RADIUS_M,
+    METRES_PER_DEGREE_LATITUDE,
+    NDVI_THRESHOLDS,
+)
+
+Ring = list[list[float]]
+
+
+def flatten_ring(ring: Ring) -> list[float]:
+    """[[lon,lat],...] → [lon0,lat0,lon1,lat1,...]. Rings cross the Arrow
+    boundary flattened: array<array<array<double>>> columns segfault
+    pyarrow 16.1's arrow_to_pandas in this environment, so the engine caps
+    nesting depth at 2 (flat exterior, list-of-flat-rings interior)."""
+    return [c for pt in ring for c in pt[:2]]
+
+
+def unflatten_ring(flat: list[float]) -> Ring:
+    """Inverse of flatten_ring."""
+    return [[flat[i], flat[i + 1]] for i in range(0, len(flat), 2)]
+
+
+def compute_bbox(coords: Ring) -> list[float]:
+    """Min/max bbox of a ring (reference: geo.py:45-50)."""
+    if not coords:
+        return [0.0, 0.0, 0.0, 0.0]
+    lons = [c[0] for c in coords]
+    lats = [c[1] for c in coords]
+    return [min(lons), min(lats), max(lons), max(lats)]
+
+
+def buffer_bbox(bbox: list[float], buffer_m: float) -> list[float]:
+    """Expand bbox by buffer_m metres on every side (reference: geo.py:53-66)."""
+    if buffer_m <= 0:
+        return list(bbox)
+    min_lon, min_lat, max_lon, max_lat = bbox
+    lat_offset = buffer_m / METRES_PER_DEGREE_LATITUDE
+    mid_lat = (min_lat + max_lat) / 2.0
+    lon_offset = buffer_m / (METRES_PER_DEGREE_LATITUDE * math.cos(math.radians(mid_lat)))
+    return [min_lon - lon_offset, min_lat - lat_offset, max_lon + lon_offset, max_lat + lat_offset]
+
+
+def haversine_km(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    """Haversine distance in km (reference: geo.py:222-228)."""
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(rlat1) * math.cos(rlat2) * math.sin(dlon / 2) ** 2
+    return (EARTH_RADIUS_M / 1_000) * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+def haversine_perimeter_km(coords: Ring) -> float:
+    """Ring perimeter via haversine segments (reference: geo.py:107-124)."""
+    if len(coords) < 2:
+        return 0.0
+    ring = list(coords)
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    total = 0.0
+    for i in range(len(ring) - 1):
+        lon1, lat1 = math.radians(ring[i][0]), math.radians(ring[i][1])
+        lon2, lat2 = math.radians(ring[i + 1][0]), math.radians(ring[i + 1][1])
+        dlat = lat2 - lat1
+        dlon = lon2 - lon1
+        a = math.sin(dlat / 2) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2
+        c = 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+        total += EARTH_RADIUS_M * c
+    return total / 1_000.0
+
+
+def spherical_area_ha(coords: Ring) -> float:
+    """Polygon area in hectares via spherical excess (reference: geo.py:127-140)."""
+    n = len(coords)
+    if n < 3:
+        return 0.0
+    total = 0.0
+    for i in range(n):
+        j = (i + 1) % n
+        lon1, lat1 = math.radians(coords[i][0]), math.radians(coords[i][1])
+        lon2, lat2 = math.radians(coords[j][0]), math.radians(coords[j][1])
+        total += (lon2 - lon1) * (2 + math.sin(lat1) + math.sin(lat2))
+    area_m2 = abs(total * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)
+    return area_m2 / 10_000.0
+
+
+def geodesic_area_and_perimeter(coords: Ring) -> tuple[float, float]:
+    """(area_ha, perimeter_km). Reference geo.py:69-82 prefers pyproj's Geod and
+    falls back to spherical excess + haversine on ImportError; this environment
+    has no pyproj so the fallback IS the engine's semantics.
+    """
+    if len(coords) < 3:
+        return 0.0, 0.0
+    return spherical_area_ha(coords), haversine_perimeter_km(coords)
+
+
+def centroid(coords: Ring) -> list[float]:
+    """Arithmetic vertex mean, closing point dropped (reference: geo.py:196-212)."""
+    if not coords:
+        return [0.0, 0.0]
+    pts = coords if coords[0] != coords[-1] else coords[:-1]
+    n = len(pts)
+    if n == 0:
+        return [0.0, 0.0]
+    return [sum(c[0] for c in pts) / n, sum(c[1] for c in pts) / n]
+
+
+def square_bbox(bbox: list[float], padding_pct: float = 10.0) -> list[float]:
+    """Square display window containing bbox + padding (reference: geo.py:143-193)."""
+    min_lon, min_lat, max_lon, max_lat = bbox
+    mid_lat = (min_lat + max_lat) / 2.0
+    mid_lon = (min_lon + max_lon) / 2.0
+    lat_span_m = (max_lat - min_lat) * METRES_PER_DEGREE_LATITUDE
+    lon_span_m = (max_lon - min_lon) * METRES_PER_DEGREE_LATITUDE * math.cos(math.radians(mid_lat))
+    side_m = max(lat_span_m, lon_span_m) * (1 + padding_pct / 100.0)
+    half_side_m = side_m / 2.0
+    half_lat = half_side_m / METRES_PER_DEGREE_LATITUDE
+    cos_lat = math.cos(math.radians(mid_lat))
+    half_lon = half_side_m / (METRES_PER_DEGREE_LATITUDE * cos_lat) if cos_lat > 0 else half_lat
+    return [mid_lon - half_lon, mid_lat - half_lat, mid_lon + half_lon, mid_lat + half_lat]
+
+
+def ensure_closed(ring: Ring) -> Ring:
+    """Close a ring in place if open and >=3 vertices (reference: parsers/__init__.py:14-22)."""
+    if len(ring) >= 3 and ring[0] != ring[-1]:
+        ring.append(list(ring[0]))
+    return ring
+
+
+def point_buffer_ring(lat: float, lon: float, buffer_m: float = 500.0, segments: int = 32) -> Ring:
+    """32-segment circle approximation around a point, [lon,lat] output
+    (reference: coordinate_parser.py:53-72)."""
+    lat_offset = buffer_m / METRES_PER_DEGREE_LATITUDE
+    lon_offset = buffer_m / (
+        METRES_PER_DEGREE_LATITUDE * max(math.cos(math.radians(lat)), 1e-10)
+    )
+    ring: Ring = []
+    for i in range(segments):
+        angle = 2.0 * math.pi * i / segments
+        ring.append(
+            [
+                round(lon + lon_offset * math.cos(angle), 8),
+                round(lat + lat_offset * math.sin(angle), 8),
+            ]
+        )
+    return ensure_closed(ring)
+
+
+def bboxes_intersect(a: list[float], b: list[float]) -> bool:
+    """Exact bbox intersection refinement predicate for the cell equi-join."""
+    return a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]
+
+
+def point_in_ring(lon: float, lat: float, ring: Ring) -> bool:
+    """Ray-casting point-in-polygon test over one ring (boundary-exclusive on
+    the right edge; standard even-odd rule)."""
+    inside = False
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i][0], ring[i][1]
+        xj, yj = ring[j][0], ring[j][1]
+        if (yi > lat) != (yj > lat):
+            x_int = (xj - xi) * (lat - yi) / (yj - yi) + xi
+            if lon < x_int:
+                inside = not inside
+        j = i
+    return inside
+
+
+def point_in_polygon(lon: float, lat: float, exterior: Ring, holes: list[Ring] | None = None) -> bool:
+    """Even-odd PIP with interior rings (holes subtract)."""
+    if not point_in_ring(lon, lat, exterior):
+        return False
+    for hole in holes or []:
+        if point_in_ring(lon, lat, hole):
+            return False
+    return True
+
+
+def compactness_index(area_ha: float, perimeter_km: float) -> float:
+    """Polsby-Popper 4*pi*area/perimeter^2, 3dp (reference: aoi_metrics.py:289-295)."""
+    if perimeter_km <= 0 or area_ha <= 0:
+        return 0.0
+    return round(4 * math.pi * (area_ha / 100) / perimeter_km**2, 3)
+
+
+def bbox_width_km(bbox: list[float]) -> float:
+    """East-west bbox extent in km (reference: aoi_metrics.py:298-305)."""
+    if len(bbox) < 4:
+        return 0.0
+    min_lon, min_lat, max_lon, max_lat = bbox
+    mid_lat = (min_lat + max_lat) / 2
+    return abs(max_lon - min_lon) * (METRES_PER_DEGREE_LATITUDE / 1000.0) * math.cos(
+        math.radians(mid_lat)
+    )
+
+
+def bbox_height_km(bbox: list[float]) -> float:
+    """North-south bbox extent in km (reference: aoi_metrics.py:308-312)."""
+    if len(bbox) < 4:
+        return 0.0
+    return abs(bbox[3] - bbox[1]) * (METRES_PER_DEGREE_LATITUDE / 1000.0)
+
+
+def classify_ndvi(mean: float) -> str:
+    """NDVI health label ladder (reference: aoi_metrics.py:36-48)."""
+    if mean < NDVI_THRESHOLDS["bare_soil"]:
+        return "bare_soil"
+    if mean < NDVI_THRESHOLDS["sparse"]:
+        return "sparse_vegetation"
+    if mean < NDVI_THRESHOLDS["moderate"]:
+        return "moderate_vegetation"
+    if mean < NDVI_THRESHOLDS["healthy"]:
+        return "healthy_vegetation"
+    if mean < NDVI_THRESHOLDS["very_healthy"]:
+        return "very_healthy_vegetation"
+    return "dense_vegetation"
+
+
+def max_span_m(coords: Ring) -> float:
+    """Larger of lat/lon span in metres (reference: frames.py:46-57)."""
+    if not coords:
+        return 0.0
+    lons = [c[0] for c in coords]
+    lats = [c[1] for c in coords]
+    mid_lat = (min(lats) + max(lats)) / 2.0
+    lat_span_m = (max(lats) - min(lats)) * METRES_PER_DEGREE_LATITUDE
+    lon_span_m = (max(lons) - min(lons)) * METRES_PER_DEGREE_LATITUDE * math.cos(
+        math.radians(mid_lat)
+    )
+    return max(lat_span_m, lon_span_m)
+
+
+def aoi_has_naip(coords: Ring) -> bool:
+    """All vertices inside CONUS bounds (reference: frames.py:98-108)."""
+    for c in coords:
+        lon, lat = c[0], c[1]
+        if lat < 24 or lat > 50 or lon < -125 or lon > -66:
+            return False
+    return True

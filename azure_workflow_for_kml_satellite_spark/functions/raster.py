@@ -1,0 +1,326 @@
+"""Raster kernels + deterministic synthetic tile provider (SURVEY.md §2.9).
+
+The reference reads Cloud-Optimized GeoTIFF windows over HTTP
+(reference: fulfilment.py:237-295, ndvi.py:463-484) and computes NDVI band
+math + stats in numpy (ndvi.py:189-236, 401-447). rasterio is not installed
+here and there is no network, so this engine pairs the *same numpy math* with
+a deterministic synthetic band provider in the spirit of the reference's own
+stub imagery provider (reference: treesight/providers/stub.py:36-80,
+tests/tiff_helpers.py:12-69): band values are a pure integer-hash function of
+(scene_id, band, pixel row, pixel col), so any executor — and the sequential
+oracle — regenerates identical pixels for a given window with no I/O.
+
+Synthetic scenes are EPSG:4326 north-up grids anchored at the scene bbox
+top-left; the reference's bbox CRS transform (geo.py:85-104) is the identity
+in that case, preserving its windowing semantics.
+
+NDVI rasters travel between stages as a tiny self-describing binary codec
+(``pack_raster``/``unpack_raster``) playing the float32-GeoTIFF role
+(ndvi.py:239-255) without rasterio.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    LANDSAT_QA_CLOUD_BITS,
+    VALID_SCL_CLASSES,
+)
+
+# ── deterministic hash fields ────────────────────────────────────────────────
+
+_G1 = np.uint64(0x9E3779B97F4A7C15)
+_G2 = np.uint64(0xBF58476D1CE4E5B9)
+_G3 = np.uint64(0x94D049BB133111EB)
+_ROW_MIX = np.uint64(0xD6E8FEB86659FD93)
+_COL_MIX = np.uint64(0xCA5A826395121157)
+
+
+def scene_seed(scene_id: str) -> int:
+    """Stable 64-bit seed from a scene id (crc32 of bytes, widened)."""
+    c = zlib.crc32(scene_id.encode("utf-8"))
+    return (c * 0x9E3779B1) & 0xFFFFFFFFFFFFFFFF
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = (z + _G1).astype(np.uint64)
+    z = ((z ^ (z >> np.uint64(30))) * _G2).astype(np.uint64)
+    z = ((z ^ (z >> np.uint64(27))) * _G3).astype(np.uint64)
+    return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+
+def _hash_grid(seed: int, band: int, row0: int, row1: int, col0: int, col1: int) -> np.ndarray:
+    """uint64 hash for every pixel of a window; pixel-position pure."""
+    rows = np.arange(row0, row1, dtype=np.uint64)[:, None]
+    cols = np.arange(col0, col1, dtype=np.uint64)[None, :]
+    band_mix = np.uint64((int(band) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF)
+    z = np.uint64(seed) ^ (rows * _ROW_MIX) ^ (cols * _COL_MIX) ^ band_mix
+    return _splitmix64(z)
+
+
+# ── scene grid + windowing ───────────────────────────────────────────────────
+
+DEG_PER_METRE = 1.0 / 111_320.0
+
+
+def grid_shape(bbox: list[float], resolution_m: float) -> tuple[int, int]:
+    """(height, width) of a scene raster covering bbox at resolution_m."""
+    px = resolution_m * DEG_PER_METRE
+    h = max(1, int(round((bbox[3] - bbox[1]) / px)))
+    w = max(1, int(round((bbox[2] - bbox[0]) / px)))
+    return h, w
+
+
+def window_from_bounds(
+    scene_bbox: list[float],
+    resolution_m: float,
+    read_bbox: list[float],
+) -> tuple[int, int, int, int] | None:
+    """Pixel window (row0, row1, col0, col1) for read_bbox, clamped to the
+    scene raster — the role of rasterio.windows.from_bounds + clamp
+    (reference: ndvi.py:474-478). Floor/ceil semantics: any pixel touching
+    the bbox is included.
+    """
+    px = resolution_m * DEG_PER_METRE
+    h, w = grid_shape(scene_bbox, resolution_m)
+    x0, y1 = scene_bbox[0], scene_bbox[3]
+    import math
+
+    col0 = max(0, min(w, int(math.floor((read_bbox[0] - x0) / px))))
+    col1 = max(0, min(w, int(math.ceil((read_bbox[2] - x0) / px))))
+    row0 = max(0, min(h, int(math.floor((y1 - read_bbox[3]) / px))))
+    row1 = max(0, min(h, int(math.ceil((y1 - read_bbox[1]) / px))))
+    if col1 <= col0 or row1 <= row0:
+        return None
+    return row0, row1, col0, col1
+
+
+# Band codes for the hash field
+BAND_RED = 1
+BAND_NIR = 2
+BAND_SCL = 3
+BAND_QA = 4
+BAND_CLASS = 5
+
+# SCL class table indexed by h%10: 30% invalid (9=cloud, 8=cloud-prob, 3=shadow),
+# 70% valid surface classes {2,4,5,6} (reference: ndvi.py:98-103).
+_SCL_TABLE = np.array([9, 8, 3, 4, 5, 6, 2, 4, 5, 4], dtype=np.uint8)
+# Landsat QA_PIXEL values indexed by h%10: 30% flagged via bits 1/3/4 of the
+# clear mask 0b00111010 (reference: ndvi.py:274-276).
+_QA_TABLE = np.array([2, 8, 16, 0, 0, 0, 0, 0, 0, 0], dtype=np.uint16)
+# Land-cover class codes for classification tiles (WorldCover-style,
+# reference: eudr.py:229-241): 0=nodata sprinkled at ~2%.
+_CLASS_TABLE = np.array([10, 10, 10, 20, 30, 40, 50, 60, 80, 95], dtype=np.uint8)
+
+
+def gen_band(
+    seed: int, band: int, window: tuple[int, int, int, int]
+) -> np.ndarray:
+    """Deterministic synthetic band pixels for a window of a scene raster."""
+    row0, row1, col0, col1 = window
+    h = _hash_grid(seed, band, row0, row1, col0, col1)
+    if band == BAND_RED:
+        vals = (300 + (h >> np.uint64(8)) % np.uint64(1200)).astype(np.uint16)
+        vals[h % np.uint64(97) == 0] = 0  # ~1% nodata
+        return vals
+    if band == BAND_NIR:
+        # Smooth vegetation gradient + noise so NDVI has spatial structure.
+        rows = np.arange(row0, row1, dtype=np.int64)[:, None]
+        cols = np.arange(col0, col1, dtype=np.int64)[None, :]
+        veg = ((cols * 7 + rows * 13 + int(seed) % 1000) % 100).astype(np.uint64)
+        vals = (400 + veg * np.uint64(55) + (h >> np.uint64(8)) % np.uint64(900)).astype(
+            np.uint16
+        )
+        vals[h % np.uint64(101) == 0] = 0  # ~1% nodata
+        return vals
+    if band == BAND_SCL:
+        return _SCL_TABLE[(h % np.uint64(10)).astype(np.int64)]
+    if band == BAND_QA:
+        return _QA_TABLE[(h % np.uint64(10)).astype(np.int64)]
+    if band == BAND_CLASS:
+        out = _CLASS_TABLE[(h % np.uint64(10)).astype(np.int64)]
+        out[h % np.uint64(53) == 0] = 0  # ~2% nodata class code
+        return out
+    raise ValueError(f"unknown band code {band}")
+
+
+def read_window_bands(
+    scene_id: str,
+    scene_bbox: list[float],
+    resolution_m: float,
+    read_bbox: list[float],
+    collection: str,
+) -> dict[str, np.ndarray] | None:
+    """Windowed 'COG read' of the synthetic scene: returns the band arrays the
+    NDVI kernels need. S2: red/nir at resolution_m + scl at 2x pixel size
+    (20 m vs 10 m — exercises the categorical resample path, ndvi.py:166-180).
+    Landsat: red/nir/qa all at resolution_m.
+    """
+    seed = scene_seed(scene_id)
+    win = window_from_bounds(scene_bbox, resolution_m, read_bbox)
+    if win is None:
+        return None
+    out = {
+        "red": gen_band(seed, BAND_RED, win),
+        "nir": gen_band(seed, BAND_NIR, win),
+    }
+    if collection == "sentinel-2-l2a":
+        scl_win = window_from_bounds(scene_bbox, resolution_m * 2, read_bbox)
+        if scl_win is not None:
+            out["scl"] = gen_band(seed, BAND_SCL, scl_win)
+    elif collection == "landsat-c2-l2":
+        out["qa"] = gen_band(seed, BAND_QA, win)
+    return out
+
+
+# ── reference numpy kernels ──────────────────────────────────────────────────
+
+
+def resample_nearest(src: np.ndarray, target_shape: tuple[int, int]) -> np.ndarray:
+    """Categorical nearest-neighbour resample, pixel-centre mapping
+    (reference: ndvi.py:487-510 — must match exactly: affects masked counts)."""
+    if src.shape == tuple(target_shape):
+        return src
+    row_scale = src.shape[0] / target_shape[0]
+    col_scale = src.shape[1] / target_shape[1]
+    row_coords = (np.arange(target_shape[0]) + 0.5) * row_scale - 0.5
+    col_coords = (np.arange(target_shape[1]) + 0.5) * col_scale - 0.5
+    row_idx = np.rint(row_coords).astype(int)
+    col_idx = np.rint(col_coords).astype(int)
+    np.clip(row_idx, 0, src.shape[0] - 1, out=row_idx)
+    np.clip(col_idx, 0, src.shape[1] - 1, out=col_idx)
+    return src[np.ix_(row_idx, col_idx)]
+
+
+def ndvi_s2(
+    red_raw: np.ndarray, nir_raw: np.ndarray, scl: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sentinel-2 NDVI + validity mask + SCL masked count
+    (reference: ndvi.py:158-215 pure-python path, incl. shape-mismatch trim)."""
+    if red_raw.shape != nir_raw.shape:
+        min_h = min(red_raw.shape[0], nir_raw.shape[0])
+        min_w = min(red_raw.shape[1], nir_raw.shape[1])
+        red_raw = red_raw[:min_h, :min_w]
+        nir_raw = nir_raw[:min_h, :min_w]
+    scl_mask = resample_nearest(scl, red_raw.shape) if scl is not None else None
+    red = red_raw.astype(np.float32)
+    nir = nir_raw.astype(np.float32)
+    denom = nir + red
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ndvi = np.where(denom > 0, (nir - red) / denom, np.nan)
+    valid_mask = (red_raw > 0) & (nir_raw > 0) & np.isfinite(ndvi)
+    scl_masked_count = 0
+    if scl_mask is not None:
+        scl_valid = np.isin(scl_mask, VALID_SCL_CLASSES)
+        scl_masked_count = int(np.sum(valid_mask & ~scl_valid))
+        valid_mask = valid_mask & scl_valid
+    return ndvi, valid_mask, scl_masked_count
+
+
+def ndvi_landsat(
+    red_raw: np.ndarray, nir_raw: np.ndarray, qa: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Landsat NDVI + validity mask + QA masked count
+    (reference: ndvi.py:376-411)."""
+    if red_raw.shape != nir_raw.shape:
+        min_h = min(red_raw.shape[0], nir_raw.shape[0])
+        min_w = min(red_raw.shape[1], nir_raw.shape[1])
+        red_raw = red_raw[:min_h, :min_w]
+        nir_raw = nir_raw[:min_h, :min_w]
+    red = red_raw.astype(np.float32)
+    nir = nir_raw.astype(np.float32)
+    denom = nir + red
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ndvi = np.where(denom > 0, (nir - red) / denom, np.nan)
+    valid_mask = (red_raw > 0) & (nir_raw > 0) & np.isfinite(ndvi)
+    qa_masked_count = 0
+    if qa is not None:
+        if qa.shape != red_raw.shape:
+            qa = resample_nearest(qa, red_raw.shape)
+        qa_mask = (qa.astype(np.uint16) & np.uint16(LANDSAT_QA_CLOUD_BITS)) == 0
+        qa_masked_count = int(np.sum(valid_mask & ~qa_mask))
+        valid_mask = valid_mask & qa_mask
+    return ndvi, valid_mask, qa_masked_count
+
+
+def ndvi_statistics(ndvi: np.ndarray, valid_mask: np.ndarray) -> dict | None:
+    """Rounded stats over valid pixels (reference: ndvi.py:217-236). Returns
+    None when no valid pixels (reference returns None → frame has no stat)."""
+    valid_pixels = ndvi[valid_mask]
+    if len(valid_pixels) == 0:
+        return None
+    return {
+        "mean": round(float(np.mean(valid_pixels)), 4),
+        "min": round(float(np.min(valid_pixels)), 4),
+        "max": round(float(np.max(valid_pixels)), 4),
+        "std": round(float(np.std(valid_pixels)), 4),
+        "median": round(float(np.median(valid_pixels)), 4),
+        "valid_pixels": int(len(valid_pixels)),
+        "total_pixels": int(ndvi.size),
+    }
+
+
+def change_stats(
+    ndvi_a: np.ndarray,
+    ndvi_b: np.ndarray,
+    pixel_area_ha: float,
+    loss_threshold: float = -0.1,
+    gain_threshold: float = 0.1,
+) -> dict | None:
+    """Per-pixel change metrics over jointly-finite pixels
+    (reference: change_detection.py:64-116 pure-python path)."""
+    min_h = min(ndvi_a.shape[0], ndvi_b.shape[0])
+    min_w = min(ndvi_a.shape[1], ndvi_b.shape[1])
+    ndvi_a = ndvi_a[:min_h, :min_w]
+    ndvi_b = ndvi_b[:min_h, :min_w]
+    valid = np.isfinite(ndvi_a) & np.isfinite(ndvi_b)
+    if not np.any(valid):
+        return None
+    delta = np.where(valid, ndvi_b - ndvi_a, np.nan)
+    valid_deltas = delta[valid]
+    loss_mask = valid_deltas < loss_threshold
+    gain_mask = valid_deltas > gain_threshold
+    stable_mask = ~loss_mask & ~gain_mask
+    n_valid = int(np.sum(valid))
+    n_loss = int(np.sum(loss_mask))
+    n_gain = int(np.sum(gain_mask))
+    n_stable = int(np.sum(stable_mask))
+    return {
+        "mean_delta": round(float(np.mean(valid_deltas)), 4),
+        "median_delta": round(float(np.median(valid_deltas)), 4),
+        "std_delta": round(float(np.std(valid_deltas)), 4),
+        "min_delta": round(float(np.min(valid_deltas)), 4),
+        "max_delta": round(float(np.max(valid_deltas)), 4),
+        "loss_ha": round(n_loss * pixel_area_ha, 2),
+        "gain_ha": round(n_gain * pixel_area_ha, 2),
+        "stable_ha": round(n_stable * pixel_area_ha, 2),
+        "total_ha": round(n_valid * pixel_area_ha, 2),
+        "loss_pct": round(n_loss / n_valid * 100, 1) if n_valid else 0.0,
+        "gain_pct": round(n_gain / n_valid * 100, 1) if n_valid else 0.0,
+        "valid_pixels": n_valid,
+    }
+
+
+# ── raster codec (GeoTIFF stand-in) ─────────────────────────────────────────
+
+_MAGIC = b"KSR1"
+
+
+def pack_raster(arr: np.ndarray, pixel_size_m: float) -> bytes:
+    """Serialize a float32 raster + pixel size; zlib-compressed (plays the
+    deflate float32 GeoTIFF role, reference: ndvi.py:239-255)."""
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    header = struct.pack("<4sIId", _MAGIC, a.shape[0], a.shape[1], float(pixel_size_m))
+    return header + zlib.compress(a.tobytes(), 6)
+
+
+def unpack_raster(data: bytes) -> tuple[np.ndarray, float]:
+    magic, h, w, px = struct.unpack_from("<4sIId", data, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad raster magic")
+    raw = zlib.decompress(data[struct.calcsize("<4sIId"):])
+    return np.frombuffer(raw, dtype=np.float32).reshape(h, w), px

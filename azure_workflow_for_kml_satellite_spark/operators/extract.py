@@ -1,0 +1,113 @@
+"""pages → geometries extraction stage (SURVEY.md §7.1 step 2; S1-S4).
+
+One ``mapInPandas`` pass over the pages table: per page, find embedded KML /
+KMZ documents in ``html``, run the zip-bomb-guarded KMZ extraction
+(reference: parsers/__init__.py:37-82), structural validation
+(parsers/__init__.py:88-114) and the canonical polygon parse
+(lxml_parser.py:17-51), and explode to one output row per polygon feature —
+the grouped-map/UDTF shape from SURVEY.md §2.10. Invalid documents become
+quarantine rows (error column) instead of failing the job.
+
+Also re-derives ``text`` from html bytes so the byte-identical-per-url
+invariant (BASELINE.json input_hint) is checkable downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from azure_workflow_for_kml_satellite_spark.constants import MAX_FEATURES_PER_KML
+from azure_workflow_for_kml_satellite_spark.functions import kml as kml_fn
+from azure_workflow_for_kml_satellite_spark.functions.geometry import flatten_ring
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("feature_index", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        # Rings are flattened [lon0,lat0,lon1,lat1,...] (see geometry.flatten_ring)
+        T.StructField("exterior", T.ArrayType(T.DoubleType()), True),
+        T.StructField("interior", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("dedup_key", T.StringType(), True),
+        T.StructField("vertex_count", T.IntegerType(), True),
+        T.StructField("has_holes", T.BooleanType(), True),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _extract_page(url: str, html: bytes) -> list[dict]:
+    """Feature rows (or one quarantine/empty row) for a single page."""
+    out: list[dict] = []
+    text = kml_fn.extract_text(html)
+    docs = kml_fn.extract_kml_documents(html)
+    feature_index = 0  # global across all docs of one page → dedup_key unique per url
+    for doc in docs:
+        try:
+            data = kml_fn.maybe_unzip(doc)
+            kml_fn.validate_kml_bytes(data)
+            feats = kml_fn.parse_kml(data, source_file=url)
+            if len(feats) > MAX_FEATURES_PER_KML:
+                raise ValueError(
+                    f"KML contains {len(feats)} features; maximum is {MAX_FEATURES_PER_KML}"
+                )
+        except ValueError as exc:
+            out.append(
+                {
+                    "url": url,
+                    "feature_index": None,
+                    "name": None,
+                    "description": None,
+                    "exterior": None,
+                    "interior": None,
+                    "metadata": None,
+                    "dedup_key": None,
+                    "vertex_count": None,
+                    "has_holes": None,
+                    "extracted_text": text,
+                    "error": str(exc),
+                }
+            )
+            continue
+        for f in feats:
+            out.append(
+                {
+                    "url": url,
+                    "feature_index": feature_index,
+                    "name": f["name"],
+                    "description": f["description"],
+                    "exterior": flatten_ring(f["exterior_coords"]),
+                    "interior": [flatten_ring(r) for r in f["interior_coords"]],
+                    "metadata": f["metadata"],
+                    # reference: models/feature.py:46-54
+                    "dedup_key": f"{url}:{feature_index}",
+                    "vertex_count": len(f["exterior_coords"]),
+                    "has_holes": len(f["interior_coords"]) > 0,
+                    "extracted_text": text,
+                    "error": None,
+                }
+            )
+            feature_index += 1
+    return out
+
+
+def extract_features(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per parsed polygon feature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                rows.extend(_extract_page(url, bytes(html)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
+            ) if rows else pd.DataFrame(columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return pages.select("url", "html").mapInPandas(run, FEATURES_SCHEMA)
