@@ -62,6 +62,11 @@ CLUSTER_CELL_RES = 10  # coarse cells for the 25 km epsilon-clustering join
 # pin an as-of year so synthetic data, oracle output and bench are stable.
 DEFAULT_AS_OF_YEAR = 2026
 
+# --- Canonical run window for headline queries / bench / oracle ---
+# (the reference's date_start/date_end request filters, frames.py:247-253)
+RUN_DATE_START = "2022-01-01"
+RUN_DATE_END = "2023-12-31"
+
 # --- NDVI classification (reference: aoi_metrics.py:27-33) ---
 NDVI_THRESHOLDS = {
     "bare_soil": 0.1,

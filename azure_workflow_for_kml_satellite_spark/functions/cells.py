@@ -89,13 +89,18 @@ def kring(cell: int, k: int = 1) -> list[int]:
     return out
 
 
-def res_for_eps_km(eps_km: float) -> int:
-    """Coarsest resolution whose cell edge (at the equator, in latitude
-    degrees everywhere) is >= eps_km, so kring(k=1) covers the epsilon ball.
+def res_for_eps_km(eps_km: float, max_abs_lat: float = 60.0) -> int:
+    """Finest resolution whose cell edge is >= eps_km everywhere below
+    ``max_abs_lat``, so a kring(k=1) self-join is a complete candidate
+    generator for pairs within eps_km.
 
-    Cell edge in km (latitude direction) = 360/2**r * 111.32.
+    The binding direction is longitude at high latitude: a cell's east-west
+    extent in km is 360/2**r * 111.32 * cos(lat).
     """
+    import math
+
+    shrink = math.cos(math.radians(max_abs_lat))
     r = 0
-    while 360.0 / (1 << (r + 1)) * 111.32 >= eps_km and r < 20:
+    while 360.0 / (1 << (r + 1)) * 111.32 * shrink >= eps_km and r < 20:
         r += 1
     return r

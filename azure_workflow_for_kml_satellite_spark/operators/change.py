@@ -1,0 +1,207 @@
+"""Year-over-year NDVI change detection (SURVEY.md §2.3 J4, §2.4 A2/A3).
+
+The reference stores each frame's NDVI GeoTIFF to blob and re-downloads
+pairs for comparison (reference: change_detection.py:140-242). Spark-first
+equivalent: pair consecutive same-season years with ``lag`` over a window
+(W1), shuffle only the tiny scene/window *recipe* columns, and regenerate
+both masked NDVI rasters deterministically inside the pairwise UDF — no
+raster bytes ever shuffle (at 100 TB scale the raster re-read is the COG
+windowed read the reference also pays).
+
+Consecutive means adjacent in the year-sorted list within (aoi, season),
+NOT year_b == year_a + 1 (reference: change_detection.py:190-197).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    CHANGE_GAIN_THRESHOLD,
+    CHANGE_LOSS_THRESHOLD,
+)
+from azure_workflow_for_kml_satellite_spark.functions import raster as R
+
+# Columns that let the UDF regenerate one frame's masked NDVI raster.
+_RECIPE = [
+    "scene_id",
+    "s_min_lon",
+    "s_min_lat",
+    "s_max_lon",
+    "s_max_lat",
+    "resolution_m",
+    "ndvi_collection",
+    "min_lon",
+    "min_lat",
+    "max_lon",
+    "max_lat",
+]
+
+_CHANGE_FIELDS = [
+    T.StructField("mean_delta", T.DoubleType(), True),
+    T.StructField("median_delta", T.DoubleType(), True),
+    T.StructField("std_delta", T.DoubleType(), True),
+    T.StructField("min_delta", T.DoubleType(), True),
+    T.StructField("max_delta", T.DoubleType(), True),
+    T.StructField("loss_ha", T.DoubleType(), True),
+    T.StructField("gain_ha", T.DoubleType(), True),
+    T.StructField("stable_ha", T.DoubleType(), True),
+    T.StructField("total_ha", T.DoubleType(), True),
+    T.StructField("loss_pct", T.DoubleType(), True),
+    T.StructField("gain_pct", T.DoubleType(), True),
+    T.StructField("valid_change_pixels", T.LongType(), True),
+]
+
+
+def masked_ndvi_for_recipe(rec: dict, prefix: str = "") -> tuple[np.ndarray, float] | None:
+    """Regenerate the frame's masked NDVI raster (NaN outside valid) exactly
+    as the NDVI stage wrote it (operators/ndvi.py; reference ndvi.py:239-241)."""
+    p = lambda c: rec[prefix + c] if prefix else rec[c]
+    scene_bbox = [p("s_min_lon"), p("s_min_lat"), p("s_max_lon"), p("s_max_lat")]
+    read_bbox = [p("min_lon"), p("min_lat"), p("max_lon"), p("max_lat")]
+    collection = p("ndvi_collection")
+    bands = R.read_window_bands(
+        p("scene_id"), scene_bbox, p("resolution_m"), read_bbox, collection
+    )
+    if bands is None:
+        return None
+    if collection == "landsat-c2-l2":
+        ndvi, mask, _ = R.ndvi_landsat(bands["red"], bands["nir"], bands.get("qa"))
+    else:
+        ndvi, mask, _ = R.ndvi_s2(bands["red"], bands["nir"], bands.get("scl"))
+    if not np.any(mask):
+        return None
+    return np.where(mask, ndvi, np.nan).astype(np.float32), float(p("resolution_m"))
+
+
+def season_changes(
+    ndvi_df: DataFrame,
+    loss_threshold: float = CHANGE_LOSS_THRESHOLD,
+    gain_threshold: float = CHANGE_GAIN_THRESHOLD,
+) -> DataFrame:
+    """ndvi stats rows → one row per (aoi, season, year_from, year_to) with
+    the reference's change metrics."""
+    has_stat = ndvi_df.filter(F.col("ndvi_mean").isNotNull()).select(
+        "url", "feature_index", "season", "year", *_RECIPE
+    )
+    w = Window.partitionBy("url", "feature_index", "season").orderBy("year")
+    paired = has_stat.select(
+        "url",
+        "feature_index",
+        "season",
+        F.lag("year").over(w).alias("year_from"),
+        F.col("year").alias("year_to"),
+        *[F.lag(c).over(w).alias(f"a_{c}") for c in _RECIPE],
+        *[F.col(c).alias(f"b_{c}") for c in _RECIPE],
+    ).filter(F.col("year_from").isNotNull())
+
+    key_cols = ["url", "feature_index", "season", "year_from", "year_to"]
+    schema = T.StructType(
+        [paired.schema[c] for c in key_cols]
+        + [T.StructField("label", T.StringType(), True)]
+        + _CHANGE_FIELDS
+    )
+    out_cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                ra = masked_ndvi_for_recipe(rec, "a_")
+                rb = masked_ndvi_for_recipe(rec, "b_")
+                if ra is None or rb is None:
+                    continue
+                (ndvi_a, res_a), (ndvi_b, _res_b) = ra, rb
+                # pixel area from raster a (reference: change_detection.py:59,70-71)
+                pixel_area_ha = abs(res_a * res_a) / 10_000
+                stats = R.change_stats(
+                    ndvi_a, ndvi_b, pixel_area_ha, loss_threshold, gain_threshold
+                )
+                if stats is None:
+                    continue
+                row = {k: rec[k] for k in key_cols}
+                season = rec["season"]
+                # reference: change_detection.py:235
+                row["label"] = f"{season.capitalize()} {rec['year_from']} → {rec['year_to']}"
+                row.update(
+                    {
+                        "mean_delta": stats["mean_delta"],
+                        "median_delta": stats["median_delta"],
+                        "std_delta": stats["std_delta"],
+                        "min_delta": stats["min_delta"],
+                        "max_delta": stats["max_delta"],
+                        "loss_ha": stats["loss_ha"],
+                        "gain_ha": stats["gain_ha"],
+                        "stable_ha": stats["stable_ha"],
+                        "total_ha": stats["total_ha"],
+                        "loss_pct": stats["loss_pct"],
+                        "gain_pct": stats["gain_pct"],
+                        "valid_change_pixels": stats["valid_pixels"],
+                    }
+                )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols) if rows else pd.DataFrame(
+                columns=out_cols
+            )
+
+    return paired.mapInPandas(run, schema)
+
+
+def change_summary_per_aoi(changes: DataFrame) -> DataFrame:
+    """A3: per-AOI rollup + trajectory classification
+    (reference: change_detection.py:244-259).
+
+    Computed with the shared pure kernel inside applyInPandas rather than
+    Spark aggregates: the reference rounds with Python ``round`` (banker's),
+    Spark's ``round`` is HALF_UP — on exact .5 boundaries they differ, so
+    bit-for-bit parity requires the Python path (SURVEY.md §7.4 risk 1).
+    Groups are tiny (≤ #seasons × #years rows)."""
+    from azure_workflow_for_kml_satellite_spark.functions.metrics import change_summary
+
+    schema = T.StructType(
+        [
+            changes.schema["url"],
+            changes.schema["feature_index"],
+            T.StructField("comparisons", T.LongType()),
+            T.StructField("total_loss_ha", T.DoubleType()),
+            T.StructField("total_gain_ha", T.DoubleType()),
+            T.StructField("avg_mean_delta", T.DoubleType()),
+            T.StructField("trajectory", T.StringType()),
+        ]
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical accumulation order: seasons sorted, years ascending —
+        # float sums are order-dependent and the reference iterates
+        # sorted(season_groups) by year (change_detection.py:190-197)
+        pdf = pdf.sort_values(["season", "year_from", "year_to"])
+        s = change_summary(
+            list(pdf["mean_delta"]), list(pdf["loss_ha"]), list(pdf["gain_ha"])
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "url": key[0],
+                    "feature_index": key[1],
+                    "comparisons": s["comparisons"],
+                    "total_loss_ha": s["total_loss_ha"],
+                    "total_gain_ha": s["total_gain_ha"],
+                    "avg_mean_delta": s["avg_mean_delta"],
+                    "trajectory": s["trajectory"],
+                }
+            ]
+        )
+
+    return (
+        changes.select(
+            "url", "feature_index", "season", "year_from", "year_to",
+            "mean_delta", "loss_ha", "gain_ha",
+        )
+        .groupBy("url", "feature_index")
+        .applyInPandas(run, schema)
+    )

@@ -1,0 +1,189 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline layer (task brief: exact, shingle/Jaccard, MinHash-LSH,
+SimHash).
+
+Scale notes:
+- Exact dedup is a hash groupBy (one shuffle, map-side combinable).
+- Near-dup candidates come from an inverted-index self-join on shingles:
+  complete for any Jaccard threshold > 0 (two sets with J ≥ τ share ≥ 1
+  shingle). At 100 TB the shingle join is bounded by dropping ultra-frequent
+  shingles on the *candidate* side only when used with the MinHash-LSH
+  variant; the exact variant here keeps completeness for the oracle check.
+- MinHash-LSH is the scale path: k hashes → b bands × r rows, candidates =
+  pairs sharing a band bucket, verified with exact Jaccard. Probabilistic
+  recall; its *verified* output is still exact-Jaccard-filtered.
+- SimHash: 64-bit fingerprint; near-dups = fingerprints at Hamming
+  distance ≤ d found by pigeonhole block join.
+
+All tokenization/hashing is JVM-side column expressions (xxhash64, split,
+transform) — no Python in these operators at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokens_expr(col: str = "text"):
+    """Whitespace tokenization, lowercased — shared by all text operators."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle-hash) distinct pairs; shingle = n-gram of tokens,
+    hashed to int64 JVM-side."""
+    toks = documents.select("doc_id", tokens_expr().alias("toks"))
+    idx = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+                ),
+            ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", "toks")))),
+        ).alias("sh"),
+    )
+    return idx.distinct()
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, canonical doc_id, dup count).
+    Only groups with >1 member are duplicates; all groups are returned so the
+    result doubles as the deduped catalog."""
+    return (
+        documents.groupBy(F.xxhash64("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All doc pairs with n-gram Jaccard ≥ threshold (exact, complete).
+
+    Inverted-index self-join on shingle hash → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B| → filter. One wide shuffle on shingle, one on pair.
+    """
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
+    """(doc_id, array<long> signature): min over shingles of k independent
+    hash mixes — all column expressions (aggregate over collect of hashed
+    shingles via groupBy min of transformed hashes)."""
+    sh = shingles(documents, n)
+    # k hash functions: xxhash64(shingle, seed k) via hashing (sh, k) pairs
+    mins = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.col("sh"), F.lit(k))).alias(f"h{k}")
+                for k in range(num_hashes)
+            ]
+        ).alias("signature")
+    )
+    return mins
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH candidates, verified with exact
+    Jaccard (so the output equals ngram_jaccard_pairs up to LSH recall)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * rows + ri + 1).cast("string")
+                                    for ri in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash int64): per-token 64-bit hash, bit-vote by token
+    count, sign of vote per bit — all via bitwise column expressions."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens_expr()).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # votes per bit: +1 when bit set else -1 → sign of sum sets the bit
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    # bit 63 is the long sign bit: add -2^63 instead of +2^63
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        unit = -(1 << 63) if b == 63 else (1 << b)
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(unit).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))

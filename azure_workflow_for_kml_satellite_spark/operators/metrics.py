@@ -1,0 +1,187 @@
+"""Per-AOI metrics: geometry, NDVI trend, weather summary, portfolio rollup
+(SURVEY.md §2.4 A5-A8, §2.8 G13-G15).
+
+Geometry metrics are pure column expressions (JVM-side); the NDVI trend uses
+``applyInPandas`` per AOI because the reference's arithmetic (OLS slope over
+the *valid-frame* index with original-frame-id drop tracking and Python
+``round``) must run on the ordered series in one place for exact parity
+(reference: aoi_metrics.py:51-122; SURVEY.md §7.4 risk 1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    METRES_PER_DEGREE_LATITUDE,
+)
+from azure_workflow_for_kml_satellite_spark.functions.metrics import ndvi_trend
+
+_KM_PER_DEG = METRES_PER_DEGREE_LATITUDE / 1000.0
+
+
+def geometry_metrics(aois: DataFrame) -> DataFrame:
+    """G13-G15 + A geometry block as column expressions
+    (reference: aoi_metrics.py:161-171, 289-312)."""
+    mid_lat = (F.col("min_lat") + F.col("max_lat")) / 2
+    width_km = F.abs(F.col("max_lon") - F.col("min_lon")) * F.lit(_KM_PER_DEG) * F.cos(
+        F.radians(mid_lat)
+    )
+    height_km = F.abs(F.col("max_lat") - F.col("min_lat")) * F.lit(_KM_PER_DEG)
+    compactness = F.when(
+        (F.col("perimeter_km") > 0) & (F.col("area_ha") > 0),
+        F.round(
+            F.lit(4 * math.pi) * (F.col("area_ha") / 100) / F.pow(F.col("perimeter_km"), 2), 3
+        ),
+    ).otherwise(F.lit(0.0))
+    return aois.select(
+        "url",
+        "feature_index",
+        "name",
+        "area_ha",
+        F.round(F.col("area_ha") / 100, 4).alias("area_km2"),
+        "perimeter_km",
+        compactness.alias("compactness"),
+        F.round("centroid_lon", 6).alias("centroid_lon_r"),
+        F.round("centroid_lat", 6).alias("centroid_lat_r"),
+        F.round(width_km, 2).alias("bbox_width_km"),
+        F.round(height_km, 2).alias("bbox_height_km"),
+    )
+
+
+_TREND_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("feature_index", T.IntegerType()),
+        T.StructField("direction", T.StringType()),
+        T.StructField("observations", T.LongType()),
+        T.StructField("slope_per_frame", T.DoubleType()),
+        T.StructField("earliest_mean", T.DoubleType()),
+        T.StructField("latest_mean", T.DoubleType()),
+        T.StructField("overall_change", T.DoubleType()),
+        T.StructField("overall_change_pct", T.DoubleType()),
+        T.StructField("max_consecutive_drop", T.DoubleType()),
+        T.StructField("max_drop_frame_id", T.LongType()),
+        T.StructField("coefficient_of_variation", T.DoubleType()),
+        T.StructField("mean_ndvi", T.DoubleType()),
+        T.StructField("std_ndvi", T.DoubleType()),
+        T.StructField("health_class", T.StringType()),
+    ]
+)
+
+
+def ndvi_trend_per_aoi(ndvi_df: DataFrame) -> DataFrame:
+    """A7: one trend row per AOI from its frame-ordered NDVI means."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_id")
+        series = [
+            (int(fid), None if pd.isna(m) else float(m))
+            for fid, m in zip(pdf["frame_id"], pdf["ndvi_mean"])
+        ]
+        t = ndvi_trend(series)
+        row = {"url": key[0], "feature_index": key[1], **t}
+        row["max_drop_frame_id"] = (
+            None if t["max_drop_frame_id"] is None else int(t["max_drop_frame_id"])
+        )
+        return pd.DataFrame([row], columns=[f.name for f in _TREND_SCHEMA.fields])
+
+    return (
+        ndvi_df.select("url", "feature_index", "frame_id", "ndvi_mean")
+        .groupBy("url", "feature_index")
+        .applyInPandas(run, _TREND_SCHEMA)
+    )
+
+
+def aoi_region(aois: DataFrame, regions: DataFrame) -> DataFrame:
+    """Assign each AOI its containing region by centroid (broadcast join;
+    the reference's geo-routing region table role, geo_router.py:42-94)."""
+    r = F.broadcast(
+        regions.select(
+            F.col("region"),
+            F.col("min_lon").alias("r_min_lon"),
+            F.col("min_lat").alias("r_min_lat"),
+            F.col("max_lon").alias("r_max_lon"),
+            F.col("max_lat").alias("r_max_lat"),
+        )
+    )
+    return aois.join(
+        r,
+        (F.col("centroid_lon") >= F.col("r_min_lon"))
+        & (F.col("centroid_lon") <= F.col("r_max_lon"))
+        & (F.col("centroid_lat") >= F.col("r_min_lat"))
+        & (F.col("centroid_lat") <= F.col("r_max_lat")),
+        "left",
+    ).drop("r_min_lon", "r_min_lat", "r_max_lon", "r_max_lat")
+
+
+def weather_summary_per_aoi(
+    aois_with_region: DataFrame,
+    weather: DataFrame,
+    date_start: str,
+    date_end: str,
+) -> DataFrame:
+    """J5 + A6: range-join daily weather to each AOI's region over the run
+    window, then the reference's summary (aoi_metrics.py:211-223)."""
+    w = weather.filter(
+        (F.col("date") >= F.lit(date_start)) & (F.col("date") <= F.lit(date_end))
+    )
+    joined = aois_with_region.select("url", "feature_index", "region").join(
+        w, "region", "left"
+    )
+    return joined.groupBy("url", "feature_index").agg(
+        F.count("temp_c").alias("observation_days"),
+        F.round(F.avg("temp_c"), 1).alias("temp_mean_c"),
+        F.round(F.min("temp_c"), 1).alias("temp_min_c"),
+        F.round(F.max("temp_c"), 1).alias("temp_max_c"),
+        F.round(F.sum("precip_mm"), 1).alias("precip_total_mm"),
+        F.count_if(F.col("precip_mm") > 0.1).alias("precip_days"),
+    )
+
+
+def monthly_weather_rollup(weather: DataFrame) -> DataFrame:
+    """A5: per (region, month) mean temp / total precip
+    (reference: enrichment/weather.py:50-74)."""
+    return (
+        weather.groupBy("region", F.date_format("date", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.avg("temp_c"), 1).alias("temp_mean_c"),
+            F.round(F.sum("precip_mm"), 1).alias("precip_total_mm"),
+        )
+        .orderBy("region", "month")
+    )
+
+
+def portfolio_summary(
+    geom: DataFrame, trend: DataFrame, change_sum: DataFrame
+) -> DataFrame:
+    """A8: portfolio-level rollup incl. area-weighted mean NDVI
+    (reference: aoi_metrics.py:228-283). Returns a single row."""
+    j = geom.join(trend, ["url", "feature_index"], "left").join(
+        change_sum, ["url", "feature_index"], "left"
+    )
+    return j.agg(
+        F.count("*").alias("aoi_count"),
+        F.round(F.sum("area_ha"), 4).alias("total_area_ha"),
+        F.round(F.sum("perimeter_km"), 4).alias("total_perimeter_km"),
+        F.round(
+            F.sum(
+                F.when(F.col("latest_mean").isNotNull(), F.col("latest_mean") * F.col("area_ha"))
+            )
+            / F.sum(F.when(F.col("latest_mean").isNotNull(), F.col("area_ha"))),
+            4,
+        ).alias("weighted_mean_ndvi"),
+        F.round(F.sum(F.coalesce(F.col("total_loss_ha"), F.lit(0.0))), 2).alias("total_loss_ha"),
+        F.round(F.sum(F.coalesce(F.col("total_gain_ha"), F.lit(0.0))), 2).alias("total_gain_ha"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("total_gain_ha"), F.lit(0.0))
+                - F.coalesce(F.col("total_loss_ha"), F.lit(0.0))
+            ),
+            2,
+        ).alias("net_change_ha"),
+    )

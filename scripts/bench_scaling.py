@@ -1,0 +1,85 @@
+"""Two-parallelism-level scaling evidence (the north rule's N vs 4N
+executor criterion, evidenced on local[N] vs local[4N] per BASELINE.json).
+
+Runs the full KML→spatial-join→NDVI pipeline at two core counts on the SAME
+input and reports throughput at both plus scaling efficiency
+    eff = throughput(4N) / (4 × throughput(N)).
+
+Usage: PYTHONPATH=/root/repo python scripts/bench_scaling.py [--sf-dir D] [--n 8]
+Appends a markdown row suitable for BASELINE.md / BENCH notes to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def one_run(sf_dir: str, cores: int) -> dict:
+    """Run the pipeline portion in a fresh process (fresh JVM) for a clean
+    measurement."""
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {str(REPO)!r})
+from azure_workflow_for_kml_satellite_spark import get_spark
+from azure_workflow_for_kml_satellite_spark.pipeline import build_aois, engine_dir, load_tables
+from azure_workflow_for_kml_satellite_spark.operators.spatial_join import spatial_join_best_scene
+from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
+from azure_workflow_for_kml_satellite_spark.constants import RUN_DATE_START, RUN_DATE_END
+spark = get_spark("scaling", cores={cores})
+spark.sparkContext.setLogLevel("ERROR")
+ed = engine_dir({sf_dir!r})
+t = load_tables(spark, ed)
+t0 = time.time()
+aois = build_aois(spark, ed)
+best = spatial_join_best_scene(aois, t["scenes"], t["frames"], RUN_DATE_START, RUN_DATE_END)
+nd = ndvi_stats(best.repartition(max(64, 4*{cores})))
+n_stats = nd.count()
+wall = time.time() - t0
+n_geoms = aois.count()
+print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall,2),
+    "geometries": n_geoms, "ndvi_rows": n_stats,
+    "geoms_per_sec": round(n_geoms/wall, 2)}}))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    lo = one_run(args.sf_dir, args.n)
+    hi = one_run(args.sf_dir, 4 * args.n)
+    eff = hi["geoms_per_sec"] / (4 * lo["geoms_per_sec"])
+    report = {
+        "sf_dir": args.sf_dir,
+        "N": args.n,
+        "run_N": lo,
+        "run_4N": hi,
+        "scaling_efficiency": round(eff, 3),
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(report, indent=2))
+    print(
+        f"\n| {Path(args.sf_dir).name} | local[{args.n}] {lo['geoms_per_sec']} geom/s "
+        f"| local[{4*args.n}] {hi['geoms_per_sec']} geom/s | eff {report['scaling_efficiency']} |"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Geometry kernel goldens — numbers transfer from the reference's tests
+(reference: tests/test_geo.py)."""
+
+from azure_workflow_for_kml_satellite_spark.functions import geometry as geo
+
+
+def _square(lon=36.8, lat=-1.3, s=0.01):
+    return [[lon, lat], [lon + s, lat], [lon + s, lat + s], [lon, lat + s], [lon, lat]]
+
+
+def test_bbox():
+    ring = _square()
+    bbox = geo.compute_bbox(ring)
+    assert bbox == [
+        min(c[0] for c in ring),
+        min(c[1] for c in ring),
+        max(c[0] for c in ring),
+        max(c[1] for c in ring),
+    ]
+    assert abs(bbox[2] - 36.81) < 1e-9 and abs(bbox[3] + 1.29) < 1e-9
+
+
+def test_bbox_empty():
+    assert geo.compute_bbox([]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_buffer_magnitude():
+    # reference: tests/test_geo.py:50-55 — 100 m buffer lat offset in (0.0005, 0.002) deg
+    bbox = geo.compute_bbox(_square())
+    buffered = geo.buffer_bbox(bbox, 100.0)
+    lat_off = bbox[1] - buffered[1]
+    assert 0.0005 < lat_off < 0.002
+    assert buffered[0] < bbox[0] and buffered[2] > bbox[2] and buffered[3] > bbox[3]
+
+
+def test_buffer_zero_is_copy():
+    bbox = [1.0, 2.0, 3.0, 4.0]
+    assert geo.buffer_bbox(bbox, 0.0) == bbox
+
+
+def test_area_golden_band():
+    # reference: tests/test_geo.py:58-71 — ~1.1 km square near equator: 50 < ha < 200
+    area, per = geo.geodesic_area_and_perimeter(_square())
+    assert 50 < area < 200
+    assert 4.0 < per < 5.0
+
+
+def test_area_degenerate():
+    assert geo.geodesic_area_and_perimeter([[0, 0], [1, 1]]) == (0.0, 0.0)
+    # collinear ring → ~0 area (reference: test_geo.py:265-331 edge cases)
+    area, _ = geo.geodesic_area_and_perimeter([[0, 0], [1, 0], [2, 0], [0, 0]])
+    assert area < 1e-6
+
+
+def test_centroid_drops_closing_point():
+    ring = _square()
+    c = geo.centroid(ring)
+    assert abs(c[0] - 36.805) < 1e-9
+    assert abs(c[1] - (-1.295)) < 1e-9
+
+
+def test_haversine_known():
+    # ~111.19 km per degree of latitude at the equator
+    d = geo.haversine_km(0, 0, 0, 1)
+    assert 110.5 < d < 111.8
+
+
+def test_square_bbox_metric_squareness():
+    # reference: tests/test_geo.py:153-173 — output square within 1% in metres
+    import math
+
+    bbox = [36.8, -1.3, 36.81, -1.295]  # wide, flat
+    sq = geo.square_bbox(bbox, padding_pct=10.0)
+    mid_lat = (sq[1] + sq[3]) / 2
+    h_m = (sq[3] - sq[1]) * 111_320.0
+    w_m = (sq[2] - sq[0]) * 111_320.0 * math.cos(math.radians(mid_lat))
+    assert abs(h_m - w_m) / h_m < 0.01
+    # contains the original
+    assert sq[0] < bbox[0] and sq[2] > bbox[2]
+
+
+def test_point_in_polygon_with_hole():
+    outer = _square(0, 0, 1.0)
+    hole = _square(0.4, 0.4, 0.2)
+    assert geo.point_in_polygon(0.1, 0.1, outer, [hole])
+    assert not geo.point_in_polygon(0.5, 0.5, outer, [hole])
+    assert not geo.point_in_polygon(1.5, 0.5, outer, [hole])
+
+
+def test_point_buffer_ring_closed_32_segments():
+    ring = geo.point_buffer_ring(10.0, 20.0, 500.0)
+    assert len(ring) == 33 and ring[0] == ring[-1]
+
+
+def test_conus_check():
+    assert geo.aoi_has_naip([[-100, 40], [-99, 40], [-99, 41]])
+    assert not geo.aoi_has_naip([[36.8, -1.3], [36.9, -1.3], [36.9, -1.2]])
+
+
+def test_flatten_roundtrip():
+    ring = _square()
+    assert geo.unflatten_ring(geo.flatten_ring(ring)) == ring
+
+
+def test_compactness_circle_near_one():
+    import math
+
+    # circle-ish: area pi*r^2, perimeter 2*pi*r with r=1km → compactness 1
+    r_km = 1.0
+    area_ha = math.pi * r_km * r_km * 100
+    per_km = 2 * math.pi * r_km
+    assert geo.compactness_index(area_ha, per_km) == 1.0
+    assert geo.compactness_index(0, 1) == 0.0
