@@ -349,6 +349,71 @@ def _q_display_annotations(spark, sf_dir):
     )
 
 
+def _q_worldcover_hist(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.eudr import (
+        class_histogram_per_aoi,
+    )
+
+    aois = build_aois(spark, engine_dir(sf_dir))
+    return class_histogram_per_aoi(aois).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "layer",
+        "class_code",
+        "pixel_count",
+        "area_pct",
+        "rank",
+    )
+
+
+def _q_lulc_trend(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.eudr import lulc_tree_trend
+
+    aois = build_aois(spark, engine_dir(sf_dir))
+    return lulc_tree_trend(aois).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "tree_pct_first",
+        "tree_pct_last",
+        "tree_pct_min",
+        "tree_pct_max",
+        "change_detected",
+        "tree_cover_trend",
+    )
+
+
+def _q_determination(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.eudr import (
+        determination,
+        lulc_tree_trend,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.pip import wdpa_overlap
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed).cache()
+    nd = build_ndvi(spark, ed)
+    ch = season_changes(nd).cache()
+    det = determination(
+        aois,
+        change_summary_per_aoi(ch),
+        ch,
+        wdpa_overlap(aois, t["protected_areas"]),
+        lulc_tree_trend(aois),
+    )
+    return det.select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "deforestation_free",
+        "confidence",
+        "flags",
+    )
+
+
 # ── testdata queries (training-data ops; genuine SQL oracles) ────────────────
 
 
@@ -512,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monthly_weather": _q_monthly_weather,
         "q_fire_summary": _q_fire_summary,
         "q_display_annotations": _q_display_annotations,
+        "q_worldcover_hist": _q_worldcover_hist,
+        "q_lulc_trend": _q_lulc_trend,
+        "q_determination": _q_determination,
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
@@ -596,6 +664,20 @@ def oracle_sql() -> dict[str, str]:
     sql["q_wdpa_overlap"] = (
         "SELECT url, feature_index, wdpa_id, pa_name, designation, iucn_category "
         f"FROM read_parquet('{_E}/expected/wdpa_overlap.parquet')"
+    )
+
+    sql["q_worldcover_hist"] = (
+        "SELECT url, feature_index, layer, class_code, pixel_count, area_pct, rank "
+        f"FROM read_parquet('{_E}/expected/worldcover_hist.parquet')"
+    )
+    sql["q_lulc_trend"] = (
+        "SELECT url, feature_index, tree_pct_first, tree_pct_last, tree_pct_min, "
+        "tree_pct_max, change_detected, tree_cover_trend "
+        f"FROM read_parquet('{_E}/expected/lulc_trend.parquet')"
+    )
+    sql["q_determination"] = (
+        "SELECT url, feature_index, deforestation_free, confidence, flags "
+        f"FROM read_parquet('{_E}/expected/determination.parquet')"
     )
 
     # — genuine SQL re-derivations over engine tables —

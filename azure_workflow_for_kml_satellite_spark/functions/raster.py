@@ -177,6 +177,49 @@ def read_window_bands(
     return out
 
 
+def read_class_window(
+    layer_name: str, read_bbox: list[float], resolution_m: float
+) -> np.ndarray | None:
+    """Windowed read of a synthetic GLOBAL classification mosaic (WorldCover /
+    IO-LULC / ALOS-FNF role, reference: pipeline/eudr.py:244-398, 472-563,
+    619-719). Global pixel indexing (anchored at lon -180 / lat +90) keeps
+    values window-pure; the layer name seeds the hash so years/products
+    differ."""
+    px = resolution_m * DEG_PER_METRE
+    import math
+
+    col0 = int(math.floor((read_bbox[0] + 180.0) / px))
+    col1 = int(math.ceil((read_bbox[2] + 180.0) / px))
+    row0 = int(math.floor((90.0 - read_bbox[3]) / px))
+    row1 = int(math.ceil((90.0 - read_bbox[1]) / px))
+    if col1 <= col0 or row1 <= row0:
+        return None
+    seed = scene_seed(layer_name)
+    return gen_band(seed, BAND_CLASS, (row0, row1, col0, col1))
+
+
+def class_histogram(classes: np.ndarray) -> list[dict]:
+    """Class histogram excluding nodata code 0: pixel counts + area_pct (2dp)
+    sorted desc by count (reference: eudr.py:773-843; F8 nodata exclusion).
+    Ties broken by class code asc for determinism."""
+    vals, counts = np.unique(classes, return_counts=True)
+    keep = vals != 0
+    vals, counts = vals[keep], counts[keep]
+    total = int(counts.sum())
+    if total == 0:
+        return []
+    rows = [
+        {
+            "class_code": int(v),
+            "pixel_count": int(c),
+            "area_pct": round(100.0 * int(c) / total, 2),
+        }
+        for v, c in zip(vals, counts)
+    ]
+    rows.sort(key=lambda r: (-r["pixel_count"], r["class_code"]))
+    return rows
+
+
 # ── reference numpy kernels ──────────────────────────────────────────────────
 
 

@@ -99,6 +99,13 @@ def season_changes(
         *[F.lag(c).over(w).alias(f"a_{c}") for c in _RECIPE],
         *[F.col(c).alias(f"b_{c}") for c in _RECIPE],
     ).filter(F.col("year_from").isNotNull())
+    # Round-robin repartition: the window shuffle clumps one AOI's (heavy)
+    # pairs into one partition; pair recompute cost varies 4 orders of
+    # magnitude (monster 200px² vs mega 2800px² windows), so spread rows
+    # before the pixel work to kill the straggler tail.
+    paired = paired.repartition(
+        max(64, 4 * ndvi_df.sparkSession.sparkContext.defaultParallelism)
+    )
 
     key_cols = ["url", "feature_index", "season", "year_from", "year_to"]
     schema = T.StructType(
@@ -175,33 +182,42 @@ def change_summary_per_aoi(changes: DataFrame) -> DataFrame:
         ]
     )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # canonical accumulation order: seasons sorted, years ascending —
-        # float sums are order-dependent and the reference iterates
-        # sorted(season_groups) by year (change_detection.py:190-197)
-        pdf = pdf.sort_values(["season", "year_from", "year_to"])
-        s = change_summary(
-            list(pdf["mean_delta"]), list(pdf["loss_ha"]), list(pdf["gain_ha"])
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "url": key[0],
-                    "feature_index": key[1],
-                    "comparisons": s["comparisons"],
-                    "total_loss_ha": s["total_loss_ha"],
-                    "total_gain_ha": s["total_gain_ha"],
-                    "avg_mean_delta": s["avg_mean_delta"],
-                    "trajectory": s["trajectory"],
-                }
-            ]
-        )
+    from pyspark.sql.functions import pandas_udf
 
-    return (
+    out_t = T.StructType([f for f in schema.fields if f.name not in ("url", "feature_index")])
+
+    @pandas_udf(out_t)
+    def summary_udf(series: pd.Series) -> pd.DataFrame:
+        rows = []
+        for arr in series:
+            # canonical accumulation order: seasons sorted, years ascending —
+            # float sums are order-dependent and the reference iterates
+            # sorted(season_groups) by year (change_detection.py:190-197);
+            # sort_array on the struct gives exactly that order.
+            s = change_summary(
+                [x["mean_delta"] for x in arr],
+                [x["loss_ha"] for x in arr],
+                [x["gain_ha"] for x in arr],
+            )
+            rows.append(s)
+        return pd.DataFrame(rows, columns=[f.name for f in out_t.fields])
+
+    agg = (
         changes.select(
             "url", "feature_index", "season", "year_from", "year_to",
             "mean_delta", "loss_ha", "gain_ha",
         )
         .groupBy("url", "feature_index")
-        .applyInPandas(run, schema)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "season", "year_from", "year_to", "mean_delta", "loss_ha", "gain_ha"
+                    )
+                )
+            ).alias("series")
+        )
     )
+    return agg.select(
+        "url", "feature_index", summary_udf(F.col("series")).alias("s")
+    ).select("url", "feature_index", "s.*")

@@ -75,26 +75,39 @@ _TREND_SCHEMA = T.StructType(
 
 
 def ndvi_trend_per_aoi(ndvi_df: DataFrame) -> DataFrame:
-    """A7: one trend row per AOI from its frame-ordered NDVI means."""
+    """A7: one trend row per AOI from its frame-ordered NDVI means.
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("frame_id")
-        series = [
-            (int(fid), None if pd.isna(m) else float(m))
-            for fid, m in zip(pdf["frame_id"], pdf["ndvi_mean"])
-        ]
-        t = ndvi_trend(series)
-        row = {"url": key[0], "feature_index": key[1], **t}
-        row["max_drop_frame_id"] = (
-            None if t["max_drop_frame_id"] is None else int(t["max_drop_frame_id"])
-        )
-        return pd.DataFrame([row], columns=[f.name for f in _TREND_SCHEMA.fields])
+    Shape: JVM-side ``collect_list(struct(frame_id, mean))`` + ``sort_array``
+    per AOI (map-side combining aggregation), then ONE Arrow-batched scalar
+    pandas UDF computes the reference arithmetic for thousands of AOIs per
+    batch — far cheaper than an applyInPandas call per group."""
+    from pyspark.sql.functions import pandas_udf
 
-    return (
+    fields = [f for f in _TREND_SCHEMA.fields if f.name not in ("url", "feature_index")]
+    out_t = T.StructType(fields)
+
+    @pandas_udf(out_t)
+    def trend_udf(series: pd.Series) -> pd.DataFrame:
+        rows = []
+        for arr in series:
+            pairs = [(int(s["frame_id"]), None if s["ndvi_mean"] is None or pd.isna(s["ndvi_mean"]) else float(s["ndvi_mean"])) for s in arr]
+            t = ndvi_trend(pairs)
+            t["max_drop_frame_id"] = (
+                None if t["max_drop_frame_id"] is None else int(t["max_drop_frame_id"])
+            )
+            rows.append({f.name: t[f.name] for f in fields})
+        return pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    agg = (
         ndvi_df.select("url", "feature_index", "frame_id", "ndvi_mean")
         .groupBy("url", "feature_index")
-        .applyInPandas(run, _TREND_SCHEMA)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("frame_id", "ndvi_mean"))).alias("series")
+        )
     )
+    return agg.select(
+        "url", "feature_index", trend_udf(F.col("series")).alias("t")
+    ).select("url", "feature_index", "t.*")
 
 
 def aoi_region(aois: DataFrame, regions: DataFrame) -> DataFrame:

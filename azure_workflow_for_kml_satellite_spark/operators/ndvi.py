@@ -90,16 +90,29 @@ def compute_ndvi_for_row(rec: dict, include_raster: bool = False) -> dict:
 
 
 def ndvi_stats(best_scenes: DataFrame, include_raster: bool = False) -> DataFrame:
-    """Append NDVI statistic columns to the (aoi, frame, best scene) rows."""
+    """Append NDVI statistic columns to the (aoi, frame, best scene) rows.
+
+    Column-wise inner loop (no per-row dict materialization): the stats are
+    appended to the incoming Arrow batch as new columns — profiling showed
+    row-dict conversion dominating over the pixel math itself."""
     schema = T.StructType(list(best_scenes.schema.fields) + _STAT_FIELDS)
-    cols = [f.name for f in schema.fields]
+    stat_names = [f.name for f in _STAT_FIELDS]
+    needed = [
+        "scene_id", "s_min_lon", "s_min_lat", "s_max_lon", "s_max_lat",
+        "resolution_m", "ndvi_collection", "min_lon", "min_lat", "max_lon", "max_lat",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                rec.update(compute_ndvi_for_row(rec, include_raster))
-                rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+            out_cols: dict[str, list] = {n: [] for n in stat_names}
+            for vals in zip(*(pdf[c].values for c in needed)):
+                rec = dict(zip(needed, vals))
+                st = compute_ndvi_for_row(rec, include_raster)
+                for n in stat_names:
+                    out_cols[n].append(st[n])
+            out = pdf.copy()
+            for n in stat_names:
+                out[n] = pd.Series(out_cols[n], index=pdf.index, dtype=object)
+            yield out
 
     return best_scenes.mapInPandas(run, schema)

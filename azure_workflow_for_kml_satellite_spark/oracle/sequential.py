@@ -470,7 +470,7 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
-    # wdpa overlap (J8)
+    # wdpa overlap hits (J8) — needed by the determination below
     pas = pq.read_table(sf_dir / "protected_areas.parquet").to_pylist()
     hits = []
     for a in aois:
@@ -490,6 +490,104 @@ def build_expected(sf_dir: str | Path) -> Path:
                         "iucn_category": p["iucn_category"],
                     }
                 )
+
+    # ── EUDR layers + determination ────────────────────────────────────────
+    from azure_workflow_for_kml_satellite_spark.operators import eudr as E
+
+    hist_rows, trend_rows = [], []
+    for a in aois:
+        bbox = a["bbox"]
+        classes = R.read_class_window("worldcover", bbox, E.WORLDCOVER_RES_M)
+        if classes is not None:
+            for rank, h in enumerate(R.class_histogram(classes), start=1):
+                hist_rows.append(
+                    {
+                        "url": a["url"],
+                        "feature_index": a["feature_index"],
+                        "layer": "worldcover",
+                        "class_code": h["class_code"],
+                        "pixel_count": h["pixel_count"],
+                        "area_pct": h["area_pct"],
+                        "rank": rank,
+                    }
+                )
+        pcts = []
+        for yr in E.LULC_YEARS:
+            cls = R.read_class_window(f"io-lulc-{yr}", bbox, E.LULC_RES_M)
+            if cls is None:
+                continue
+            hh = R.class_histogram(cls)
+            total = sum(x["pixel_count"] for x in hh)
+            tree = sum(x["pixel_count"] for x in hh if x["class_code"] == E.TREE_CLASS)
+            pcts.append(round(100.0 * tree / total, 2) if total else 0.0)
+        if pcts:
+            delta = pcts[-1] - pcts[0]
+            trend_rows.append(
+                {
+                    "url": a["url"],
+                    "feature_index": a["feature_index"],
+                    "tree_pct_first": pcts[0],
+                    "tree_pct_last": pcts[-1],
+                    "tree_pct_min": min(pcts),
+                    "tree_pct_max": max(pcts),
+                    "change_detected": (max(pcts) - min(pcts)) > 10,
+                    "tree_cover_trend": (
+                        "declining" if delta < -5 else "increasing" if delta > 5 else "stable"
+                    ),
+                }
+            )
+    _write(out_dir, "worldcover_hist", {k: [r[k] for r in hist_rows] for k in
+        ("url", "feature_index", "layer", "class_code", "pixel_count", "area_pct", "rank")})
+    _write(out_dir, "lulc_trend", {k: [r[k] for r in trend_rows] for k in
+        ("url", "feature_index", "tree_pct_first", "tree_pct_last", "tree_pct_min",
+         "tree_pct_max", "change_detected", "tree_cover_trend")})
+
+    # determination (reference: determination.py:138-195)
+    summ_by = {(s["url"], s["feature_index"]): s for s in summ}
+    trend_by = {(t["url"], t["feature_index"]): t for t in trend_rows}
+    det_rows = []
+    for a in aois:
+        key = (a["url"], a["feature_index"])
+        s = summ_by.get(key)
+        flags: list[str] = []
+        cs = sorted(
+            by_aoi.get(key, []), key=lambda c: (c["season"], c["year_from"], c["year_to"])
+        )
+        for c in cs:
+            if c["loss_pct"] >= E.LOSS_PCT_THRESHOLD and c["loss_ha"] >= E.LOSS_HA_THRESHOLD:
+                flags.append(
+                    f"Vegetation loss {c['loss_pct']:.1f}% ({c['loss_ha']:.1f} ha) in {c['label']}"
+                )
+        if s and s["trajectory"] == "Declining":
+            flags.append("Overall NDVI trajectory is declining")
+        if s and s["avg_mean_delta"] is not None and s["avg_mean_delta"] < E.NDVI_DECLINE_THRESHOLD:
+            flags.append(
+                f"Mean NDVI delta {s['avg_mean_delta']:+.4f} below threshold "
+                f"({E.NDVI_DECLINE_THRESHOLD:+.4f})"
+            )
+        if any(h["url"] == a["url"] and h["feature_index"] == a["feature_index"] for h in hits):
+            flags.append("Overlaps a WDPA protected area")
+        t = trend_by.get(key)
+        if t and t["change_detected"]:
+            flags.append("IO LULC detected significant land-cover change")
+        if t and t["tree_cover_trend"] == "declining":
+            flags.append("IO LULC tree cover trend is declining")
+        comparisons = s["comparisons"] if s else 0
+        has_data = comparisons > 0
+        det_rows.append(
+            {
+                "url": a["url"],
+                "feature_index": a["feature_index"],
+                "deforestation_free": has_data and len(flags) == 0,
+                "confidence": (
+                    "low" if not has_data else ("medium" if len(flags) == 1 else "high")
+                ),
+                "flags": "|".join(flags),
+            }
+        )
+    _write(out_dir, "determination", {k: [r[k] for r in det_rows] for k in
+        ("url", "feature_index", "deforestation_free", "confidence", "flags")})
+
     _write(
         out_dir,
         "wdpa_overlap",

@@ -1,0 +1,236 @@
+"""Coordinate parsers, gates, exports, multimodal stubs, streaming, EUDR."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ── coordinate parsers (S5/S6) ───────────────────────────────────────────────
+
+
+def test_coordinate_text_single_point(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        coordinate_text_features,
+    )
+
+    df = spark.createDataFrame([("s1", "-1.30, 36.80")], ["source", "coords_text"])
+    rows = coordinate_text_features(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "Point (-1.300000, 36.800000)"
+    # 32-segment circle, closed → 33 pairs → 66 floats
+    assert len(r["exterior"]) == 66
+    # output ring is [lon, lat] (reference: coordinate_parser.py:151-153)
+    assert abs(r["exterior"][0] - 36.8) < 0.01
+
+
+def test_coordinate_text_polygon_and_errors(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        coordinate_text_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("poly", "0,0\n0,1\n1,1\n1,0"),
+            ("bad", "91.0, 10.0"),
+            ("junk", "not coords"),
+        ],
+        ["source", "coords_text"],
+    )
+    rows = {r["source"]: r for r in coordinate_text_features(df).collect()}
+    assert rows["poly"]["name"] == "Coordinate polygon"
+    assert rows["poly"]["exterior"][:2] == [0.0, 0.0]  # lat,lon → [lon,lat]
+    assert "out of range" in rows["bad"]["error"]
+    assert "Cannot parse" in rows["junk"]["error"]
+
+
+def test_csv_points_fuzzy_columns(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        csv_point_features,
+        coord_features_to_feature_rows,
+    )
+
+    csv_df = spark.createDataFrame(
+        [("A", "-1.3", "36.8"), ("B", "40.0", "-100.0")],
+        ["Name", "Latitude", "Longitude"],
+    )
+    feats = csv_point_features(csv_df)
+    rows = {r["name"]: r for r in feats.collect()}
+    assert set(rows) == {"A", "B"}
+    # adapter feeds prepare_aois
+    from azure_workflow_for_kml_satellite_spark.operators.aoi import prepare_aois
+
+    aois = prepare_aois(coord_features_to_feature_rows(feats))
+    got = {r["name"]: r for r in aois.collect()}
+    assert got["B"]["has_naip"] is True
+    assert got["A"]["area_ha"] > 0
+
+
+# ── gates ────────────────────────────────────────────────────────────────────
+
+
+def test_multi_region_gate(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.gates import is_multi_region
+
+    near = spark.createDataFrame(
+        [(36.8, -1.3), (36.9, -1.2)], ["centroid_lon", "centroid_lat"]
+    )
+    far = spark.createDataFrame(
+        [(36.8, -1.3), (5.0, 48.0)], ["centroid_lon", "centroid_lat"]
+    )
+    assert is_multi_region(near) is False
+    assert is_multi_region(far) is True
+
+
+def test_feature_limit_gate(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.extract import extract_features
+    from azure_workflow_for_kml_satellite_spark.operators.gates import enforce_feature_limit
+
+    pages = spark.read.parquet(f"{SF_SMALL}/pages.parquet")
+    feats = extract_features(pages)
+    gated = enforce_feature_limit(feats, limit=100)
+    # the monster page (200 features) trips the limit
+    bad = gated.filter(F.col("error").contains("AOI limit exceeded"))
+    assert bad.select("url").distinct().count() == 1
+
+
+# ── exports ──────────────────────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def small_ndvi(spark):
+    from azure_workflow_for_kml_satellite_spark.pipeline import build_ndvi
+
+    return build_ndvi(spark, SF_SMALL).cache()
+
+
+def test_geojson_export(spark, small_ndvi):
+    import json
+
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.exports import geojson_per_aoi
+    from azure_workflow_for_kml_satellite_spark.pipeline import build_aois
+
+    aois = build_aois(spark, SF_SMALL)
+    cs = change_summary_per_aoi(season_changes(small_ndvi))
+    gj = geojson_per_aoi(aois, small_ndvi, cs)
+    row = gj.filter(F.col("url") == "https://example.org/page/0000000").filter(
+        F.col("feature_index") == 0
+    ).collect()[0]
+    doc = json.loads(row["geojson"])
+    assert doc["type"] == "FeatureCollection"
+    types = [f["geometry"]["type"] for f in doc["features"]]
+    assert types[-1] == "Point" and "Polygon" in types
+    frame_feats = [f for f in doc["features"] if f["geometry"]["type"] == "Polygon"]
+    props = frame_feats[0]["properties"]
+    assert {"frame_index", "label", "year", "season", "start_date", "end_date",
+            "collection", "is_naip", "ndvi_mean", "ndvi_scene_id"} <= set(props)
+    # ring closed, [lon, lat]
+    ring = frame_feats[0]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]
+
+
+def test_frame_csv_rows(spark, small_ndvi):
+    from azure_workflow_for_kml_satellite_spark.operators.change import season_changes
+    from azure_workflow_for_kml_satellite_spark.operators.exports import frame_csv_rows
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import aoi_region
+    from azure_workflow_for_kml_satellite_spark.pipeline import build_aois, load_tables
+
+    t = load_tables(spark, SF_SMALL)
+    aois = aoi_region(build_aois(spark, SF_SMALL), t["regions"])
+    ch = season_changes(small_ndvi)
+    rows = frame_csv_rows(small_ndvi, ch, aois, t["weather_daily"])
+    sample = rows.filter(F.col("ndvi_change_from_previous").isNotNull()).limit(1).collect()
+    assert sample, "no frame rows with change delta"
+    assert sample[0]["mean_temp_c"] is not None
+    assert rows.count() == small_ndvi.count()
+
+
+# ── multimodal stubs ─────────────────────────────────────────────────────────
+
+
+def test_image_metadata_plumbing(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import image_metadata
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"fake-image-bytes-01")), ("bad", bytearray(b"xx"))],
+        ["asset_id", "payload"],
+    )
+    rows = {r["asset_id"]: r for r in image_metadata(df).collect()}
+    assert rows["a"]["decode_error"] is None and rows["a"]["width"] >= 16
+    assert rows["bad"]["decode_error"] is not None
+    # determinism
+    rows2 = {r["asset_id"]: r for r in image_metadata(df).collect()}
+    assert rows2["a"]["phash"] == rows["a"]["phash"]
+
+
+def test_video_frame_sample(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import video_frame_sample
+
+    df = spark.createDataFrame([("v1", bytearray(b"fake-video-bytes"))], ["asset_id", "payload"])
+    frames = video_frame_sample(df).collect()
+    assert len(frames) >= 1
+    assert [f["frame_index"] for f in frames] == list(range(len(frames)))
+
+
+# ── streaming ────────────────────────────────────────────────────────────────
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    import shutil
+
+    from azure_workflow_for_kml_satellite_spark.operators.extract import extract_features
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_extract,
+    )
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/pages.parquet", src / "pages.parquet")
+    q = run_stream_to_memory(
+        streaming_extract(spark, str(src)), "feat_stream", mode="append"
+    )
+    try:
+        got = spark.sql("select count(*) n from feat_stream").collect()[0]["n"]
+    finally:
+        q.stop()
+    batch = extract_features(spark.read.parquet(f"{SF_SMALL}/pages.parquet")).count()
+    assert got == batch
+
+
+def test_streaming_event_window_counts(spark, tmp_path):
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_event_counts,
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0, ""),
+            (2, "2024-01-01 10:45:00", 1, "click", 2.0, ""),
+            (3, "2024-01-01 11:05:00", 2, "view", 3.0, ""),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    ev.write.parquet(str(src / "p1"))
+    q = run_stream_to_memory(
+        streaming_event_counts(spark, str(src) + "/*"), "evt_stream"
+    )
+    try:
+        rows = {
+            (r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.sql("select * from evt_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[(10, "click")] == 2
+    assert rows[(11, "view")] == 1

@@ -1,0 +1,73 @@
+"""Checkpoint/lineage + skew-salting behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_checkpoint_stage_and_resume(spark, tmp_path):
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="r1")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out1 = cm.stage("s1", df)
+    assert out1.count() == 100
+    assert cm.stage_completed("s1")
+    # resume: a poisoned input proves the checkpoint is read, not recomputed
+    poison = spark.range(1).withColumn("v", F.lit(None).cast("long"))
+    out2 = cm.stage("s1", poison)
+    assert out2.count() == 100
+    # ledger carries per-partition lineage rows + the __ALL__ row
+    m = cm.metrics().collect()
+    assert any(r["partition"] == "__ALL__" and r["rows"] == 100 for r in m)
+    assert sum(1 for r in m if r["partition"] != "__ALL__") >= 1
+
+
+def test_checkpoint_partitioned_resume(spark, tmp_path):
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="r2")
+    df1 = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "part"])
+    out1 = cm.partitioned_stage("st", df1, "part")
+    assert out1.count() == 3
+    assert cm.completed_partitions("st") == {"a", "b"}
+    # second run adds partition c; a and b rows must NOT be recomputed/duplicated
+    df2 = spark.createDataFrame(
+        [(9, "a"), (4, "c")], ["id", "part"]  # the id=9 'a' row must be skipped
+    )
+    out2 = cm.partitioned_stage("st", df2, "part")
+    rows = {(r["id"], r["part"]) for r in out2.collect()}
+    assert rows == {(1, "a"), (2, "a"), (3, "b"), (4, "c")}
+
+
+def test_salting_spreads_hot_cell(spark):
+    from azure_workflow_for_kml_satellite_spark.plans.skew import (
+        apply_salt_big,
+        apply_salt_small,
+        cell_histogram,
+        plan_salts,
+        salted_equi_join,
+    )
+
+    big = spark.range(0, 3000).select(
+        F.when(F.col("id") < 2900, F.lit(7)).otherwise(F.lit(8)).alias("cell"),
+        F.col("id").alias("k"),
+    )
+    small = spark.createDataFrame([(7, "x"), (8, "y")], ["cell", "payload"])
+    hist = cell_histogram(big)
+    salts = plan_salts(hist, hot_threshold=500, max_salt=8)
+    smap = {r["cell"]: r["salt_k"] for r in salts.collect()}
+    assert smap == {7: 6}  # ceil(2900/500)=6; cell 8 is cold
+    b = apply_salt_big(big, salts, ["k"])
+    n_buckets = b.filter("cell = 7").select("salt").distinct().count()
+    assert n_buckets == 6
+    joined = salted_equi_join(big, small, ["k"], hot_threshold=500, max_salt=8)
+    assert joined.count() == 3000  # no rows lost or duplicated
+    assert joined.filter("cell = 8 and payload = 'y'").count() == 100
+
+
+def test_repartition_by_cell(spark):
+    from azure_workflow_for_kml_satellite_spark.plans.skew import repartition_by_cell
+
+    df = spark.range(100).withColumn("cell", F.pmod("id", F.lit(4)))
+    out = repartition_by_cell(df, "cell", partitions=4)
+    assert out.count() == 100
