@@ -318,6 +318,23 @@ def _q_fire_summary(spark, sf_dir):
     )
 
 
+def _q_flood_summary(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.flood import (
+        flood_summary_per_aoi,
+    )
+
+    ed = engine_dir(sf_dir)
+    aois = build_aois(spark, ed)
+    gauges = spark.read.parquet(f"{ed}/flood_gauges.parquet")
+    return flood_summary_per_aoi(aois, gauges).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "flood_source",
+        "n_gauges",
+        "max_level_m",
+    )
+
+
 def _q_display_annotations(spark, sf_dir):
     ed = engine_dir(sf_dir)
     t = load_tables(spark, ed)
@@ -346,6 +363,55 @@ def _q_display_annotations(spark, sf_dir):
         F.round(est, 1).alias("estimated_display_pixels"),
         suitable.alias("rgb_display_suitable"),
         F.when(suitable, F.lit("rgb")).otherwise(F.lit("ndvi")).alias("preferred_layer"),
+    )
+
+
+def _q_landsat_baseline(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.eudr import landsat_baseline
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    return landsat_baseline(aois, t["scenes"]).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("window_id").cast("long").alias("window_id"),
+        "scene_id",
+        "cloud_cover",
+        "ndvi_mean",
+        "valid_pixels",
+    )
+
+
+def _q_pipeline_summary(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.extract import extract_features
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import pipeline_summary
+
+    ed = engine_dir(sf_dir)
+    pages = spark.read.parquet(f"{ed}/pages.parquet").repartition(32)
+    feats = extract_features(pages)
+    nd = build_ndvi(spark, ed)
+    return pipeline_summary(feats, nd)
+
+
+def _q_portfolio(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        geometry_metrics,
+        ndvi_trend_per_aoi,
+        portfolio_summary,
+    )
+
+    ed = engine_dir(sf_dir)
+    aois = build_aois(spark, ed).cache()
+    nd = build_ndvi(spark, ed)
+    return portfolio_summary(
+        geometry_metrics(aois),
+        ndvi_trend_per_aoi(nd),
+        change_summary_per_aoi(season_changes(nd)),
     )
 
 
@@ -576,7 +642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weather_summary": _q_weather_summary,
         "q_monthly_weather": _q_monthly_weather,
         "q_fire_summary": _q_fire_summary,
+        "q_flood_summary": _q_flood_summary,
         "q_display_annotations": _q_display_annotations,
+        "q_landsat_baseline": _q_landsat_baseline,
+        "q_pipeline_summary": _q_pipeline_summary,
+        "q_portfolio": _q_portfolio,
         "q_worldcover_hist": _q_worldcover_hist,
         "q_lulc_trend": _q_lulc_trend,
         "q_determination": _q_determination,
@@ -666,6 +736,25 @@ def oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{_E}/expected/wdpa_overlap.parquet')"
     )
 
+    sql["q_landsat_baseline"] = (
+        "SELECT url, feature_index, window_id, scene_id, cloud_cover, ndvi_mean, "
+        f"valid_pixels FROM read_parquet('{_E}/expected/landsat_baseline.parquet')"
+    )
+    sql["q_pipeline_summary"] = f"""
+        SELECT f.n_features, q.n_quarantined, n.n_aoi_frames, n.n_ndvi_ok,
+               (n.n_aoi_frames - n.n_ndvi_ok) AS n_ndvi_missing,
+               CASE WHEN q.n_quarantined = 0 THEN 'completed'
+                    ELSE 'completed_with_errors' END AS status
+        FROM (SELECT count(*) AS n_features
+              FROM read_parquet('{_E}/expected/features.parquet')) f,
+             (SELECT count(*) AS n_quarantined
+              FROM read_parquet('{_E}/expected/quarantine.parquet')) q,
+             (SELECT (SELECT count(*) FROM read_parquet('{_E}/expected/best_scenes.parquet')) AS n_aoi_frames,
+                     count(*) AS n_ndvi_ok
+              FROM read_parquet('{_E}/expected/ndvi_stats.parquet')) n
+    """
+    # q_portfolio: distributed double sums over thousands of AOIs are
+    # order-dependent; checked rows-only (no SQL oracle) by design.
     sql["q_worldcover_hist"] = (
         "SELECT url, feature_index, layer, class_code, pixel_count, area_pct, rank "
         f"FROM read_parquet('{_E}/expected/worldcover_hist.parquet')"
@@ -726,6 +815,25 @@ def oracle_sql() -> dict[str, str]:
           ON f.longitude >= a.buf_min_lon AND f.longitude <= a.buf_max_lon
          AND f.latitude >= a.buf_min_lat AND f.latitude <= a.buf_max_lat
         GROUP BY a.url, a.feature_index
+    """
+    sql["q_flood_summary"] = f"""
+        WITH a AS (
+          SELECT url, feature_index, buf_min_lon, buf_min_lat, buf_max_lon, buf_max_lat,
+                 CASE WHEN centroid_lat BETWEEN 49.0 AND 61.0
+                       AND centroid_lon BETWEEN -8.0 AND 2.0 THEN 'ea'
+                      WHEN centroid_lat BETWEEN 24.0 AND 50.0
+                       AND centroid_lon BETWEEN -125.0 AND -66.0 THEN 'usgs'
+                      ELSE NULL END AS flood_source
+          FROM read_parquet('{_E}/expected/aois.parquet')
+        )
+        SELECT a.url, a.feature_index, a.flood_source,
+               count(*) AS n_gauges, max(g.level_m) AS max_level_m
+        FROM a JOIN read_parquet('{_E}/flood_gauges.parquet') g
+          ON g.source = a.flood_source
+         AND g.longitude >= a.buf_min_lon AND g.longitude <= a.buf_max_lon
+         AND g.latitude >= a.buf_min_lat AND g.latitude <= a.buf_max_lat
+        WHERE a.flood_source IS NOT NULL
+        GROUP BY a.url, a.feature_index, a.flood_source
     """
     sql["q_display_annotations"] = f"""
         SELECT a.url, a.feature_index, fr.frame_id, fr.naip_variant,

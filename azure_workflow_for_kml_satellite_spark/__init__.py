@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # glibc: serve large numpy allocations from the heap instead of fresh
+        # mmaps — this sandbox page-faults new mappings at ~170 MB/s, which
+        # dominated the raster UDFs (4x on the biggest windows).
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

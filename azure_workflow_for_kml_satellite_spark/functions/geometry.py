@@ -192,6 +192,29 @@ def point_in_polygon(lon: float, lat: float, exterior: Ring, holes: list[Ring] |
     return True
 
 
+def transform_bbox(bbox: list[float], src_crs: str, dst_crs: str) -> tuple[float, float, float, float]:
+    """G4: bbox CRS reprojection (reference: geo.py:85-104). pyproj is not
+    installed in this environment; the engine's synthetic scenes are all
+    EPSG:4326, for which the reference path degenerates to the identity —
+    any other CRS pair raises, mirroring the reference's ImportError path."""
+    if src_crs == dst_crs:
+        return (bbox[0], bbox[1], bbox[2], bbox[3])
+    raise NotImplementedError(
+        f"CRS transform {src_crs}->{dst_crs} requires pyproj (unavailable); "
+        "synthetic scenes are EPSG:4326 so only the identity path is exercised"
+    )
+
+
+def safe_name(name: str) -> str:
+    """G16: artifact-path sanitization (reference: ingestion.py:168)."""
+    return name.replace(" ", "_").replace("/", "_")
+
+
+def crs_from_epsg_code(code: int | None, default: int = 32632) -> str:
+    """G21: 'proj:epsg' → 'EPSG:n' (reference: planetary_computer.py:366-372)."""
+    return f"EPSG:{code if code is not None else default}"
+
+
 def compactness_index(area_ha: float, perimeter_km: float) -> float:
     """Polsby-Popper 4*pi*area/perimeter^2, 3dp (reference: aoi_metrics.py:289-295)."""
     if perimeter_km <= 0 or area_ha <= 0:

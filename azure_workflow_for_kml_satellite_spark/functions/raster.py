@@ -32,34 +32,61 @@ from azure_workflow_for_kml_satellite_spark.constants import (
 )
 
 # ── deterministic hash fields ────────────────────────────────────────────────
+#
+# uint32 murmur3-fmix pipeline with reusable scratch buffers and out= ufuncs.
+# Two environment facts drive this shape (measured, see BENCH notes):
+# this container's numpy dispatches uint64 right_shift to a scalar loop
+# (~40x slower than every other elementwise op), and fresh large allocations
+# page-fault at ~170 MB/s — so the generator avoids uint64 shifts entirely
+# and recycles per-band scratch arrays across windows.
 
-_G1 = np.uint64(0x9E3779B97F4A7C15)
-_G2 = np.uint64(0xBF58476D1CE4E5B9)
-_G3 = np.uint64(0x94D049BB133111EB)
-_ROW_MIX = np.uint64(0xD6E8FEB86659FD93)
-_COL_MIX = np.uint64(0xCA5A826395121157)
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
 
 
 def scene_seed(scene_id: str) -> int:
-    """Stable 64-bit seed from a scene id (crc32 of bytes, widened)."""
-    c = zlib.crc32(scene_id.encode("utf-8"))
-    return (c * 0x9E3779B1) & 0xFFFFFFFFFFFFFFFF
+    """Stable 32-bit seed from a scene id (crc32 of bytes)."""
+    return zlib.crc32(scene_id.encode("utf-8")) & 0xFFFFFFFF
 
 
-def _splitmix64(z: np.ndarray) -> np.ndarray:
-    z = (z + _G1).astype(np.uint64)
-    z = ((z ^ (z >> np.uint64(30))) * _G2).astype(np.uint64)
-    z = ((z ^ (z >> np.uint64(27))) * _G3).astype(np.uint64)
-    return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+_SCRATCH: dict[str, np.ndarray] = {}
 
 
-def _hash_grid(seed: int, band: int, row0: int, row1: int, col0: int, col1: int) -> np.ndarray:
-    """uint64 hash for every pixel of a window; pixel-position pure."""
-    rows = np.arange(row0, row1, dtype=np.uint64)[:, None]
-    cols = np.arange(col0, col1, dtype=np.uint64)[None, :]
-    band_mix = np.uint64((int(band) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF)
-    z = np.uint64(seed) ^ (rows * _ROW_MIX) ^ (cols * _COL_MIX) ^ band_mix
-    return _splitmix64(z)
+def _scratch(slot: str, n: int, dtype) -> np.ndarray:
+    """Reused flat buffer per (slot); valid until the slot's next request.
+    Each Python worker has its own module state, so this is task-safe."""
+    buf = _SCRATCH.get(slot)
+    if buf is None or buf.size < n or buf.dtype != np.dtype(dtype):
+        buf = np.empty(int(n * 5 // 4) + 16, dtype)
+        _SCRATCH[slot] = buf
+    return buf[:n]
+
+
+def _hash_grid(seed: int, band: int, row0: int, row1: int, col0: int, col1: int,
+               slot: str = "h") -> np.ndarray:
+    """uint32 hash for every pixel of a window; pixel-position pure (the
+    value depends only on (seed, band, absolute row, absolute col), never on
+    the window placement). Returns a view of a scratch buffer — consume it
+    before the next _hash_grid call with the same slot."""
+    hh, ww = row1 - row0, col1 - col0
+    n = hh * ww
+    rows = (np.arange(row0, row1, dtype=np.uint32) * _M1)[:, None]
+    cols = (np.arange(col0, col1, dtype=np.uint32) * _M2)[None, :]
+    s = np.uint32((int(seed) ^ (int(band) * 0x27D4EB2F)) & 0xFFFFFFFF)
+    h = _scratch(slot, n, np.uint32).reshape(hh, ww)
+    tmp = _scratch(slot + "_t", n, np.uint32).reshape(hh, ww)
+    np.bitwise_xor(rows, cols, out=h)
+    np.bitwise_xor(h, s, out=h)
+    # murmur3 fmix32 rounds
+    np.right_shift(h, 16, out=tmp)
+    np.bitwise_xor(h, tmp, out=h)
+    np.multiply(h, _M1, out=h)
+    np.right_shift(h, 13, out=tmp)
+    np.bitwise_xor(h, tmp, out=h)
+    np.multiply(h, _M2, out=h)
+    np.right_shift(h, 16, out=tmp)
+    np.bitwise_xor(h, tmp, out=h)
+    return h
 
 
 # ── scene grid + windowing ───────────────────────────────────────────────────
@@ -120,30 +147,53 @@ _CLASS_TABLE = np.array([10, 10, 10, 20, 30, 40, 50, 60, 80, 95], dtype=np.uint8
 def gen_band(
     seed: int, band: int, window: tuple[int, int, int, int]
 ) -> np.ndarray:
-    """Deterministic synthetic band pixels for a window of a scene raster."""
+    """Deterministic synthetic band pixels for a window of a scene raster.
+
+    Returns a fresh (owned) array; all intermediate work runs in scratch
+    buffers with out= ufuncs (see _hash_grid docstring for why)."""
     row0, row1, col0, col1 = window
+    hh, ww = row1 - row0, col1 - col0
+    n = hh * ww
     h = _hash_grid(seed, band, row0, row1, col0, col1)
+    t32 = _scratch("gb32", n, np.uint32).reshape(hh, ww)
+    mask = _scratch("gbmask", n, np.bool_).reshape(hh, ww)
     if band == BAND_RED:
-        vals = (300 + (h >> np.uint64(8)) % np.uint64(1200)).astype(np.uint16)
-        vals[h % np.uint64(97) == 0] = 0  # ~1% nodata
+        np.right_shift(h, 8, out=t32)
+        np.mod(t32, np.uint32(1200), out=t32)
+        np.add(t32, np.uint32(300), out=t32)
+        vals = t32.astype(np.uint16)
+        np.mod(h, np.uint32(97), out=h)
+        np.equal(h, 0, out=mask)
+        vals[mask] = 0  # ~1% nodata
         return vals
     if band == BAND_NIR:
         # Smooth vegetation gradient + noise so NDVI has spatial structure.
-        rows = np.arange(row0, row1, dtype=np.int64)[:, None]
-        cols = np.arange(col0, col1, dtype=np.int64)[None, :]
-        veg = ((cols * 7 + rows * 13 + int(seed) % 1000) % 100).astype(np.uint64)
-        vals = (400 + veg * np.uint64(55) + (h >> np.uint64(8)) % np.uint64(900)).astype(
-            np.uint16
-        )
-        vals[h % np.uint64(101) == 0] = 0  # ~1% nodata
+        rows = (np.arange(row0, row1, dtype=np.uint32) * np.uint32(13))[:, None]
+        cols = (np.arange(col0, col1, dtype=np.uint32) * np.uint32(7))[None, :]
+        veg = _scratch("gbveg", n, np.uint32).reshape(hh, ww)
+        np.add(rows, cols, out=veg)
+        np.add(veg, np.uint32(int(seed) % 1000), out=veg)
+        np.mod(veg, np.uint32(100), out=veg)
+        np.multiply(veg, np.uint32(55), out=veg)
+        np.right_shift(h, 8, out=t32)
+        np.mod(t32, np.uint32(900), out=t32)
+        np.add(t32, veg, out=t32)
+        np.add(t32, np.uint32(400), out=t32)
+        vals = t32.astype(np.uint16)
+        np.mod(h, np.uint32(101), out=h)
+        np.equal(h, 0, out=mask)
+        vals[mask] = 0  # ~1% nodata
         return vals
-    if band == BAND_SCL:
-        return _SCL_TABLE[(h % np.uint64(10)).astype(np.int64)]
-    if band == BAND_QA:
-        return _QA_TABLE[(h % np.uint64(10)).astype(np.int64)]
-    if band == BAND_CLASS:
-        out = _CLASS_TABLE[(h % np.uint64(10)).astype(np.int64)]
-        out[h % np.uint64(53) == 0] = 0  # ~2% nodata class code
+    if band in (BAND_SCL, BAND_QA, BAND_CLASS):
+        np.mod(h, np.uint32(10), out=t32)
+        if band == BAND_SCL:
+            return _SCL_TABLE[t32]
+        if band == BAND_QA:
+            return _QA_TABLE[t32]
+        out = _CLASS_TABLE[t32]
+        np.mod(h, np.uint32(53), out=h)
+        np.equal(h, 0, out=mask)
+        out[mask] = 0  # ~2% nodata class code
         return out
     raise ValueError(f"unknown band code {band}")
 

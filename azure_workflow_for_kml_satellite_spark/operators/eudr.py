@@ -149,6 +149,112 @@ def lulc_tree_trend(aois: DataFrame, years: list[int] | None = None) -> DataFram
     )
 
 
+# ── Landsat historical baseline (A12) ────────────────────────────────────────
+
+LANDSAT_BASELINE_WINDOWS = [
+    ("2013-06-01", "2014-09-30"),
+    ("2015-06-01", "2016-09-30"),
+]
+
+
+def landsat_baseline(aois: DataFrame, scenes: DataFrame) -> DataFrame:
+    """Two fixed pre-Sentinel dry-season NDVI samples per AOI
+    (reference: runner.py:174-206). One row per (aoi, window) that found a
+    scene; candidates use the PLAIN aoi bbox (the reference passes flat_bbox,
+    not the buffered one) with cloud ≤ 30 (ndvi.py:283)."""
+    from azure_workflow_for_kml_satellite_spark.operators.ndvi import compute_ndvi_for_row
+    from azure_workflow_for_kml_satellite_spark.operators.spatial_join import (
+        explode_bbox_cells,
+    )
+
+    spark = aois.sparkSession
+    win = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(LANDSAT_BASELINE_WINDOWS)],
+        ["window_id", "w_start", "w_end"],
+    )
+    cand_scenes = (
+        scenes.filter(
+            (F.col("collection") == "landsat-c2-l2") & (F.col("cloud_cover") <= 30.0)
+        )
+        .crossJoin(F.broadcast(win))
+        .filter(
+            (F.to_date("datetime") >= F.to_date("w_start"))
+            & (F.to_date("datetime") <= F.to_date("w_end"))
+        )
+        .select(
+            "window_id",
+            "scene_id",
+            "cloud_cover",
+            "datetime",
+            "resolution_m",
+            F.col("min_lon").alias("s_min_lon"),
+            F.col("min_lat").alias("s_min_lat"),
+            F.col("max_lon").alias("s_max_lon"),
+            F.col("max_lat").alias("s_max_lat"),
+        )
+    )
+    s = explode_bbox_cells(cand_scenes, "s_min_lon", "s_min_lat", "s_max_lon", "s_max_lat")
+    a = explode_bbox_cells(
+        aois.select("url", "feature_index", "min_lon", "min_lat", "max_lon", "max_lat"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+    )
+    pairs = a.join(F.broadcast(s), "cell").filter(
+        (F.col("min_lon") <= F.col("s_max_lon"))
+        & (F.col("s_min_lon") <= F.col("max_lon"))
+        & (F.col("min_lat") <= F.col("s_max_lat"))
+        & (F.col("s_min_lat") <= F.col("max_lat"))
+    )
+    best = pairs.groupBy("url", "feature_index", "window_id").agg(
+        F.min_by(
+            F.struct(
+                "scene_id", "cloud_cover", "resolution_m",
+                "s_min_lon", "s_min_lat", "s_max_lon", "s_max_lat",
+            ),
+            F.struct("cloud_cover", "datetime", "scene_id"),
+        ).alias("best"),
+        F.first("min_lon").alias("min_lon"),
+        F.first("min_lat").alias("min_lat"),
+        F.first("max_lon").alias("max_lon"),
+        F.first("max_lat").alias("max_lat"),
+    ).select("url", "feature_index", "window_id", "min_lon", "min_lat", "max_lon", "max_lat", "best.*")
+
+    schema = T.StructType(
+        list(best.schema.fields)
+        + [
+            T.StructField("ndvi_mean", T.DoubleType()),
+            T.StructField("valid_pixels", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, valids = [], []
+            for rec in pdf.to_dict("records"):
+                rec["ndvi_collection"] = "landsat-c2-l2"
+                st = compute_ndvi_for_row(rec)
+                means.append(st["ndvi_mean"])
+                valids.append(st["valid_pixels"])
+            out = pdf.copy()
+            out["ndvi_mean"] = pd.Series(means, index=pdf.index, dtype=object)
+            out["valid_pixels"] = pd.Series(valids, index=pdf.index, dtype=object)
+            yield out
+
+    return best.mapInPandas(run, schema)
+
+
+def landsat_baseline_summary(baseline: DataFrame) -> DataFrame:
+    """Per-AOI rollup: scene count + mean NDVI over available windows
+    (reference: determination.py:124-135 — round(sum/len, 4))."""
+    ok = baseline.filter(F.col("ndvi_mean").isNotNull())
+    return ok.groupBy("url", "feature_index").agg(
+        F.count("*").alias("scenes"),
+        F.round(F.avg("ndvi_mean"), 4).alias("baseline_mean_ndvi"),
+    )
+
+
 # ── determination (A13) ──────────────────────────────────────────────────────
 
 

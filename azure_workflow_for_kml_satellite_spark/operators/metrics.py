@@ -169,6 +169,27 @@ def monthly_weather_rollup(weather: DataFrame) -> DataFrame:
     )
 
 
+def pipeline_summary(features: DataFrame, ndvi_df: DataFrame) -> DataFrame:
+    """A10: run-level status counters (reference: outcomes.py:189-206,
+    pipeline/orchestrator.py:71-114) — one row; status 'completed' iff zero
+    quarantined documents, else 'completed_with_errors'."""
+    f = features.agg(
+        F.count_if(F.col("error").isNull()).alias("n_features"),
+        F.count_if(F.col("error").isNotNull()).alias("n_quarantined"),
+    )
+    n = ndvi_df.agg(
+        F.count("*").alias("n_aoi_frames"),
+        F.count_if(F.col("ndvi_mean").isNotNull()).alias("n_ndvi_ok"),
+        F.count_if(F.col("ndvi_mean").isNull()).alias("n_ndvi_missing"),
+    )
+    return f.crossJoin(n).withColumn(
+        "status",
+        F.when(F.col("n_quarantined") == 0, F.lit("completed")).otherwise(
+            F.lit("completed_with_errors")
+        ),
+    )
+
+
 def portfolio_summary(
     geom: DataFrame, trend: DataFrame, change_sum: DataFrame
 ) -> DataFrame:

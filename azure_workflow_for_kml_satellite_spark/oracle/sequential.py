@@ -470,6 +470,82 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
+    # Landsat historical baseline (A12; reference runner.py:174-206)
+    scenes_t = _scene_arrays(pq.read_table(sf_dir / "scenes.parquet"))
+    n_sc = len(scenes_t["scene_id"])
+    s_date2 = [dt.date().isoformat() for dt in scenes_t["datetime"]]
+    from azure_workflow_for_kml_satellite_spark.operators.eudr import (
+        LANDSAT_BASELINE_WINDOWS,
+    )
+
+    bl_rows = []
+    win_cands = []
+    for wid, (ws, we) in enumerate(LANDSAT_BASELINE_WINDOWS):
+        ids = [
+            i
+            for i in range(n_sc)
+            if scenes_t["collection"][i] == "landsat-c2-l2"
+            and scenes_t["cloud_cover"][i] is not None
+            and scenes_t["cloud_cover"][i] <= 30.0
+            and ws <= s_date2[i] <= we
+        ]
+        win_cands.append(
+            (
+                wid,
+                np.array([scenes_t["min_lon"][i] for i in ids]),
+                np.array([scenes_t["min_lat"][i] for i in ids]),
+                np.array([scenes_t["max_lon"][i] for i in ids]),
+                np.array([scenes_t["max_lat"][i] for i in ids]),
+                np.array([scenes_t["cloud_cover"][i] for i in ids]),
+                np.array([scenes_t["datetime"][i].isoformat() for i in ids]),
+                np.array([scenes_t["scene_id"][i] for i in ids]),
+                np.array(ids, dtype=np.int64),
+            )
+        )
+    for a in aois:
+        bb = a["bbox"]  # plain bbox (reference passes flat_bbox)
+        for wid, lo_x, lo_y, hi_x, hi_y, cloud, dt_s, sid, ids in win_cands:
+            if len(ids) == 0:
+                continue
+            hit = (bb[0] <= hi_x) & (lo_x <= bb[2]) & (bb[1] <= hi_y) & (lo_y <= bb[3])
+            if not hit.any():
+                continue
+            idx = np.nonzero(hit)[0]
+            order = np.lexsort((sid[idx], dt_s[idx], cloud[idx]))
+            j = int(ids[idx[order[0]]])
+            bands = R.read_window_bands(
+                scenes_t["scene_id"][j],
+                [
+                    scenes_t["min_lon"][j],
+                    scenes_t["min_lat"][j],
+                    scenes_t["max_lon"][j],
+                    scenes_t["max_lat"][j],
+                ],
+                scenes_t["resolution_m"][j],
+                bb,
+                "landsat-c2-l2",
+            )
+            mean = None
+            vp = None
+            if bands is not None:
+                ndvi, mask, _m = R.ndvi_landsat(bands["red"], bands["nir"], bands.get("qa"))
+                st = R.ndvi_statistics(ndvi, mask)
+                if st is not None:
+                    mean, vp = st["mean"], st["valid_pixels"]
+            bl_rows.append(
+                {
+                    "url": a["url"],
+                    "feature_index": a["feature_index"],
+                    "window_id": wid,
+                    "scene_id": scenes_t["scene_id"][j],
+                    "cloud_cover": scenes_t["cloud_cover"][j],
+                    "ndvi_mean": mean,
+                    "valid_pixels": vp,
+                }
+            )
+    _write(out_dir, "landsat_baseline", {k: [r[k] for r in bl_rows] for k in
+        ("url", "feature_index", "window_id", "scene_id", "cloud_cover", "ndvi_mean", "valid_pixels")})
+
     # wdpa overlap hits (J8) — needed by the determination below
     pas = pq.read_table(sf_dir / "protected_areas.parquet").to_pylist()
     hits = []

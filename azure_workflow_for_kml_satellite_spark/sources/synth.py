@@ -600,6 +600,30 @@ def write_fire_events(out_dir: str | Path) -> Path:
     return out
 
 
+def write_flood_gauges(out_dir: str | Path) -> Path:
+    """EA/USGS-shaped river gauges (reference: flood.py:35-163): UK gauges
+    near the europe region edge + US gauges near conus. A synthetic UK
+    cluster is added at (-2.0, 52.0) so the EA routing path has data."""
+    rows = []
+    anchors = [("usgs", -100.0, 40.0, 3.0, 60), ("ea", -2.0, 52.0, 2.0, 40)]
+    for src, lon, lat, half, n in anchors:
+        for k in range(n):
+            h = _mix(zlib.crc32(src.encode()), k, 83)
+            rows.append(
+                {
+                    "station_id": f"{src}-{k:04d}",
+                    "source": src,
+                    "longitude": round(lon - half + (h % int(half * 2000)) / 1000.0, 5),
+                    "latitude": round(lat - half + ((h >> 16) % int(half * 2000)) / 1000.0, 5),
+                    "river": f"River {chr(65 + h % 26)}",
+                    "level_m": round((h % 900) / 100.0, 2),
+                }
+            )
+    out = Path(out_dir) / "flood_gauges.parquet"
+    pq.write_table(pa.table({k: [r[k] for r in rows] for k in rows[0]}), out)
+    return out
+
+
 # ── top-level ───────────────────────────────────────────────────────────────
 
 SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
@@ -615,4 +639,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_weather(out_dir)
     write_protected_areas(out_dir)
     write_fire_events(out_dir)
+    write_flood_gauges(out_dir)
     return out_dir
