@@ -550,6 +550,15 @@ def _q_fingerprint(spark, sf_dir):
 _ANN_QUERY_IDS = list(range(10))
 
 
+def _q_embed_near_dup(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
 def _q_ann_topk(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.similarity import brute_force_topk
 
@@ -658,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": _q_quality_score,
         "q_language_id": _q_language_id,
         "q_fingerprint": _q_fingerprint,
+        "q_embed_near_dup": _q_embed_near_dup,
         "q_ann_topk": _q_ann_topk,
         "q_ann_lsh": _q_ann_lsh,
         "q_events_hourly": _q_events_hourly,
@@ -934,6 +944,17 @@ def oracle_sql() -> dict[str, str]:
                     WHEN score_fr = best THEN 'fr'
                     ELSE 'und' END AS predicted_lang
         FROM m
+    """
+    sql["q_embed_near_dup"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
     """
     ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
     sql["q_ann_topk"] = f"""

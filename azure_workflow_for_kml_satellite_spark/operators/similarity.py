@@ -78,6 +78,30 @@ def _rh_signature(emb_col: str, dim: int, planes: int = 16):
     return sig
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ τ,
+    a < b. Exact all-pairs — the correctness baseline; the scale path for
+    this operator is lsh_topk's banded signature buckets (candidates) with
+    this exact cosine as the verify step."""
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("e_a"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("e_b"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine_expr("e_a", "e_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -123,6 +123,9 @@ def scene_frame_candidates(
         "ndvi_collection",
         "max_cloud",
     )
+    # the scenes file is small but the downstream cell explode + broadcast
+    # build would otherwise run in its single scan task — parallelize it
+    scenes = scenes.repartition(scenes.sparkSession.sparkContext.defaultParallelism)
     s = scenes.select(
         "scene_id",
         F.col("collection").alias("scene_collection"),

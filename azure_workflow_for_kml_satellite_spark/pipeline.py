@@ -60,6 +60,84 @@ def build_aois(spark: SparkSession, ed: str) -> DataFrame:
     return prepare_aois(extract_features(pages))
 
 
+def run_timelapse(
+    spark: SparkSession,
+    coords_text: str,
+    ed: str,
+    date_start: str = RUN_DATE_START,
+    date_end: str = RUN_DATE_END,
+):
+    """EP2 (reference: blueprints/analysis.py:118-309): direct timelapse
+    analysis for pasted coordinates — coordinate parse → AOI prep → frame
+    plan → NDVI trend, skipping page extraction."""
+    from azure_workflow_for_kml_satellite_spark.operators.aoi import prepare_aois
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        coord_features_to_feature_rows,
+        coordinate_text_features,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        ndvi_trend_per_aoi,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
+
+    t = load_tables(spark, ed)
+    df = spark.createDataFrame([("request", coords_text)], ["source", "coords_text"])
+    feats = coord_features_to_feature_rows(coordinate_text_features(df))
+    aois = prepare_aois(feats)
+    best = spatial_join_best_scene(aois, t["scenes"], t["frames"], date_start, date_end)
+    nd = ndvi_stats(best)
+    return {"aois": aois, "ndvi": nd, "trend": ndvi_trend_per_aoi(nd)}
+
+
+def run_eudr(
+    spark: SparkSession,
+    ed: str,
+    date_end: str = RUN_DATE_END,
+):
+    """EP3 (reference: blueprints/analysis.py:490-640, runner.py:623-839):
+    EUDR mode — frames cut to the post-2020 window (F4), supplementary
+    layers, Landsat baseline, and the deforestation-free determination."""
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.eudr import (
+        determination,
+        landsat_baseline,
+        landsat_baseline_summary,
+        lulc_tree_trend,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
+    from azure_workflow_for_kml_satellite_spark.operators.pip import wdpa_overlap
+    from azure_workflow_for_kml_satellite_spark.sources.frames import (
+        EUDR_FRAME_DATE_START,
+    )
+
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    best = spatial_join_best_scene(
+        aois, t["scenes"], t["frames"], EUDR_FRAME_DATE_START, date_end
+    )
+    nd = ndvi_stats(best.repartition(max(64, 4 * default_parallelism(spark))))
+    ch = season_changes(nd)
+    baseline = landsat_baseline(aois, t["scenes"])
+    det = determination(
+        aois,
+        change_summary_per_aoi(ch),
+        ch,
+        wdpa_overlap(aois, t["protected_areas"]),
+        lulc_tree_trend(aois),
+    )
+    return {
+        "aois": aois,
+        "ndvi": nd,
+        "season_changes": ch,
+        "landsat_baseline": baseline,
+        "landsat_baseline_summary": landsat_baseline_summary(baseline),
+        "determination": det,
+    }
+
+
 def build_ndvi(
     spark: SparkSession,
     ed: str,

@@ -347,7 +347,8 @@ def write_pages(out_dir: str | Path, n_pages: int) -> Path:
         }
     )
     out = Path(out_dir) / "pages.parquet"
-    pq.write_table(table, out)
+    # small row groups so Spark can split the file into parallel scan tasks
+    pq.write_table(table, out, row_group_size=1024)
     return out
 
 

@@ -55,6 +55,81 @@ def streaming_event_counts(
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap_s: int = 1800,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: per-user session assembly with
+    ``applyInPandasWithState`` — sessions close when the gap to the next
+    event exceeds ``gap_s``; the open session is carried in state across
+    micro-batches. (The reference has no streaming; this is the
+    task-brief's stateful-streaming surface.)"""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(input_dir)
+
+    out_type = "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    state_type = "start long, last long, n long"
+
+    def assemble(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[["ts"]])
+        if rows:
+            ts = (
+                pd.concat(rows)["ts"]
+                .sort_values()
+                .astype("int64")
+                .floordiv(1_000_000_000)
+                .tolist()
+            )
+            for t in ts:
+                if start is None:
+                    start = last = t
+                    n = 1
+                elif t - last > gap_s:
+                    closed.append((user_id, start, last, n))
+                    start = last = t
+                    n = 1
+                else:
+                    last = t
+                    n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            assemble, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "update"):
     """Start the query into an in-memory sink and drain it (tests/demos)."""
     q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

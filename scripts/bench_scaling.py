@@ -36,13 +36,13 @@ spark = get_spark("scaling", cores={cores})
 spark.sparkContext.setLogLevel("ERROR")
 ed = engine_dir({sf_dir!r})
 t = load_tables(spark, ed)
-t0 = time.time()
 aois = build_aois(spark, ed)
 best = spatial_join_best_scene(aois, t["scenes"], t["frames"], RUN_DATE_START, RUN_DATE_END)
 nd = ndvi_stats(best.repartition(max(64, 4*{cores})))
-n_stats = nd.count()
+t0 = time.time()
+n_stats = nd.count()   # ONE action: extraction+join+NDVI pipeline end-to-end
 wall = time.time() - t0
-n_geoms = aois.count()
+n_geoms = aois.count()  # outside the timed window
 print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall,2),
     "geometries": n_geoms, "ndvi_rows": n_stats,
     "geoms_per_sec": round(n_geoms/wall, 2)}}))

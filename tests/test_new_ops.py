@@ -203,6 +203,43 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # user 1: two sessions split by a 2h gap; user 2: one session
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, ""),
+            (2, "2024-01-01 10:10:00", 1, "click", 1.0, ""),
+            (3, "2024-01-01 13:00:00", 1, "click", 1.0, ""),
+            (4, "2024-01-01 09:00:00", 2, "view", 1.0, ""),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    ev.write.parquet(str(src / "p1"))
+    q = run_stream_to_memory(
+        streaming_sessionize(spark, str(src) + "/*", gap_s=1800), "sess_stream", mode="append"
+    )
+    try:
+        rows = spark.sql("select * from sess_stream").collect()
+    finally:
+        q.stop()
+    # only user 1's FIRST session closes (gap observed); open sessions stay in state
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+
+
 def test_streaming_event_window_counts(spark, tmp_path):
     from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
         run_stream_to_memory,
