@@ -1,0 +1,32 @@
+"""Driver-contract smoke: entry() runs and queries()/oracle_sql() agree."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as E
+
+
+def test_queries_oracles_consistent():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle refers to an existing query
+    assert set(oracles) <= set(qs)
+    # the deliberately rows-only ops are absent from oracles
+    for name in ("q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_portfolio"):
+        assert name in qs and name not in oracles
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert {"url", "feature_index", "ndvi_mean", "scene_id"} <= set(df.columns)
+
+
+def test_one_query_via_contract(spark):
+    qs = E.queries()
+    df = qs["q_dedup_exact"](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
