@@ -289,6 +289,41 @@ def resample_nearest(src: np.ndarray, target_shape: tuple[int, int]) -> np.ndarr
     return src[np.ix_(row_idx, col_idx)]
 
 
+def _ndvi_core(red_raw: np.ndarray, nir_raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(ndvi, base validity mask) with scratch buffers + out= ufuncs.
+
+    Produces BIT-IDENTICAL values to the reference's expression
+    ``np.where(denom>0, (nir-red)/denom, nan)`` with
+    ``valid = (red_raw>0)&(nir_raw>0)&isfinite(ndvi)`` (ndvi.py:206-211) —
+    same float32 operations per element, just without fresh temporaries
+    (the raster stages are memory-bandwidth-bound)."""
+    hh, ww = red_raw.shape
+    n = hh * ww
+    red = _scratch("ndf_red", n, np.float32).reshape(hh, ww)
+    nir = _scratch("ndf_nir", n, np.float32).reshape(hh, ww)
+    den = _scratch("ndf_den", n, np.float32).reshape(hh, ww)
+    ndvi = _scratch("ndf_out", n, np.float32).reshape(hh, ww)
+    pos = _scratch("ndf_pos", n, np.bool_).reshape(hh, ww)
+    vm = _scratch("ndf_vm", n, np.bool_).reshape(hh, ww)
+    t = _scratch("ndf_t", n, np.bool_).reshape(hh, ww)
+    np.copyto(red, red_raw, casting="unsafe")
+    np.copyto(nir, nir_raw, casting="unsafe")
+    np.add(nir, red, out=den)
+    np.greater(den, 0, out=pos)
+    np.subtract(nir, red, out=ndvi)  # numerator in the output buffer
+    ndvi_full = ndvi
+    np.divide(ndvi_full, den, out=ndvi_full, where=pos)
+    np.logical_not(pos, out=t)
+    ndvi_full[t] = np.nan  # reference: np.where(denom>0, ..., nan)
+    # valid = red_raw>0 & nir_raw>0 & isfinite(ndvi)
+    np.greater(red_raw, 0, out=vm)
+    np.greater(nir_raw, 0, out=t)
+    np.logical_and(vm, t, out=vm)
+    np.isfinite(ndvi_full, out=t)
+    np.logical_and(vm, t, out=vm)
+    return ndvi_full, vm
+
+
 def ndvi_s2(
     red_raw: np.ndarray, nir_raw: np.ndarray, scl: np.ndarray | None
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -300,17 +335,12 @@ def ndvi_s2(
         red_raw = red_raw[:min_h, :min_w]
         nir_raw = nir_raw[:min_h, :min_w]
     scl_mask = resample_nearest(scl, red_raw.shape) if scl is not None else None
-    red = red_raw.astype(np.float32)
-    nir = nir_raw.astype(np.float32)
-    denom = nir + red
-    with np.errstate(invalid="ignore", divide="ignore"):
-        ndvi = np.where(denom > 0, (nir - red) / denom, np.nan)
-    valid_mask = (red_raw > 0) & (nir_raw > 0) & np.isfinite(ndvi)
+    ndvi, valid_mask = _ndvi_core(red_raw, nir_raw)
     scl_masked_count = 0
     if scl_mask is not None:
         scl_valid = np.isin(scl_mask, VALID_SCL_CLASSES)
         scl_masked_count = int(np.sum(valid_mask & ~scl_valid))
-        valid_mask = valid_mask & scl_valid
+        np.logical_and(valid_mask, scl_valid, out=valid_mask)
     return ndvi, valid_mask, scl_masked_count
 
 
@@ -324,19 +354,14 @@ def ndvi_landsat(
         min_w = min(red_raw.shape[1], nir_raw.shape[1])
         red_raw = red_raw[:min_h, :min_w]
         nir_raw = nir_raw[:min_h, :min_w]
-    red = red_raw.astype(np.float32)
-    nir = nir_raw.astype(np.float32)
-    denom = nir + red
-    with np.errstate(invalid="ignore", divide="ignore"):
-        ndvi = np.where(denom > 0, (nir - red) / denom, np.nan)
-    valid_mask = (red_raw > 0) & (nir_raw > 0) & np.isfinite(ndvi)
+    ndvi, valid_mask = _ndvi_core(red_raw, nir_raw)
     qa_masked_count = 0
     if qa is not None:
         if qa.shape != red_raw.shape:
             qa = resample_nearest(qa, red_raw.shape)
         qa_mask = (qa.astype(np.uint16) & np.uint16(LANDSAT_QA_CLOUD_BITS)) == 0
         qa_masked_count = int(np.sum(valid_mask & ~qa_mask))
-        valid_mask = valid_mask & qa_mask
+        np.logical_and(valid_mask, qa_mask, out=valid_mask)
     return ndvi, valid_mask, qa_masked_count
 
 

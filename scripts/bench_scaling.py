@@ -21,7 +21,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def one_run(sf_dir: str, cores: int, date_start: str, date_end: str) -> dict:
+def one_run(sf_dir: str, cores: int, date_start: str, date_end: str, stage: str = "pipeline") -> dict:
     """Run the pipeline portion in a fresh process (fresh JVM) for a clean
     measurement."""
     code = f"""
@@ -37,9 +37,12 @@ ed = engine_dir({sf_dir!r})
 t = load_tables(spark, ed)
 aois = build_aois(spark, ed)
 best = spatial_join_best_scene(aois, t["scenes"], t["frames"], {date_start!r}, {date_end!r})
-nd = ndvi_stats(best.repartition(max(64, 4*{cores})))
+if {stage!r} == "relational":
+    target = best   # extraction + cell join + top-1 only (CPU/shuffle bound)
+else:
+    target = ndvi_stats(best.repartition(max(64, 4*{cores})))
 t0 = time.time()
-n_stats = nd.count()   # ONE action: extraction+join+NDVI pipeline end-to-end
+n_stats = target.count()   # ONE action, end-to-end
 wall = time.time() - t0
 n_geoms = aois.count()  # outside the timed window
 print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall,2),
@@ -66,10 +69,12 @@ def main() -> None:
     # the regime a 1000-executor cluster actually runs in).
     ap.add_argument("--date-start", default="2016-01-01")
     ap.add_argument("--date-end", default="2025-12-31")
+    ap.add_argument("--stage", default="pipeline", choices=["pipeline", "relational"])
     args = ap.parse_args()
 
     def best(cores: int) -> dict:
-        runs = [one_run(args.sf_dir, cores, args.date_start, args.date_end) for _ in range(args.repeat)]
+        runs = [one_run(args.sf_dir, cores, args.date_start, args.date_end, args.stage)
+                for _ in range(args.repeat)]
         return max(runs, key=lambda r: r["geoms_per_sec"])
 
     lo = best(args.n)
@@ -77,6 +82,7 @@ def main() -> None:
     eff = hi["geoms_per_sec"] / (4 * lo["geoms_per_sec"])
     report = {
         "sf_dir": args.sf_dir,
+        "stage": args.stage,
         "N": args.n,
         "run_N": lo,
         "run_4N": hi,
