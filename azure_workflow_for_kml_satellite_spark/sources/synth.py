@@ -627,7 +627,7 @@ def write_flood_gauges(out_dir: str | Path) -> Path:
 
 # ── top-level ───────────────────────────────────────────────────────────────
 
-SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000, "sf1": 300000, "sf10": 3000000}
 
 
 def generate_sf(data_root: str | Path, sf: str) -> Path:

@@ -150,6 +150,35 @@ def test_frame_csv_rows(spark, small_ndvi):
     assert rows.count() == small_ndvi.count()
 
 
+def test_aoi_csv_rows(spark, small_ndvi):
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.exports import aoi_csv_rows
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        aoi_region,
+        geometry_metrics,
+        ndvi_trend_per_aoi,
+        weather_summary_per_aoi,
+    )
+    from azure_workflow_for_kml_satellite_spark.pipeline import build_aois, load_tables
+
+    t = load_tables(spark, SF_SMALL)
+    aois = build_aois(spark, SF_SMALL)
+    rows = aoi_csv_rows(
+        geometry_metrics(aois),
+        ndvi_trend_per_aoi(small_ndvi),
+        change_summary_per_aoi(season_changes(small_ndvi)),
+        weather_summary_per_aoi(
+            aoi_region(aois, t["regions"]), t["weather_daily"], "2022-01-01", "2023-12-31"
+        ),
+    )
+    got = rows.filter(F.col("health_class").isNotNull()).limit(3).collect()
+    assert got and {"area_ha", "compactness", "trajectory", "temp_mean_c"} <= set(rows.columns)
+    assert rows.count() == aois.count()
+
+
 # ── multimodal stubs ─────────────────────────────────────────────────────────
 
 
