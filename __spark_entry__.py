@@ -145,6 +145,27 @@ def _q_tile_assignment(spark, sf_dir):
     )
 
 
+def _q_display_scene(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.spatial_join import (
+        best_display_scene,
+    )
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    return best_display_scene(
+        aois, t["scenes"], t["frames"], RUN_DATE_START, RUN_DATE_END
+    ).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("frame_id").cast("long").alias("frame_id"),
+        "naip_variant",
+        "display_collection",
+        "scene_id",
+        "fallback_used",
+    )
+
+
 def _q_ndvi_stats(spark, sf_dir):
     nd = build_ndvi(spark, engine_dir(sf_dir))
     return nd.filter(F.col("ndvi_mean").isNotNull()).select(
@@ -642,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_aoi_prep": _q_aoi_prep,
         "q_spatial_join": _q_spatial_join,
         "q_tile_assignment": _q_tile_assignment,
+        "q_display_scene": _q_display_scene,
         "q_ndvi_stats": _q_ndvi_stats,
         "q_season_changes": _q_season_changes,
         "q_change_summary": _q_change_summary,
@@ -716,6 +738,10 @@ def oracle_sql() -> dict[str, str]:
     sql["q_spatial_join"] = (
         "SELECT url, feature_index, frame_id, naip_variant, year, season, scene_id, "
         f"cloud_cover FROM read_parquet('{_E}/expected/best_scenes.parquet')"
+    )
+    sql["q_display_scene"] = (
+        "SELECT url, feature_index, frame_id, naip_variant, display_collection, "
+        f"scene_id, fallback_used FROM read_parquet('{_E}/expected/display_scenes.parquet')"
     )
     sql["q_ndvi_stats"] = (
         "SELECT url, feature_index, year, season, scene_id, ndvi_mean, ndvi_min, "

@@ -287,6 +287,123 @@ def spatial_join_best_scene(
     return best_scene_per_frame(cand)
 
 
+def best_display_scene(
+    aois: DataFrame,
+    scenes: DataFrame,
+    frames: DataFrame,
+    date_start: str | None = None,
+    date_end: str | None = None,
+    res: int = DEFAULT_CELL_RES,
+) -> DataFrame:
+    """Display-mosaic selection with the reference's fallback ladder
+    (SURVEY.md §7.4 risk 6; reference runner.py:228-294, mosaic.py:62-72):
+
+    - only frames whose RGB display is suitable (estimated pixels ≥ 12,
+      frames.py:75-76) register a display mosaic;
+    - candidates come from the frame's DISPLAY collection; NAIP ranks by
+      datetime DESC (newest vintage wins — mosaic.py:68-72, no cloud
+      property), cloud collections rank by cloud ASC with the ≤20 ceiling
+      (runner.py:229-234);
+    - a NAIP frame with no NAIP scene falls back to a Sentinel-2 mosaic and
+      reports display_collection='sentinel-2-l2a' (runner.py:244-254).
+
+    Output: one row per suitable (aoi, frame) that found any scene:
+    (url, feature_index, frame_id, naip_variant, display_collection,
+    scene_id, fallback_used)."""
+    f = frames
+    if date_start:
+        f = f.filter(F.col("end") >= F.lit(date_start))
+    if date_end:
+        f = f.filter(F.col("start") <= F.lit(date_end))
+    f = f.select(
+        "frame_id", "naip_variant", "year", "start", "end",
+        F.col("collection").alias("frame_collection"), "is_naip",
+    )
+    s = scenes.select(
+        "scene_id",
+        F.col("collection").alias("scene_collection"),
+        "datetime",
+        "cloud_cover",
+        F.col("min_lon").alias("s_min_lon"),
+        F.col("min_lat").alias("s_min_lat"),
+        F.col("max_lon").alias("s_max_lon"),
+        F.col("max_lat").alias("s_max_lat"),
+    )
+    # candidate set: primary display collection, plus sentinel-2 fallback
+    # rows for NAIP frames
+    prim = s.join(
+        F.broadcast(f),
+        (F.col("scene_collection") == F.col("frame_collection"))
+        & (F.to_date("datetime") >= F.to_date("start"))
+        & (F.to_date("datetime") <= F.to_date("end"))
+        & (
+            (F.col("frame_collection") == "naip")  # NAIP: no cloud property
+            | (F.col("cloud_cover") <= 20.0)
+        ),
+        "inner",
+    ).withColumn("fallback_used", F.lit(False))
+    fb = s.join(
+        F.broadcast(f.filter(F.col("is_naip"))),
+        (F.col("scene_collection") == "sentinel-2-l2a")
+        & (F.to_date("datetime") >= F.to_date("start"))
+        & (F.to_date("datetime") <= F.to_date("end"))
+        & (F.col("cloud_cover") <= 20.0),
+        "inner",
+    ).withColumn("fallback_used", F.lit(True))
+    cand = prim.unionByName(fb)
+
+    a = explode_bbox_cells(
+        aois.select("url", "feature_index", "has_naip", "max_span_m",
+                    "buf_min_lon", "buf_min_lat", "buf_max_lon", "buf_max_lat"),
+        "buf_min_lon", "buf_min_lat", "buf_max_lon", "buf_max_lat", res=res,
+    )
+    sc = F.broadcast(explode_bbox_cells(cand, "s_min_lon", "s_min_lat", "s_max_lon", "s_max_lat", res=res))
+    joined = a.join(sc, "cell").filter(
+        (F.col("naip_variant") == F.col("has_naip"))
+        & (F.col("buf_min_lon") <= F.col("s_max_lon"))
+        & (F.col("s_min_lon") <= F.col("buf_max_lon"))
+        & (F.col("buf_min_lat") <= F.col("s_max_lat"))
+        & (F.col("s_min_lat") <= F.col("buf_max_lat"))
+    )
+    rep_ix = _ix_expr_val(F.greatest("buf_min_lon", "s_min_lon"), res)
+    rep_iy = _iy_expr_val(F.greatest("buf_min_lat", "s_min_lat"), res)
+    joined = joined.filter(F.col("cell") == _cell_id(rep_ix, rep_iy, res))
+
+    # F15 suitability gate (display only registered when suitable)
+    gsd = F.when(
+        (F.col("frame_collection") == "naip") & (F.col("year") <= 2014), F.lit(1.0)
+    ).otherwise(
+        F.when(F.col("frame_collection") == "naip", F.lit(0.6))
+        .when(F.col("frame_collection") == "sentinel-2-l2a", F.lit(10.0))
+        .when(F.col("frame_collection") == "landsat-c2-l2", F.lit(30.0))
+        .otherwise(F.lit(10.0))
+    )
+    joined = joined.filter(F.col("max_span_m") / gsd >= 12)
+
+    # ladder order: primary before fallback; NAIP newest-first, others
+    # least-cloudy-first; deterministic tiebreaks
+    order_key = F.struct(
+        F.col("fallback_used").cast("int").alias("prio"),
+        F.when(F.col("scene_collection") == "naip", -F.unix_timestamp("datetime"))
+        .otherwise(F.col("cloud_cover")).alias("rank"),
+        F.col("datetime").alias("dt"),
+        F.col("scene_id").alias("sid"),
+    )
+    pick = F.struct("scene_id", "scene_collection", "fallback_used")
+    best = joined.groupBy("url", "feature_index", "frame_id", "naip_variant").agg(
+        F.min_by(pick, order_key).alias("best")
+    )
+    return best.select(
+        "url",
+        "feature_index",
+        "frame_id",
+        "naip_variant",
+        F.col("best.scene_collection").alias("display_collection"),
+        F.col("best.scene_id").alias("scene_id"),
+        F.col("best.fallback_used").alias("fallback_used"),
+    )
+
+
 def tile_assignment(
     aois: DataFrame,
     scenes: DataFrame,

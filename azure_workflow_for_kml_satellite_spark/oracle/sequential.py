@@ -470,6 +470,73 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
+    # display-scene selection with NAIP→S2 fallback ladder (runner.py:228-294)
+    scenes_d = _scene_arrays(pq.read_table(sf_dir / "scenes.parquet"))
+    n_d = len(scenes_d["scene_id"])
+    d_date = [dt.date().isoformat() for dt in scenes_d["datetime"]]
+    frames_by_v = {
+        v: filter_frames(build_frame_rows(v), RUN_DATE_START, RUN_DATE_END)
+        for v in (False, True)
+    }
+    _GSD = {"naip": 0.6, "sentinel-2-l2a": 10.0, "landsat-c2-l2": 30.0}
+
+    def _gsd(fr):
+        if fr["collection"] == "naip" and fr["year"] <= 2014:
+            return 1.0
+        return _GSD.get(fr["collection"], 10.0)
+
+    disp_cands: dict[tuple, list[tuple]] = {}
+    for v, frs in frames_by_v.items():
+        for fr in frs:
+            rows_c = []
+            for i in range(n_d):
+                in_window = fr["start"] <= d_date[i] <= fr["end"]
+                if not in_window:
+                    continue
+                coll = scenes_d["collection"][i]
+                cloud = scenes_d["cloud_cover"][i]
+                epoch = scenes_d["datetime"][i].timestamp()
+                if coll == fr["collection"] and (
+                    coll == "naip" or (cloud is not None and cloud <= 20.0)
+                ):
+                    rank = -epoch if coll == "naip" else cloud
+                    rows_c.append((0, rank, scenes_d["datetime"][i], scenes_d["scene_id"][i], i, coll))
+                if fr["is_naip"] and coll == "sentinel-2-l2a" and cloud is not None and cloud <= 20.0:
+                    rows_c.append((1, cloud, scenes_d["datetime"][i], scenes_d["scene_id"][i], i, coll))
+            disp_cands[(v, fr["frame_id"])] = rows_c
+    disp_rows = []
+    for a in aois:
+        bb = a["buffered_bbox"]
+        for fr in frames_by_v[a["has_naip"]]:
+            if geo.max_span_m(a["exterior_coords"]) / _gsd(fr) < 12:
+                continue
+            hits = []
+            for prio, rank, dt, sid, i, coll in disp_cands[(a["has_naip"], fr["frame_id"])]:
+                if (
+                    bb[0] <= scenes_d["max_lon"][i]
+                    and scenes_d["min_lon"][i] <= bb[2]
+                    and bb[1] <= scenes_d["max_lat"][i]
+                    and scenes_d["min_lat"][i] <= bb[3]
+                ):
+                    hits.append((prio, rank, dt, sid, coll))
+            if not hits:
+                continue
+            prio, rank, dt, sid, coll = min(hits)
+            disp_rows.append(
+                {
+                    "url": a["url"],
+                    "feature_index": a["feature_index"],
+                    "frame_id": fr["frame_id"],
+                    "naip_variant": a["has_naip"],
+                    "display_collection": coll,
+                    "scene_id": sid,
+                    "fallback_used": prio == 1,
+                }
+            )
+    _write(out_dir, "display_scenes", {k: [r[k] for r in disp_rows] for k in
+        ("url", "feature_index", "frame_id", "naip_variant", "display_collection",
+         "scene_id", "fallback_used")})
+
     # Landsat historical baseline (A12; reference runner.py:174-206)
     scenes_t = _scene_arrays(pq.read_table(sf_dir / "scenes.parquet"))
     n_sc = len(scenes_t["scene_id"])
