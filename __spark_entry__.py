@@ -614,13 +614,17 @@ def _q_sessionize(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # ts is TIMESTAMP_NTZ: derive epoch seconds via pure-NTZ arithmetic so no
+    # session-timezone reinterpretation can occur (unix_timestamp would go
+    # through spark.sql.session.timeZone, which the driver may not pin)
+    epoch_s = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    gap = epoch_s - F.lag(epoch_s).over(w)
     with_s = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     ).withColumn("session_id", F.sum("new_session").over(w))
     return with_s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("duration_s"),
+        (F.max(epoch_s) - F.min(epoch_s)).alias("duration_s"),
     )
 
 
@@ -827,11 +831,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE date >= DATE '{RUN_DATE_START}' AND date <= DATE '{RUN_DATE_END}')
         SELECT ar.url, ar.feature_index,
                count(w.temp_c) AS observation_days,
-               round(avg(w.temp_c), 1) AS temp_mean_c,
+               round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1) AS temp_mean_c,
                round(min(w.temp_c), 1) AS temp_min_c,
                round(max(w.temp_c), 1) AS temp_max_c,
-               round(sum(w.precip_mm), 1) AS precip_total_mm,
-               coalesce(sum(CASE WHEN w.precip_mm > 0.1 THEN 1 ELSE 0 END), 0) AS precip_days
+               round(sum(w.precip_mm ORDER BY w.date), 1) AS precip_total_mm,
+               CAST(coalesce(sum(CASE WHEN w.precip_mm > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS precip_days
         FROM ar LEFT JOIN w USING (region)
         GROUP BY ar.url, ar.feature_index
     """
@@ -844,7 +848,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["q_fire_summary"] = f"""
         SELECT a.url, a.feature_index, count(*) AS n_events,
-               sum(CASE WHEN f.confidence = 'h' THEN 1 ELSE 0 END) AS n_high_conf,
+               CAST(sum(CASE WHEN f.confidence = 'h' THEN 1 ELSE 0 END) AS BIGINT) AS n_high_conf,
                max(f.frp) AS max_frp
         FROM read_parquet('{_E}/expected/aois.parquet') a
         JOIN read_parquet('{_E}/fire_events.parquet') f
@@ -1018,7 +1022,7 @@ def oracle_sql() -> dict[str, str]:
                       ROWS UNBOUNDED PRECEDING) AS session_id
           FROM g
         )
-        SELECT user_id, session_id, count(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
                CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
         FROM s GROUP BY user_id, session_id
     """

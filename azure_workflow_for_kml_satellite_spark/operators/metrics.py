@@ -146,13 +146,51 @@ def weather_summary_per_aoi(
     joined = aois_with_region.select("url", "feature_index", "region").join(
         w, "region", "left"
     )
-    return joined.groupBy("url", "feature_index").agg(
-        F.count("temp_c").alias("observation_days"),
-        F.round(F.avg("temp_c"), 1).alias("temp_mean_c"),
-        F.round(F.min("temp_c"), 1).alias("temp_min_c"),
-        F.round(F.max("temp_c"), 1).alias("temp_max_c"),
-        F.round(F.sum("precip_mm"), 1).alias("precip_total_mm"),
-        F.count_if(F.col("precip_mm") > 0.1).alias("precip_days"),
+    # The 1-dp rounded float sums must be partition-order-insensitive: fold
+    # the values in date order with a sequential JVM lambda (F.aggregate over
+    # a sorted array) instead of a distributed F.sum, so the accumulation
+    # order is pinned regardless of shuffle layout. The DuckDB oracle pins
+    # the same order with `sum(x ORDER BY date)`.
+    series = F.array_sort(
+        F.collect_list(F.struct(F.col("date").alias("d"), "temp_c", "precip_mm"))
+    )
+    # null-safe: sum skips NULLs, and x + 0.0 is an IEEE no-op for finite x
+    seq_temp_sum = F.aggregate(
+        F.col("series"), F.lit(0.0), lambda acc, x: acc + F.coalesce(x["temp_c"], F.lit(0.0))
+    )
+    seq_precip_sum = F.aggregate(
+        F.col("series"), F.lit(0.0), lambda acc, x: acc + F.coalesce(x["precip_mm"], F.lit(0.0))
+    )
+    return (
+        joined.groupBy("url", "feature_index")
+        .agg(
+            F.count("temp_c").alias("observation_days"),
+            F.round(F.min("temp_c"), 1).alias("temp_min_c"),
+            F.round(F.max("temp_c"), 1).alias("temp_max_c"),
+            F.count_if(F.col("precip_mm") > 0.1).alias("precip_days"),
+            series.alias("series"),
+        )
+        .withColumn(
+            "temp_mean_c",
+            F.when(
+                F.col("observation_days") > 0,
+                F.round(seq_temp_sum / F.col("observation_days"), 1),
+            ),
+        )
+        .withColumn(
+            "precip_total_mm",
+            F.when(F.col("observation_days") > 0, F.round(seq_precip_sum, 1)),
+        )
+        .select(
+            "url",
+            "feature_index",
+            "observation_days",
+            "temp_mean_c",
+            "temp_min_c",
+            "temp_max_c",
+            "precip_total_mm",
+            "precip_days",
+        )
     )
 
 

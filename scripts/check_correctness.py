@@ -72,6 +72,32 @@ def main() -> int:
                 continue
             od = con.sql(oracles[name])
             ocols = [c.lower() for c in od.columns]
+            # Type-strict guard replicating the driver's typed hasher: DuckDB
+            # HUGEINT (from sum(CASE...)/sum() OVER) vs Spark BIGINT passes a
+            # python-int value compare but fails the driver's hash. Map both
+            # sides to a canonical name and require equality for scalar types.
+            _DUCK2CANON = {
+                "BIGINT": "long", "INTEGER": "int", "SMALLINT": "int",
+                "TINYINT": "int", "HUGEINT": "HUGEINT!", "UBIGINT": "ulong",
+                "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "string",
+                "DATE": "date", "BOOLEAN": "boolean",
+            }
+            _SPARK2CANON = {
+                "bigint": "long", "int": "int", "smallint": "int",
+                "tinyint": "int", "double": "double", "float": "float",
+                "string": "string", "date": "date", "boolean": "boolean",
+            }
+            sdtypes = dict(sdf.dtypes)
+            for cname, dtyp in zip(od.columns, od.types):
+                dcanon = _DUCK2CANON.get(str(dtyp).upper())
+                scanon = _SPARK2CANON.get(sdtypes.get(cname, sdtypes.get(cname.lower(), "")))
+                if dcanon and scanon and dcanon != scanon:
+                    print(f"{name}: TYPE-MISMATCH col {cname}: duckdb {dtyp} vs spark "
+                          f"{sdtypes.get(cname)}")
+                    failed.append(name)
+                elif dcanon == "HUGEINT!":
+                    print(f"{name}: TYPE-WARN col {cname} is HUGEINT — driver hash will differ")
+                    failed.append(name)
             orows_raw = od.fetchall()
             ocol_order = sorted(range(len(ocols)), key=lambda i: ocols[i])
             orows = [tuple(r[i] for i in ocol_order) for r in orows_raw]
