@@ -1,0 +1,697 @@
+"""Independent oracle kernels — a second, from-scratch implementation of the
+numeric/parsing contracts used by the sequential oracle.
+
+The engine's kernels live in ``functions/`` (scratch-buffer numpy tuned for
+executor hot paths).  This module re-derives the SAME mathematical contracts
+as plain straight-line code — fresh temporaries, explicit loops, its own XML
+traversal — and is imported ONLY by ``oracle/sequential.py``.  A bug in an
+engine kernel therefore no longer passes both sides of the correctness gate
+(round-1 ADVICE: de-self-referee the expected-parquet oracles).
+
+Bit-for-bit parity with the engine is part of each contract, so the
+*arithmetic expression order* follows the reference's published expressions
+(cited per function); the code sharing is zero.
+
+Reference anchors: treesight/geo.py, treesight/pipeline/ndvi.py,
+change_detection.py, enrichment/aoi_metrics.py, parsers/lxml_parser.py,
+providers/stub.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import math
+import zipfile
+from io import BytesIO
+from xml.etree import ElementTree as ET
+
+import numpy as np
+
+from azure_workflow_for_kml_satellite_spark.constants import (
+    EARTH_RADIUS_M,
+    LANDSAT_QA_CLOUD_BITS,
+    MAX_KMZ_COMPRESSION_RATIO,
+    MAX_KMZ_DECOMPRESSED_BYTES,
+    MAX_KMZ_FILE_COUNT,
+    METRES_PER_DEGREE_LATITUDE,
+    NDVI_THRESHOLDS,
+    VALID_SCL_CLASSES,
+)
+
+# ═════════════════════════════ geometry ═════════════════════════════════════
+# Contracts: reference treesight/geo.py (spherical-excess + haversine fallback
+# path, geo.py:107-140; bbox/centroid geo.py:45-66, 196-212).
+
+
+def bbox_of(ring):
+    """[min_lon, min_lat, max_lon, max_lat] of [[lon,lat],...]."""
+    if not ring:
+        return [0.0, 0.0, 0.0, 0.0]
+    min_lon = min_lat = float("inf")
+    max_lon = max_lat = float("-inf")
+    for pt in ring:
+        if pt[0] < min_lon:
+            min_lon = pt[0]
+        if pt[0] > max_lon:
+            max_lon = pt[0]
+        if pt[1] < min_lat:
+            min_lat = pt[1]
+        if pt[1] > max_lat:
+            max_lat = pt[1]
+    return [min_lon, min_lat, max_lon, max_lat]
+
+
+def expand_bbox_m(bbox, buffer_m):
+    """Buffer a bbox by metres (reference geo.py:53-66; expression order kept
+    for bit parity: lon offset divides by the product M*cos(mid_lat))."""
+    if buffer_m <= 0:
+        return list(bbox)
+    mid_lat = (bbox[1] + bbox[3]) / 2.0
+    dlat = buffer_m / METRES_PER_DEGREE_LATITUDE
+    dlon = buffer_m / (METRES_PER_DEGREE_LATITUDE * math.cos(math.radians(mid_lat)))
+    return [bbox[0] - dlon, bbox[1] - dlat, bbox[2] + dlon, bbox[3] + dlat]
+
+
+def vertex_mean(ring):
+    """Arithmetic vertex mean, closing vertex dropped (geo.py:196-212)."""
+    if not ring:
+        return [0.0, 0.0]
+    pts = ring[:-1] if (len(ring) > 1 and ring[0] == ring[-1]) else ring
+    if not pts:
+        return [0.0, 0.0]
+    sx = 0.0
+    sy = 0.0
+    for pt in pts:
+        sx += pt[0]
+        sy += pt[1]
+    return [sx / len(pts), sy / len(pts)]
+
+
+def ring_perimeter_km(ring):
+    """Haversine perimeter, ring closed if open (geo.py:107-124)."""
+    if len(ring) < 2:
+        return 0.0
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    total_m = 0.0
+    for k in range(len(pts) - 1):
+        lon1 = math.radians(pts[k][0])
+        lat1 = math.radians(pts[k][1])
+        lon2 = math.radians(pts[k + 1][0])
+        lat2 = math.radians(pts[k + 1][1])
+        dlat = lat2 - lat1
+        dlon = lon2 - lon1
+        a = math.sin(dlat / 2) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2
+        total_m += EARTH_RADIUS_M * (2 * math.atan2(math.sqrt(a), math.sqrt(1 - a)))
+    return total_m / 1_000.0
+
+
+def ring_area_ha(ring):
+    """Spherical-excess polygon area in hectares (geo.py:127-140)."""
+    n = len(ring)
+    if n < 3:
+        return 0.0
+    acc = 0.0
+    for k in range(n):
+        m = (k + 1) % n
+        lon1 = math.radians(ring[k][0])
+        lat1 = math.radians(ring[k][1])
+        lon2 = math.radians(ring[m][0])
+        lat2 = math.radians(ring[m][1])
+        acc += (lon2 - lon1) * (2 + math.sin(lat1) + math.sin(lat2))
+    return abs(acc * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0) / 10_000.0
+
+
+def area_and_perimeter(ring):
+    """(area_ha, perimeter_km) — reference fallback path geo.py:69-140."""
+    if len(ring) < 3:
+        return 0.0, 0.0
+    return ring_area_ha(ring), ring_perimeter_km(ring)
+
+
+def pip_even_odd(lon, lat, ring):
+    """Even-odd ray-cast point-in-ring (standard algorithm; x-intersection
+    expression kept identical for boundary bit parity)."""
+    n = len(ring)
+    hit = False
+    for i in range(n):
+        j = i - 1 if i else n - 1
+        xi, yi = ring[i][0], ring[i][1]
+        xj, yj = ring[j][0], ring[j][1]
+        if (yi > lat) != (yj > lat):
+            if lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                hit = not hit
+    return hit
+
+
+def span_m(ring):
+    """max(lat span, lon span) in metres (reference frames.py:46-57)."""
+    if not ring:
+        return 0.0
+    bb = bbox_of(ring)
+    mid_lat = (bb[1] + bb[3]) / 2.0
+    lat_span = (bb[3] - bb[1]) * METRES_PER_DEGREE_LATITUDE
+    lon_span = (bb[2] - bb[0]) * METRES_PER_DEGREE_LATITUDE * math.cos(math.radians(mid_lat))
+    return max(lat_span, lon_span)
+
+
+def inside_conus(ring):
+    """All vertices within CONUS NAIP bounds (reference frames.py:98-108)."""
+    for pt in ring:
+        if not (24 <= pt[1] <= 50 and -125 <= pt[0] <= -66):
+            return False
+    return True
+
+
+def ndvi_health_label(mean):
+    """NDVI class ladder (reference aoi_metrics.py:36-48)."""
+    for label, key in (
+        ("bare_soil", "bare_soil"),
+        ("sparse_vegetation", "sparse"),
+        ("moderate_vegetation", "moderate"),
+        ("healthy_vegetation", "healthy"),
+        ("very_healthy_vegetation", "very_healthy"),
+    ):
+        if mean < NDVI_THRESHOLDS[key]:
+            return label
+    return "dense_vegetation"
+
+
+# ═════════════════════════════ KML parsing ══════════════════════════════════
+# Contracts: reference parsers/__init__.py:14-114, parsers/lxml_parser.py.
+# Independent traversal; quirks preserved: only the OGC 2.2 namespace is
+# searched by the parser (validation accepts legacy Google namespaces, whose
+# documents then parse to zero features), default names count already-emitted
+# features, feature_index is per-document emit order.
+
+_NS22 = "{http://www.opengis.net/kml/2.2}"
+_OK_NAMESPACES = frozenset(
+    {
+        "http://www.opengis.net/kml/2.2",
+        "http://earth.google.com/kml/2.2",
+        "http://earth.google.com/kml/2.1",
+        "http://earth.google.com/kml/2.0",
+    }
+)
+_WS_BYTES = b" \t\n\r\x0b\x0c"
+
+
+def find_kml_payloads(html: bytes) -> list[bytes]:
+    """Locate embedded KML/KMZ payloads by manual byte scanning (contract of
+    the engine's regex extractor: first ``</kml>`` after ``<kml[\\s>]``;
+    base64 KMZ inside ``<script type="application/vnd.kmz">``)."""
+    docs: list[bytes] = []
+    pos = 0
+    while True:
+        i = html.find(b"<kml", pos)
+        if i < 0:
+            break
+        nxt = html[i + 4 : i + 5]
+        if nxt and (nxt in b">" or nxt in _WS_BYTES):
+            end = html.find(b"</kml>", i)
+            if end >= 0:
+                docs.append(html[i : end + 6])
+                pos = end + 6
+                continue
+        pos = i + 4
+    open_tag = b'<script type="application/vnd.kmz">'
+    pos = 0
+    while True:
+        i = html.find(open_tag, pos)
+        if i < 0:
+            break
+        end = html.find(b"</script>", i)
+        if end < 0:
+            break
+        try:
+            docs.append(base64.b64decode(html[i + len(open_tag) : end].strip()))
+        except Exception:
+            pass
+        pos = end + 9
+    return docs
+
+
+def unzip_kmz(data: bytes) -> bytes:
+    """KMZ extraction + zip-bomb guards (reference parsers/__init__.py:37-82)."""
+    if data[:4] != b"PK\x03\x04":
+        return data
+    with zipfile.ZipFile(BytesIO(data)) as zf:
+        infos = zf.infolist()
+        if len(infos) > MAX_KMZ_FILE_COUNT:
+            raise ValueError(
+                f"KMZ file count {len(infos)} exceeds limit of {MAX_KMZ_FILE_COUNT}"
+            )
+        for info in infos:
+            if info.file_size > MAX_KMZ_DECOMPRESSED_BYTES:
+                raise ValueError(
+                    f"Decompressed size of '{info.filename}' ({info.file_size:,} bytes) "
+                    f"exceeds limit of {MAX_KMZ_DECOMPRESSED_BYTES:,} bytes"
+                )
+            if info.compress_size > 0 and (
+                info.file_size / info.compress_size > MAX_KMZ_COMPRESSION_RATIO
+            ):
+                raise ValueError(
+                    f"Compression ratio of '{info.filename}' "
+                    f"({info.file_size / info.compress_size:.0f}:1) "
+                    f"exceeds limit of {MAX_KMZ_COMPRESSION_RATIO}:1"
+                )
+        names = zf.namelist()
+        if "doc.kml" in names:
+            return zf.read("doc.kml")
+        for name in names:
+            if name.lower().endswith(".kml"):
+                return zf.read(name)
+    raise ValueError("KMZ archive contains no .kml file")
+
+
+def check_kml(data: bytes) -> None:
+    """DOCTYPE ban + well-formedness + namespace allow-list
+    (reference parsers/__init__.py:88-114). Scans the first 4096 bytes for a
+    DOCTYPE marker case-insensitively, like the engine's regex."""
+    head = data[:4096].upper()
+    if b"<!DOCTYPE" in head:
+        raise ValueError(
+            "KML contains a DOCTYPE declaration — DTD/entity declarations are not permitted"
+        )
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise ValueError(f"Malformed XML: {exc}") from exc
+    ns = root.tag[1:].split("}", 1)[0] if root.tag[:1] == "{" else ""
+    if ns not in _OK_NAMESPACES:
+        raise ValueError(f"Root element namespace '{ns}' is not a recognised KML namespace")
+
+
+def _coords_from_text(text: str) -> list[list[float]]:
+    """'lon,lat[,alt] lon,lat ...' → [[lon,lat],...]; bad tokens skipped
+    (reference lxml_parser.py:76-87)."""
+    pts = []
+    for tok in text.split():
+        fields = tok.split(",")
+        if len(fields) < 2:
+            continue
+        try:
+            pts.append([float(fields[0]), float(fields[1])])
+        except ValueError:
+            continue
+    return pts
+
+
+def _close_ring(ring):
+    if len(ring) >= 3 and ring[0] != ring[-1]:
+        ring.append(list(ring[0]))
+    return ring
+
+
+def parse_kml_features(data: bytes, source_file: str = "") -> list[dict]:
+    """KML → feature dicts (reference lxml_parser.py:17-73). Placemarks and
+    polygons in document order; exterior rings with <3 vertices skipped;
+    rings closed; metadata from ExtendedData/Data[@name]/value."""
+    root = ET.fromstring(data)
+    feats: list[dict] = []
+    for pm in root.iter(_NS22 + "Placemark"):
+        name_el = pm.find(_NS22 + "name")
+        name = (name_el.text or "").strip() if name_el is not None else ""
+        desc_el = pm.find(_NS22 + "description")
+        desc = (desc_el.text or "").strip() if desc_el is not None else ""
+        meta: dict[str, str] = {}
+        ext_el = pm.find(_NS22 + "ExtendedData")
+        if ext_el is not None:
+            for d in ext_el.findall(_NS22 + "Data"):
+                key = d.get("name", "")
+                v = d.find(_NS22 + "value")
+                if key and v is not None and v.text:
+                    meta[key] = v.text
+        for poly in pm.iter(_NS22 + "Polygon"):
+            outer_el = poly.find(
+                _NS22 + "outerBoundaryIs/" + _NS22 + "LinearRing/" + _NS22 + "coordinates"
+            )
+            exterior = (
+                _coords_from_text(outer_el.text)
+                if outer_el is not None and outer_el.text
+                else []
+            )
+            if len(exterior) < 3:
+                continue
+            holes = []
+            for inner_el in poly.findall(
+                _NS22 + "innerBoundaryIs/" + _NS22 + "LinearRing/" + _NS22 + "coordinates"
+            ):
+                if inner_el.text:
+                    ring = _coords_from_text(inner_el.text)
+                    if ring:
+                        holes.append(_close_ring(ring))
+            feats.append(
+                {
+                    "name": name or f"Unnamed Feature {len(feats)}",
+                    "description": desc,
+                    "exterior_coords": _close_ring(exterior),
+                    "interior_coords": holes,
+                    "crs": "EPSG:4326",
+                    "metadata": meta,
+                    "source_file": source_file,
+                    "feature_index": len(feats),
+                }
+            )
+    return feats
+
+
+# ═════════════════════ synthetic raster field + kernels ═════════════════════
+# The synthetic pixel field is DEFINED as murmur3-fmix32 over
+# (seed ^ band*0x27D4EB2F, row*0x85EBCA6B ^ col*0xC2B2AE35) with the band
+# value tables below; this is a from-scratch evaluation of that definition
+# (plain expressions, fresh temporaries — the engine uses scratch buffers).
+
+_FMIX_C1 = np.uint32(0x85EBCA6B)
+_FMIX_C2 = np.uint32(0xC2B2AE35)
+
+PX_DEG_PER_M = 1.0 / 111_320.0
+
+_SCL_LUT = np.array([9, 8, 3, 4, 5, 6, 2, 4, 5, 4], dtype=np.uint8)
+_QA_LUT = np.array([2, 8, 16, 0, 0, 0, 0, 0, 0, 0], dtype=np.uint16)
+_CLASS_LUT = np.array([10, 10, 10, 20, 30, 40, 50, 60, 80, 95], dtype=np.uint8)
+
+RED, NIR, SCL, QA, CLASS = 1, 2, 3, 4, 5
+
+
+def seed_of(scene_id: str) -> int:
+    import zlib as _z
+
+    return _z.crc32(scene_id.encode("utf-8")) & 0xFFFFFFFF
+
+
+def pixel_hash(seed: int, band: int, row0: int, row1: int, col0: int, col1: int) -> np.ndarray:
+    """fmix32 field for an absolute pixel window (window-placement pure)."""
+    rows = np.arange(row0, row1, dtype=np.uint32) * _FMIX_C1
+    cols = np.arange(col0, col1, dtype=np.uint32) * _FMIX_C2
+    h = rows[:, None] ^ cols[None, :]
+    h = h ^ np.uint32((int(seed) ^ (int(band) * 0x27D4EB2F)) & 0xFFFFFFFF)
+    h = h ^ (h >> np.uint32(16))
+    h = h * _FMIX_C1
+    h = h ^ (h >> np.uint32(13))
+    h = h * _FMIX_C2
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def band_pixels(seed: int, band: int, window) -> np.ndarray:
+    """Band values for a window, straight-line from the field definition."""
+    row0, row1, col0, col1 = window
+    h = pixel_hash(seed, band, row0, row1, col0, col1)
+    if band == RED:
+        vals = (((h >> np.uint32(8)) % np.uint32(1200)) + np.uint32(300)).astype(np.uint16)
+        vals[h % np.uint32(97) == 0] = 0
+        return vals
+    if band == NIR:
+        r13 = np.arange(row0, row1, dtype=np.uint32) * np.uint32(13)
+        c7 = np.arange(col0, col1, dtype=np.uint32) * np.uint32(7)
+        veg = (
+            (r13[:, None] + c7[None, :] + np.uint32(int(seed) % 1000)) % np.uint32(100)
+        ) * np.uint32(55)
+        vals = (
+            ((h >> np.uint32(8)) % np.uint32(900)) + veg + np.uint32(400)
+        ).astype(np.uint16)
+        vals[h % np.uint32(101) == 0] = 0
+        return vals
+    if band in (SCL, QA, CLASS):
+        idx = h % np.uint32(10)
+        if band == SCL:
+            return _SCL_LUT[idx]
+        if band == QA:
+            return _QA_LUT[idx]
+        out = _CLASS_LUT[idx]
+        out[h % np.uint32(53) == 0] = 0
+        return out
+    raise ValueError(f"unknown band code {band}")
+
+
+def raster_shape(bbox, resolution_m):
+    px = resolution_m * PX_DEG_PER_M
+    return (
+        max(1, int(round((bbox[3] - bbox[1]) / px))),
+        max(1, int(round((bbox[2] - bbox[0]) / px))),
+    )
+
+
+def clamp_window(scene_bbox, resolution_m, read_bbox):
+    """Pixel window of read_bbox in the scene grid, clamped; floor/ceil so any
+    touched pixel is included (rasterio from_bounds role, ndvi.py:474-478)."""
+    px = resolution_m * PX_DEG_PER_M
+    h, w = raster_shape(scene_bbox, resolution_m)
+    c0 = max(0, min(w, int(math.floor((read_bbox[0] - scene_bbox[0]) / px))))
+    c1 = max(0, min(w, int(math.ceil((read_bbox[2] - scene_bbox[0]) / px))))
+    r0 = max(0, min(h, int(math.floor((scene_bbox[3] - read_bbox[3]) / px))))
+    r1 = max(0, min(h, int(math.ceil((scene_bbox[3] - read_bbox[1]) / px))))
+    if c1 <= c0 or r1 <= r0:
+        return None
+    return r0, r1, c0, c1
+
+
+def fetch_window_bands(scene_id, scene_bbox, resolution_m, read_bbox, collection):
+    """Synthetic COG windowed read: S2 red/nir + half-res SCL, Landsat
+    red/nir/QA (reference ndvi.py:463-484 windowing semantics)."""
+    seed = seed_of(scene_id)
+    win = clamp_window(scene_bbox, resolution_m, read_bbox)
+    if win is None:
+        return None
+    bands = {"red": band_pixels(seed, RED, win), "nir": band_pixels(seed, NIR, win)}
+    if collection == "sentinel-2-l2a":
+        scl_win = clamp_window(scene_bbox, resolution_m * 2, read_bbox)
+        if scl_win is not None:
+            bands["scl"] = band_pixels(seed, SCL, scl_win)
+    elif collection == "landsat-c2-l2":
+        bands["qa"] = band_pixels(seed, QA, win)
+    return bands
+
+
+def fetch_class_window(layer_name, read_bbox, resolution_m):
+    """Global classification mosaic window, anchored at (-180, +90)."""
+    px = resolution_m * PX_DEG_PER_M
+    c0 = int(math.floor((read_bbox[0] + 180.0) / px))
+    c1 = int(math.ceil((read_bbox[2] + 180.0) / px))
+    r0 = int(math.floor((90.0 - read_bbox[3]) / px))
+    r1 = int(math.ceil((90.0 - read_bbox[1]) / px))
+    if c1 <= c0 or r1 <= r0:
+        return None
+    return band_pixels(seed_of(layer_name), CLASS, (r0, r1, c0, c1))
+
+
+def nn_resample(src: np.ndarray, shape) -> np.ndarray:
+    """Nearest-neighbour categorical resample, pixel-centre mapping
+    (reference ndvi.py:487-510)."""
+    if src.shape == tuple(shape):
+        return src
+    ri = np.rint((np.arange(shape[0]) + 0.5) * (src.shape[0] / shape[0]) - 0.5).astype(int)
+    ci = np.rint((np.arange(shape[1]) + 0.5) * (src.shape[1] / shape[1]) - 0.5).astype(int)
+    return src[np.ix_(np.clip(ri, 0, src.shape[0] - 1), np.clip(ci, 0, src.shape[1] - 1))]
+
+
+def _trim_pair(a, b):
+    mh = min(a.shape[0], b.shape[0])
+    mw = min(a.shape[1], b.shape[1])
+    return a[:mh, :mw], b[:mh, :mw]
+
+
+def _ndvi_and_valid(red_raw, nir_raw):
+    """The reference's literal expression (ndvi.py:206-211):
+    ndvi = where(denom>0, (nir-red)/denom, nan) in float32;
+    valid = red_raw>0 & nir_raw>0 & isfinite(ndvi)."""
+    red = red_raw.astype(np.float32)
+    nir = nir_raw.astype(np.float32)
+    denom = nir + red
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndvi = np.where(denom > 0, (nir - red) / denom, np.float32(np.nan))
+    valid = (red_raw > 0) & (nir_raw > 0) & np.isfinite(ndvi)
+    return ndvi, valid
+
+
+def s2_ndvi(red_raw, nir_raw, scl):
+    """S2 NDVI + SCL masking (reference ndvi.py:158-215)."""
+    if red_raw.shape != nir_raw.shape:
+        red_raw, nir_raw = _trim_pair(red_raw, nir_raw)
+    ndvi, valid = _ndvi_and_valid(red_raw, nir_raw)
+    masked = 0
+    if scl is not None:
+        scl_ok = np.isin(nn_resample(scl, red_raw.shape), VALID_SCL_CLASSES)
+        masked = int(np.sum(valid & ~scl_ok))
+        valid = valid & scl_ok
+    return ndvi, valid, masked
+
+
+def landsat_ndvi(red_raw, nir_raw, qa):
+    """Landsat NDVI + QA_PIXEL cloud-bit masking (reference ndvi.py:376-411)."""
+    if red_raw.shape != nir_raw.shape:
+        red_raw, nir_raw = _trim_pair(red_raw, nir_raw)
+    ndvi, valid = _ndvi_and_valid(red_raw, nir_raw)
+    masked = 0
+    if qa is not None:
+        if qa.shape != red_raw.shape:
+            qa = nn_resample(qa, red_raw.shape)
+        qa_ok = (qa.astype(np.uint16) & np.uint16(LANDSAT_QA_CLOUD_BITS)) == 0
+        masked = int(np.sum(valid & ~qa_ok))
+        valid = valid & qa_ok
+    return ndvi, valid, masked
+
+
+def ndvi_stats(ndvi, valid):
+    """Rounded summary stats over valid pixels (reference ndvi.py:217-236)."""
+    v = ndvi[valid]
+    if v.size == 0:
+        return None
+    return {
+        "mean": round(float(np.mean(v)), 4),
+        "min": round(float(np.min(v)), 4),
+        "max": round(float(np.max(v)), 4),
+        "std": round(float(np.std(v)), 4),
+        "median": round(float(np.median(v)), 4),
+        "valid_pixels": int(v.size),
+        "total_pixels": int(ndvi.size),
+    }
+
+
+def delta_stats(ndvi_a, ndvi_b, pixel_area_ha, loss_threshold=-0.1, gain_threshold=0.1):
+    """Per-pixel change metrics over jointly-finite pixels
+    (reference change_detection.py:64-116)."""
+    ndvi_a, ndvi_b = _trim_pair(ndvi_a, ndvi_b)
+    both = np.isfinite(ndvi_a) & np.isfinite(ndvi_b)
+    if not both.any():
+        return None
+    deltas = (ndvi_b - ndvi_a)[both]
+    n_valid = int(both.sum())
+    n_loss = int((deltas < loss_threshold).sum())
+    n_gain = int((deltas > gain_threshold).sum())
+    n_stable = n_valid - n_loss - n_gain
+    return {
+        "mean_delta": round(float(np.mean(deltas)), 4),
+        "median_delta": round(float(np.median(deltas)), 4),
+        "std_delta": round(float(np.std(deltas)), 4),
+        "min_delta": round(float(np.min(deltas)), 4),
+        "max_delta": round(float(np.max(deltas)), 4),
+        "loss_ha": round(n_loss * pixel_area_ha, 2),
+        "gain_ha": round(n_gain * pixel_area_ha, 2),
+        "stable_ha": round(n_stable * pixel_area_ha, 2),
+        "total_ha": round(n_valid * pixel_area_ha, 2),
+        "loss_pct": round(n_loss / n_valid * 100, 1) if n_valid else 0.0,
+        "gain_pct": round(n_gain / n_valid * 100, 1) if n_valid else 0.0,
+        "valid_pixels": n_valid,
+    }
+
+
+def class_counts(classes: np.ndarray) -> list[dict]:
+    """Histogram excluding nodata 0, sorted (-count, code), area_pct 2dp
+    (reference eudr.py:773-843)."""
+    flat = classes.ravel()
+    flat = flat[flat != 0]
+    total = int(flat.size)
+    if total == 0:
+        return []
+    codes, counts = np.unique(flat, return_counts=True)
+    rows = sorted(
+        (
+            {"class_code": int(v), "pixel_count": int(c),
+             "area_pct": round(100.0 * int(c) / total, 2)}
+            for v, c in zip(codes, counts)
+        ),
+        key=lambda r: (-r["pixel_count"], r["class_code"]),
+    )
+    return rows
+
+
+# ═════════════════════════ per-AOI metric kernels ═══════════════════════════
+
+
+def trend_of(frame_means) -> dict:
+    """NDVI trend over [(frame_id, mean-or-None),...] in frame order
+    (reference aoi_metrics.py:51-122). Sequential left-to-right accumulation,
+    matching the contract's Python-sum semantics."""
+    valid = [(fid, m) for fid, m in frame_means if m is not None]
+    n = len(valid)
+    if n < 2:
+        latest = valid[0][1] if valid else None
+        return {
+            "direction": "insufficient_data",
+            "observations": n,
+            "slope_per_frame": None,
+            "earliest_mean": None,
+            "latest_mean": latest,
+            "overall_change": None,
+            "overall_change_pct": None,
+            "max_consecutive_drop": None,
+            "max_drop_frame_id": None,
+            "coefficient_of_variation": None,
+            "mean_ndvi": None,
+            "std_ndvi": None,
+            "health_class": ndvi_health_label(latest) if latest is not None else "unknown",
+        }
+    ys = [m for _, m in valid]
+    x_mean = (n - 1) / 2.0
+    y_acc = 0.0
+    for y in ys:
+        y_acc += y
+    y_mean = y_acc / n
+    num = 0.0
+    den = 0.0
+    for i in range(n):
+        num += (i - x_mean) * (ys[i] - y_mean)
+        den += (i - x_mean) ** 2
+    slope = num / den if den != 0 else 0.0
+    direction = (
+        "stable" if abs(slope) < 0.002 else ("improving" if slope > 0 else "declining")
+    )
+    max_drop = 0.0
+    max_drop_fid = -1
+    for i in range(1, n):
+        d = ys[i - 1] - ys[i]
+        if d > max_drop:
+            max_drop = d
+            max_drop_fid = valid[i][0]
+    var_acc = 0.0
+    for y in ys:
+        var_acc += (y - y_mean) ** 2
+    std = math.sqrt(var_acc / n) if n > 1 else 0.0
+    cv = std / y_mean if y_mean > 0 else 0.0
+    change = ys[-1] - ys[0]
+    return {
+        "direction": direction,
+        "observations": n,
+        "slope_per_frame": round(slope, 5),
+        "earliest_mean": round(ys[0], 4),
+        "latest_mean": round(ys[-1], 4),
+        "overall_change": round(change, 4),
+        "overall_change_pct": round(change / ys[0] * 100, 1) if ys[0] else 0.0,
+        "max_consecutive_drop": round(max_drop, 4),
+        "max_drop_frame_id": max_drop_fid,
+        "coefficient_of_variation": round(cv, 3),
+        "mean_ndvi": round(y_mean, 4),
+        "std_ndvi": round(std, 4),
+        "health_class": ndvi_health_label(ys[-1]),
+    }
+
+
+def rollup_changes(mean_deltas, loss_has, gain_has) -> dict:
+    """Season-change rollup (reference change_detection.py:244-259)."""
+    loss_acc = 0.0
+    for v in loss_has:
+        loss_acc += v
+    gain_acc = 0.0
+    for v in gain_has:
+        gain_acc += v
+    out = {
+        "comparisons": len(mean_deltas),
+        "total_loss_ha": round(loss_acc, 2),
+        "total_gain_ha": round(gain_acc, 2),
+    }
+    if mean_deltas:
+        d_acc = 0.0
+        for v in mean_deltas:
+            d_acc += v
+        avg = d_acc / len(mean_deltas)
+        out["avg_mean_delta"] = round(avg, 4)
+        out["trajectory"] = (
+            "Improving" if avg > 0.02 else "Declining" if avg < -0.02 else "Stable"
+        )
+    else:
+        out["avg_mean_delta"] = None
+        out["trajectory"] = "Insufficient data"
+    return out

@@ -4,9 +4,14 @@ single-process pipeline walks the data (reference: runner.py).
 
 Its outputs are written to ``data/<sf>/expected/*.parquet``; the driver's
 DuckDB oracle SQL reads them (for the raster/geometry operators whose math
-is not SQL-expressible), so the Spark engine's distributed plumbing —
-extraction fan-out, cell joins, window pairing, grouped UDFs — is checked
-against an independent sequential composition of the same numeric kernels.
+is not SQL-expressible).
+
+This module imports NO engine kernels: all geometry/raster/metric/KML math
+comes from ``oracle/kernels.py``, a from-scratch second implementation of
+the same contracts (straight-line numpy, own XML traversal). The gate
+therefore checks both the distributed plumbing AND the kernel math — a bug
+in an engine kernel no longer passes both sides. Cross-implementation
+parity is itself fuzz-tested in tests/test_oracle_independence.py.
 """
 
 from __future__ import annotations
@@ -25,10 +30,7 @@ from azure_workflow_for_kml_satellite_spark.constants import (
     RUN_DATE_END,
     RUN_DATE_START,
 )
-from azure_workflow_for_kml_satellite_spark.functions import geometry as geo
-from azure_workflow_for_kml_satellite_spark.functions import kml as kml_fn
-from azure_workflow_for_kml_satellite_spark.functions import metrics as M
-from azure_workflow_for_kml_satellite_spark.functions import raster as R
+from azure_workflow_for_kml_satellite_spark.oracle import kernels as K
 from azure_workflow_for_kml_satellite_spark.sources.frames import (
     build_frame_rows,
     filter_frames,
@@ -43,11 +45,11 @@ def compute_features(pages_path: str | Path) -> list[dict]:
     out: list[dict] = []
     for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
         feature_index = 0
-        for doc in kml_fn.extract_kml_documents(html):
+        for doc in K.find_kml_payloads(html):
             try:
-                data = kml_fn.maybe_unzip(doc)
-                kml_fn.validate_kml_bytes(data)
-                feats = kml_fn.parse_kml(data, source_file=url)
+                data = K.unzip_kmz(doc)
+                K.check_kml(data)
+                feats = K.parse_kml_features(data, source_file=url)
                 if len(feats) > MAX_FEATURES_PER_KML:
                     raise ValueError(
                         f"KML contains {len(feats)} features; maximum is {MAX_FEATURES_PER_KML}"
@@ -84,10 +86,10 @@ def compute_aois(features: list[dict]) -> list[dict]:
         if f.get("error") is not None:
             continue
         ext = f["exterior_coords"]
-        bbox = geo.compute_bbox(ext)
-        buffered = geo.buffer_bbox(bbox, DEFAULT_AOI_BUFFER_M)
-        area_ha, perimeter_km = geo.geodesic_area_and_perimeter(ext)
-        cen = geo.centroid(ext)
+        bbox = K.bbox_of(ext)
+        buffered = K.expand_bbox_m(bbox, DEFAULT_AOI_BUFFER_M)
+        area_ha, perimeter_km = K.area_and_perimeter(ext)
+        cen = K.vertex_mean(ext)
         warning = (
             f"Area {area_ha:.1f} ha exceeds max {DEFAULT_AOI_MAX_AREA_HA:.1f} ha"
             if area_ha > DEFAULT_AOI_MAX_AREA_HA
@@ -102,8 +104,8 @@ def compute_aois(features: list[dict]) -> list[dict]:
                 "perimeter_km": perimeter_km,
                 "centroid": cen,
                 "area_warning": warning,
-                "has_naip": geo.aoi_has_naip(ext),
-                "max_span_m": geo.max_span_m(ext),
+                "has_naip": K.inside_conus(ext),
+                "max_span_m": K.span_m(ext),
             }
         )
     return aois
@@ -202,16 +204,16 @@ def compute_best_scenes(
 def compute_ndvi(best: list[dict]) -> list[dict]:
     out = []
     for b in best:
-        bands = R.read_window_bands(
+        bands = K.fetch_window_bands(
             b["scene_id"], b["s_bbox"], b["resolution_m"], b["bbox"], b["ndvi_collection"]
         )
         row = {**b, "ndvi": None}
         if bands is not None:
             if b["ndvi_collection"] == "landsat-c2-l2":
-                ndvi, mask, masked = R.ndvi_landsat(bands["red"], bands["nir"], bands.get("qa"))
+                ndvi, mask, masked = K.landsat_ndvi(bands["red"], bands["nir"], bands.get("qa"))
             else:
-                ndvi, mask, masked = R.ndvi_s2(bands["red"], bands["nir"], bands.get("scl"))
-            stats = R.ndvi_statistics(ndvi, mask)
+                ndvi, mask, masked = K.s2_ndvi(bands["red"], bands["nir"], bands.get("scl"))
+            stats = K.ndvi_stats(ndvi, mask)
             if stats is not None:
                 row["ndvi"] = {**stats, "masked_pixels": masked}
                 row["_masked_raster"] = np.where(mask, ndvi, np.nan).astype(np.float32)
@@ -234,7 +236,7 @@ def compute_changes(ndvi_rows: list[dict]) -> list[dict]:
         for j in range(1, len(rows)):
             a, b = rows[j - 1], rows[j]
             pixel_area_ha = abs(a["resolution_m"] * a["resolution_m"]) / 10_000
-            st = R.change_stats(a["_masked_raster"], b["_masked_raster"], pixel_area_ha)
+            st = K.delta_stats(a["_masked_raster"], b["_masked_raster"], pixel_area_ha)
             if st is None:
                 continue
             changes.append(
@@ -379,7 +381,7 @@ def build_expected(sf_dir: str | Path) -> Path:
         # canonical order: seasons sorted, years ascending (matches the
         # reference's sorted(season_groups) iteration and the Spark operator)
         cs.sort(key=lambda c: (c["season"], c["year_from"], c["year_to"]))
-        s = M.change_summary(
+        s = K.rollup_changes(
             [c["mean_delta"] for c in cs], [c["loss_ha"] for c in cs], [c["gain_ha"] for c in cs]
         )
         summ.append({"url": url, "feature_index": fi, **s})
@@ -407,7 +409,7 @@ def build_expected(sf_dir: str | Path) -> Path:
     trends = []
     for (url, fi), s in series.items():
         s.sort()
-        t = M.ndvi_trend(s)
+        t = K.trend_of(s)
         trends.append({"url": url, "feature_index": fi, **t})
     _write(
         out_dir,
@@ -508,7 +510,7 @@ def build_expected(sf_dir: str | Path) -> Path:
     for a in aois:
         bb = a["buffered_bbox"]
         for fr in frames_by_v[a["has_naip"]]:
-            if geo.max_span_m(a["exterior_coords"]) / _gsd(fr) < 12:
+            if K.span_m(a["exterior_coords"]) / _gsd(fr) < 12:
                 continue
             hits = []
             for prio, rank, dt, sid, i, coll in disp_cands[(a["has_naip"], fr["frame_id"])]:
@@ -580,7 +582,7 @@ def build_expected(sf_dir: str | Path) -> Path:
             idx = np.nonzero(hit)[0]
             order = np.lexsort((sid[idx], dt_s[idx], cloud[idx]))
             j = int(ids[idx[order[0]]])
-            bands = R.read_window_bands(
+            bands = K.fetch_window_bands(
                 scenes_t["scene_id"][j],
                 [
                     scenes_t["min_lon"][j],
@@ -595,8 +597,8 @@ def build_expected(sf_dir: str | Path) -> Path:
             mean = None
             vp = None
             if bands is not None:
-                ndvi, mask, _m = R.ndvi_landsat(bands["red"], bands["nir"], bands.get("qa"))
-                st = R.ndvi_statistics(ndvi, mask)
+                ndvi, mask, _m = K.landsat_ndvi(bands["red"], bands["nir"], bands.get("qa"))
+                st = K.ndvi_stats(ndvi, mask)
                 if st is not None:
                     mean, vp = st["mean"], st["valid_pixels"]
             bl_rows.append(
@@ -622,7 +624,7 @@ def build_expected(sf_dir: str | Path) -> Path:
             if not (p["min_lon"] <= lon <= p["max_lon"] and p["min_lat"] <= lat <= p["max_lat"]):
                 continue
             ring = [[c[0], c[1]] for c in p["exterior"]]
-            if geo.point_in_ring(lon, lat, ring):
+            if K.pip_even_odd(lon, lat, ring):
                 hits.append(
                     {
                         "url": a["url"],
@@ -640,9 +642,9 @@ def build_expected(sf_dir: str | Path) -> Path:
     hist_rows, trend_rows = [], []
     for a in aois:
         bbox = a["bbox"]
-        classes = R.read_class_window("worldcover", bbox, E.WORLDCOVER_RES_M)
+        classes = K.fetch_class_window("worldcover", bbox, E.WORLDCOVER_RES_M)
         if classes is not None:
-            for rank, h in enumerate(R.class_histogram(classes), start=1):
+            for rank, h in enumerate(K.class_counts(classes), start=1):
                 hist_rows.append(
                     {
                         "url": a["url"],
@@ -656,10 +658,10 @@ def build_expected(sf_dir: str | Path) -> Path:
                 )
         pcts = []
         for yr in E.LULC_YEARS:
-            cls = R.read_class_window(f"io-lulc-{yr}", bbox, E.LULC_RES_M)
+            cls = K.fetch_class_window(f"io-lulc-{yr}", bbox, E.LULC_RES_M)
             if cls is None:
                 continue
-            hh = R.class_histogram(cls)
+            hh = K.class_counts(cls)
             total = sum(x["pixel_count"] for x in hh)
             tree = sum(x["pixel_count"] for x in hh if x["class_code"] == E.TREE_CLASS)
             pcts.append(round(100.0 * tree / total, 2) if total else 0.0)
