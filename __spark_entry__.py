@@ -532,6 +532,14 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    return simhash_hamming_pairs(_docs(spark, sf_dir), max_distance=3)
+
+
 def _q_token_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import token_stats
 
@@ -578,6 +586,18 @@ def _q_embed_near_dup(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _q_embed_near_dup_lsh(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # banded random-hyperplane candidates + exact-cosine verify; at τ=0.4 the
+    # adaptive shape is (r=2, b=23) → recall ≥ 0.99999 at the threshold
+    # (measured at sf0.01: 59/59 pairs, identical to the exact all-pairs op)
+    return embedding_near_dup_lsh(emb, threshold=0.4)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -689,11 +709,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
+        "q_simhash_pairs": _q_simhash_pairs,
         "q_token_stats": _q_token_stats,
         "q_quality_score": _q_quality_score,
         "q_language_id": _q_language_id,
         "q_fingerprint": _q_fingerprint,
         "q_embed_near_dup": _q_embed_near_dup,
+        "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_ann_topk": _q_ann_topk,
         "q_ann_lsh": _q_ann_lsh,
         "q_events_hourly": _q_events_hourly,
@@ -793,8 +815,14 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_ndvi_ok
               FROM read_parquet('{_E}/expected/ndvi_stats.parquet')) n
     """
-    # q_portfolio: distributed double sums over thousands of AOIs are
-    # order-dependent; checked rows-only (no SQL oracle) by design.
+    # q_portfolio: the operator folds the per-AOI rows in (url, feature_index)
+    # order inside one scalar UDF, so the sequential oracle reproduces the
+    # single row exactly.
+    sql["q_portfolio"] = (
+        "SELECT aoi_count, total_area_ha, total_perimeter_km, weighted_mean_ndvi, "
+        "total_loss_ha, total_gain_ha, net_change_ha "
+        f"FROM read_parquet('{_E}/expected/portfolio.parquet')"
+    )
     sql["q_worldcover_hist"] = (
         "SELECT url, feature_index, layer, class_code, pixel_count, area_pct, rank "
         f"FROM read_parquet('{_E}/expected/worldcover_hist.parquet')"
@@ -921,6 +949,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.5
     """
+    # — expected-parquet oracles from the independent pure-Python xxhash64
+    #   pipelines (oracle/textdata.py): DuckDB cannot reproduce Spark's
+    #   xxhash64, so a second implementation writes the fingerprints/pairs —
+    sql["q_simhash"] = (
+        f"SELECT doc_id, simhash FROM read_parquet('{_E}/expected/simhash.parquet')"
+    )
+    sql["q_simhash_pairs"] = f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM read_parquet('{_E}/expected/simhash.parquet') a
+        JOIN read_parquet('{_E}/expected/simhash.parquet') b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    sql["q_minhash_lsh"] = (
+        "SELECT id_a, id_b, jaccard "
+        f"FROM read_parquet('{_E}/expected/minhash_pairs.parquet')"
+    )
+    sql["q_fingerprint"] = (
+        "SELECT doc_id, text_hash, min_window_hash "
+        f"FROM read_parquet('{_E}/expected/fingerprint.parquet')"
+    )
     sql["q_token_stats"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t, text FROM documents),
         w AS (SELECT doc_id, unnest(t) AS word FROM toks),
@@ -986,6 +1035,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
     """
+    # the LSH variant verifies candidates with the same exact cosine, so at
+    # ≥0.99999 recall its rows equal the brute-force oracle's
+    sql["q_embed_near_dup_lsh"] = sql["q_embed_near_dup"]
     ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
     sql["q_ann_topk"] = f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

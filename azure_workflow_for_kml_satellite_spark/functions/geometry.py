@@ -99,13 +99,25 @@ def spherical_area_ha(coords: Ring) -> float:
 
 
 def geodesic_area_and_perimeter(coords: Ring) -> tuple[float, float]:
-    """(area_ha, perimeter_km). Reference geo.py:69-82 prefers pyproj's Geod and
-    falls back to spherical excess + haversine on ImportError; this environment
-    has no pyproj so the fallback IS the engine's semantics.
-    """
+    """(area_ha, perimeter_km). Mirrors reference geo.py:69-83 exactly:
+    pyproj's Geod(WGS84).polygon_area_perimeter is the primary path, and the
+    spherical-excess + haversine pair is the documented ImportError fallback.
+    In this container pyproj is absent so the fallback runs; when pyproj is
+    importable the primary path activates automatically (regenerate the
+    expected-parquet oracles after an environment change — the sequential
+    oracle upgrades the same way)."""
     if len(coords) < 3:
         return 0.0, 0.0
-    return spherical_area_ha(coords), haversine_perimeter_km(coords)
+    try:
+        from pyproj import Geod
+
+        geod = Geod(ellps="WGS84")
+        area_m2, perimeter_m = geod.polygon_area_perimeter(
+            [c[0] for c in coords], [c[1] for c in coords]
+        )
+        return abs(area_m2) / 10_000.0, abs(perimeter_m) / 1_000.0
+    except ImportError:
+        return spherical_area_ha(coords), haversine_perimeter_km(coords)
 
 
 def centroid(coords: Ring) -> list[float]:
@@ -193,16 +205,23 @@ def point_in_polygon(lon: float, lat: float, exterior: Ring, holes: list[Ring] |
 
 
 def transform_bbox(bbox: list[float], src_crs: str, dst_crs: str) -> tuple[float, float, float, float]:
-    """G4: bbox CRS reprojection (reference: geo.py:85-104). pyproj is not
-    installed in this environment; the engine's synthetic scenes are all
-    EPSG:4326, for which the reference path degenerates to the identity —
-    any other CRS pair raises, mirroring the reference's ImportError path."""
+    """G4: bbox CRS reprojection (reference: geo.py:85-104). Same-CRS is the
+    identity short-circuit (all synthetic scenes are EPSG:4326); a real
+    transform uses pyproj when importable, mirroring the reference, and
+    raises otherwise."""
     if src_crs == dst_crs:
         return (bbox[0], bbox[1], bbox[2], bbox[3])
-    raise NotImplementedError(
-        f"CRS transform {src_crs}->{dst_crs} requires pyproj (unavailable); "
-        "synthetic scenes are EPSG:4326 so only the identity path is exercised"
-    )
+    try:
+        from pyproj import Transformer
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"CRS transform {src_crs}->{dst_crs} requires pyproj (unavailable); "
+            "synthetic scenes are EPSG:4326 so only the identity path is exercised"
+        ) from exc
+    tr = Transformer.from_crs(src_crs, dst_crs, always_xy=True)
+    x_min, y_min = tr.transform(bbox[0], bbox[1])
+    x_max, y_max = tr.transform(bbox[2], bbox[3])
+    return (min(x_min, x_max), min(y_min, y_max), max(x_min, x_max), max(y_min, y_max))
 
 
 def safe_name(name: str) -> str:

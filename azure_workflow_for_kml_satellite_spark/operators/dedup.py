@@ -58,35 +58,89 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8
+def _verified_jaccard(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:
-    """All doc pairs with n-gram Jaccard ≥ threshold (exact, complete).
-
-    Inverted-index self-join on shingle hash → per-pair intersection count →
-    |A∪B| = |A|+|B|−|A∩B| → filter. One wide shuffle on shingle, one on pair.
-    """
-    sh = shingles(documents, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    """Exact Jaccard for candidate (id_a, id_b) pairs: intersection count via
+    a shingle equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|."""
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join on shingle hash → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B| → filter. One wide shuffle on shingle, one on pair.
+
+    ``max_shingle_df`` is the 100 TB guard: a shingle appearing in k docs
+    contributes O(k²) candidate rows, so one ultra-hot shingle ("the the
+    the…") explodes the self-join. With a cap, shingles whose document
+    frequency exceeds it are dropped from CANDIDATE GENERATION only; every
+    surviving candidate is then verified with exact Jaccard over the FULL
+    shingle sets, so precision stays exact and recall only misses pairs whose
+    every shared shingle is globally hot (such pairs are overwhelmingly
+    boilerplate, not near-duplicates). ``None`` keeps the exact/complete
+    behaviour used by the oracle query.
+    """
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is None:
+        a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(
+                sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a"
+            )
+            .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    # scale path: document-frequency-capped candidate generation + exact verify
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("sh")
+    )
+    capped = sh.join(rare, "sh")
+    a = capped.select(F.col("doc_id").alias("id_a"), "sh")
+    b = capped.select(F.col("doc_id").alias("id_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, sizes, threshold)
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
@@ -149,21 +203,7 @@ def minhash_lsh_pairs(
     # verify candidates with exact jaccard
     sh = shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verified_jaccard(cand, sh, sizes, threshold)
 
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
@@ -187,3 +227,60 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
         unit = -(1 << 63) if b == 63 else (1 << b)
         fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(unit).cast("long")).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    documents: DataFrame, max_distance: int = 3, bits: int = 64
+) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ ``max_distance``.
+
+    Pigeonhole scheme (Manku et al., WWW'07 near-duplicate detection): split
+    the ``bits``-bit fingerprint into ``max_distance + 1`` equal blocks; two
+    fingerprints within Hamming distance d must agree EXACTLY on at least one
+    block, so candidates are an equi-join on (block index, block value) —
+    never a cross join — and each candidate pair is verified with
+    ``bit_count(a XOR b) ≤ d``.  At 100 TB both sides shuffle only
+    (doc_id, 2×long); a hot block value (e.g. an all-zero block from short
+    docs) is the one skew risk — AQE skew-join handles it, and block width
+    grows with fewer allowed errors.
+    """
+    nblocks = max_distance + 1
+    if bits % nblocks:
+        raise ValueError(f"bits={bits} not divisible by {nblocks} blocks")
+    width = bits // nblocks
+    mask = (1 << width) - 1
+    fp = simhash(documents, bits)
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftrightunsigned("simhash", bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for bi in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.blk_val")
+    x = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "blk_val"
+    )
+    y = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "blk_val"
+    )
+    return (
+        x.join(y, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )

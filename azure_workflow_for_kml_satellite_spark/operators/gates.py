@@ -43,16 +43,20 @@ def is_multi_region(aois: DataFrame, threshold_km: float = MULTI_REGION_THRESHOL
     ).collect()[0]
     if box["n"] < 2:
         return False
-    diag = (
-        c.sparkSession.range(1)
-        .select(
-            _hav(
-                F.lit(box["lo_x"]), F.lit(box["lo_y"]), F.lit(box["hi_x"]), F.lit(box["hi_y"])
-            ).alias("d")
-        )
-        .collect()[0]["d"]
-    )
-    if diag <= threshold_km:
+    # Rigorous upper bound on the max pairwise distance inside the box:
+    # meridian leg + parallel leg at the latitude of the box edge closest to
+    # the equator (where a degree of longitude is longest). The raw corner
+    # diagonal is NOT an upper bound for wide, low-lat-span boxes away from
+    # the equator — the equator-side edge pair can exceed it.
+    import math
+
+    lat_span_km = math.radians(box["hi_y"] - box["lo_y"]) * _R_KM
+    if box["lo_y"] <= 0.0 <= box["hi_y"]:
+        cos_min = 1.0
+    else:
+        cos_min = math.cos(math.radians(min(abs(box["lo_y"]), abs(box["hi_y"]))))
+    lon_span_km = math.radians(box["hi_x"] - box["lo_x"]) * _R_KM * cos_min
+    if lat_span_km + lon_span_km <= threshold_km:
         return False
     if box["n"] > exact_limit:
         return True  # bbox spans > threshold and n is huge → treat as multi-region

@@ -228,32 +228,70 @@ def pipeline_summary(features: DataFrame, ndvi_df: DataFrame) -> DataFrame:
     )
 
 
+def portfolio_py(rows: list) -> tuple:
+    """Sequential portfolio accumulation over (url, feature_index)-sorted AOI
+    rows (reference arithmetic: aoi_metrics.py:228-283). Pinning the fold
+    order makes the single-row result reproducible across any partitioning,
+    so the sequential oracle can re-derive it exactly."""
+    rows = sorted(rows, key=lambda r: (r["url"], r["feature_index"]))
+    n = 0
+    area = per = wnum = wden = loss = gain = net = 0.0
+    for r in rows:
+        n += 1
+        area += r["area_ha"]
+        per += r["perimeter_km"]
+        lm = r["latest_mean"]
+        if lm is not None:
+            wnum += lm * r["area_ha"]
+            wden += r["area_ha"]
+        tl = r["total_loss_ha"] if r["total_loss_ha"] is not None else 0.0
+        tg = r["total_gain_ha"] if r["total_gain_ha"] is not None else 0.0
+        loss += tl
+        gain += tg
+        net += tg - tl
+    return (
+        n,
+        round(area, 4),
+        round(per, 4),
+        round(wnum / wden, 4) if wden > 0 else None,
+        round(loss, 2),
+        round(gain, 2),
+        round(net, 2),
+    )
+
+
+_PORTFOLIO_SCHEMA = (
+    "aoi_count long, total_area_ha double, total_perimeter_km double, "
+    "weighted_mean_ndvi double, total_loss_ha double, total_gain_ha double, "
+    "net_change_ha double"
+)
+
+
 def portfolio_summary(
     geom: DataFrame, trend: DataFrame, change_sum: DataFrame
 ) -> DataFrame:
     """A8: portfolio-level rollup incl. area-weighted mean NDVI
-    (reference: aoi_metrics.py:228-283). Returns a single row."""
+    (reference: aoi_metrics.py:228-283). Returns a single row.
+
+    The per-AOI inputs are collected into one sorted array and folded
+    sequentially (portfolio_py) — a single-row rollup over ~10⁴ AOI structs,
+    so the collect is a few hundred KB regardless of raw data scale; the
+    heavy reduction work already happened in the distributed inputs."""
     j = geom.join(trend, ["url", "feature_index"], "left").join(
         change_sum, ["url", "feature_index"], "left"
     )
-    return j.agg(
-        F.count("*").alias("aoi_count"),
-        F.round(F.sum("area_ha"), 4).alias("total_area_ha"),
-        F.round(F.sum("perimeter_km"), 4).alias("total_perimeter_km"),
-        F.round(
-            F.sum(
-                F.when(F.col("latest_mean").isNotNull(), F.col("latest_mean") * F.col("area_ha"))
+    fold = F.udf(portfolio_py, _PORTFOLIO_SCHEMA)
+    agg = j.agg(
+        F.collect_list(
+            F.struct(
+                "url",
+                "feature_index",
+                "area_ha",
+                "perimeter_km",
+                "latest_mean",
+                "total_loss_ha",
+                "total_gain_ha",
             )
-            / F.sum(F.when(F.col("latest_mean").isNotNull(), F.col("area_ha"))),
-            4,
-        ).alias("weighted_mean_ndvi"),
-        F.round(F.sum(F.coalesce(F.col("total_loss_ha"), F.lit(0.0))), 2).alias("total_loss_ha"),
-        F.round(F.sum(F.coalesce(F.col("total_gain_ha"), F.lit(0.0))), 2).alias("total_gain_ha"),
-        F.round(
-            F.sum(
-                F.coalesce(F.col("total_gain_ha"), F.lit(0.0))
-                - F.coalesce(F.col("total_loss_ha"), F.lit(0.0))
-            ),
-            2,
-        ).alias("net_change_ha"),
+        ).alias("rows")
     )
+    return agg.select(fold("rows").alias("p")).select("p.*")

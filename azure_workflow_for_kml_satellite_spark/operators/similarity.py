@@ -55,10 +55,11 @@ def brute_force_topk(
     )
 
 
-def _rh_signature(emb_col: str, dim: int, planes: int = 16):
+def _rh_signature(emb_col: str, planes: int = 16):
     """Random-hyperplane signature: plane p's normal component for dim d is a
     deterministic pseudo-gaussian from xxhash64(d, p) (sum of two uniform
-    mixes, centered); sign of the dot product is bit p."""
+    mixes, centered); sign of the dot product is bit p. Dimensionality comes
+    from F.size(emb_col) per row — no driver-side action needed."""
     bits = []
     for p in range(planes):
         comp = F.aggregate(
@@ -102,6 +103,92 @@ def embedding_near_dup_pairs(
     )
 
 
+def _rh_band_buckets(emb_col: str, planes: int, bands: int):
+    """Array of ``bands`` bucket strings "band:value" — each band packs
+    ``planes // bands`` hyperplane sign bits. Pure column expressions
+    (signature bits never materialize as a >63-bit integer)."""
+    rows = planes // bands
+
+    def _component(p: int):
+        return lambda v, d: v * (
+            (F.pmod(F.xxhash64(d, F.lit(p)), F.lit(2001)) - F.lit(1000.0)) / 1000.0
+        )
+
+    out = []
+    for bi in range(bands):
+        val = F.lit(0)
+        for ri in range(rows):
+            comp = F.aggregate(
+                F.zip_with(
+                    F.col(emb_col),
+                    F.sequence(F.lit(0), F.size(emb_col) - 1),
+                    _component(bi * rows + ri),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            val = val + F.when(comp > 0, F.lit(1 << ri)).otherwise(F.lit(0))
+        out.append(F.concat_ws(":", F.lit(bi), val.cast("string")))
+    return F.array(*out)
+
+
+def lsh_band_shape(
+    threshold: float, target_recall: float = 0.99999, max_bands: int = 64
+) -> tuple[int, int]:
+    """(rows_per_band, bands) for random-hyperplane LSH at a cosine threshold.
+
+    Per-bit agreement for a pair at cosine τ is p = 1 − acos(τ)/π; a band of
+    r bits matches w.p. p^r and recall over b bands is 1 − (1 − p^r)^b.
+    r is chosen near the balance point p^r ≈ 1/2 (floored, min 2 so buckets
+    aren't 2-valued), then b sized for the target recall. High thresholds
+    (τ ≥ 0.9 ⇒ r ≥ 4) prune hard; low thresholds (τ ≈ 0.4 ⇒ r = 2) cannot —
+    the sign-bit gap between a 0.4-cosine pair and background is small, so
+    most pairs become candidates and the verify step approaches the exact
+    join's cost. That is a property of the operating point, not the
+    implementation; at 100 TB you either raise τ or switch to IVF routing.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    r = max(2, int(math.log(0.5) / math.log(p)))
+    pr = p**r
+    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
+    return r, min(max_bands, b)
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    target_recall: float = 0.99999,
+    shape: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: banded random-hyperplane
+    buckets → candidate pairs → EXACT cosine verify.
+
+    Candidates are pairs sharing ≥1 of b sign-bit bands (an equi-join on the
+    band bucket — never a cartesian); (r, b) come from lsh_band_shape unless
+    ``shape`` overrides. Precision is exact (every candidate is re-scored
+    with the true cosine); recall ≥ target_recall for pairs AT the threshold
+    and higher for pairs above it. Output schema matches
+    embedding_near_dup_pairs.
+    """
+    rows, bands = shape if shape is not None else lsh_band_shape(threshold, target_recall)
+    planes = rows * bands
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("bucket", F.explode(_rh_band_buckets("emb", planes, bands)))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("e_a"), "bucket")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("e_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", _cosine_expr("e_a", "e_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -110,10 +197,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the full random-hyperplane
     signature bucket (or differ in ≤1 of 3 sub-bands via banded buckets)."""
-    dim = len(embeddings.select("embedding").first()[0])
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("sig", _rh_signature("emb", dim, planes))
+    ).withColumn("sig", _rh_signature("emb", planes))
     band_size = planes // 3
     banded = emb.select(
         "vec_id",

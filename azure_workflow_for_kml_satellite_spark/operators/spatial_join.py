@@ -170,15 +170,57 @@ _AOI_CARRY = [
 ]
 
 
+def estimate_scene_cell_rows(scene_frames: DataFrame, res: int = DEFAULT_CELL_RES) -> int:
+    """Exact row count of the cell-exploded scene×frame dim, computed as one
+    cheap aggregate over the (small relative to AOIs) scene×frame table —
+    sum over rows of (#x cells × #y cells) their bbox covers."""
+    size = _cell_size(res)
+    nmax = (1 << res) - 1
+
+    def _clamp(c):
+        return F.greatest(F.lit(0), F.least(F.lit(nmax), c))
+
+    nx = (
+        _clamp(F.floor((F.col("s_max_lon") + 180.0) / size))
+        - _clamp(F.floor((F.col("s_min_lon") + 180.0) / size))
+        + 1
+    )
+    ny = (
+        _clamp(F.floor((F.col("s_max_lat") + 90.0) / size))
+        - _clamp(F.floor((F.col("s_min_lat") + 90.0) / size))
+        + 1
+    )
+    row = scene_frames.agg(F.sum(nx * ny).alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
+# Above this many exploded dim rows the broadcast build (~150 B/row on the
+# driver + every executor) stops being worth it vs a salted shuffle join.
+MAX_BROADCAST_CELL_ROWS = 2_000_000
+
+
 def spatial_join_candidates(
     aois: DataFrame,
     scene_frames: DataFrame,
     res: int = DEFAULT_CELL_RES,
-    broadcast_scenes: bool = True,
+    broadcast_scenes: bool | None = None,
     salt: int = 1,
+    auto_salt: int = 8,
 ) -> DataFrame:
     """All (aoi, frame, candidate scene) rows: cell equi-join + exact bbox
-    refinement + reporter-cell dedup."""
+    refinement + reporter-cell dedup.
+
+    ``broadcast_scenes=None`` (default) picks the strategy from the data:
+    the exploded scene×frame×cell dim row count is estimated with one cheap
+    aggregate; small dims broadcast (AOI side never shuffles), large dims —
+    e.g. a multi-year 10⁷-scene STAC catalog — go through the salted shuffle
+    join with ``auto_salt`` salts instead of exceeding broadcast limits.
+    Both paths produce identical rows (tested)."""
+    if broadcast_scenes is None:
+        est = estimate_scene_cell_rows(scene_frames, res)
+        broadcast_scenes = est <= MAX_BROADCAST_CELL_ROWS
+        if not broadcast_scenes and salt == 1:
+            salt = auto_salt
     a = explode_bbox_cells(
         aois.select(*_AOI_CARRY),
         "buf_min_lon",
@@ -197,8 +239,8 @@ def spatial_join_candidates(
             "salt", F.pmod(F.xxhash64("url", "feature_index"), F.lit(salt))
         )
         s = s.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("long")
-        )
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("salt", F.col("salt").cast("long"))
         join_keys.append("salt")
     if broadcast_scenes:
         s = F.broadcast(s)
@@ -278,10 +320,11 @@ def spatial_join_best_scene(
     date_start: str | None = None,
     date_end: str | None = None,
     res: int = DEFAULT_CELL_RES,
-    broadcast_scenes: bool = True,
+    broadcast_scenes: bool | None = None,
     salt: int = 1,
 ) -> DataFrame:
-    """Full J1+J2: one row per (aoi, frame) with its least-cloudy scene."""
+    """Full J1+J2: one row per (aoi, frame) with its least-cloudy scene.
+    broadcast_scenes=None → data-driven broadcast/salted-shuffle choice."""
     sf = scene_frame_candidates(scenes, frames, date_start, date_end)
     cand = spatial_join_candidates(aois, sf, res, broadcast_scenes, salt)
     return best_scene_per_frame(cand)

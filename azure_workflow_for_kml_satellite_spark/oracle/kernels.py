@@ -124,10 +124,20 @@ def ring_area_ha(ring):
 
 
 def area_and_perimeter(ring):
-    """(area_ha, perimeter_km) — reference fallback path geo.py:69-140."""
+    """(area_ha, perimeter_km) — reference geo.py:69-83 contract: pyproj Geod
+    primary, spherical + haversine on ImportError (same upgrade rule as the
+    engine kernel, so both sides always run the same path)."""
     if len(ring) < 3:
         return 0.0, 0.0
-    return ring_area_ha(ring), ring_perimeter_km(ring)
+    try:
+        from pyproj import Geod
+
+        a_m2, p_m = Geod(ellps="WGS84").polygon_area_perimeter(
+            [pt[0] for pt in ring], [pt[1] for pt in ring]
+        )
+        return abs(a_m2) / 10_000.0, abs(p_m) / 1_000.0
+    except ImportError:
+        return ring_area_ha(ring), ring_perimeter_km(ring)
 
 
 def pip_even_odd(lon, lat, ring):

@@ -433,6 +433,42 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
+    # portfolio rollup (A8) — sequential fold in (url, feature_index) order,
+    # mirroring the operator's portfolio_py contract (re-derived, not imported)
+    t_by = {(t["url"], t["feature_index"]): t for t in trends}
+    s_by = {(s["url"], s["feature_index"]): s for s in summ}
+    p_n = 0
+    p_area = p_per = p_wnum = p_wden = p_loss = p_gain = p_net = 0.0
+    for a in sorted(aois, key=lambda a: (a["url"], a["feature_index"])):
+        key = (a["url"], a["feature_index"])
+        p_n += 1
+        p_area += a["area_ha"]
+        p_per += a["perimeter_km"]
+        t = t_by.get(key)
+        lm = t["latest_mean"] if t else None
+        if lm is not None:
+            p_wnum += lm * a["area_ha"]
+            p_wden += a["area_ha"]
+        s = s_by.get(key)
+        tl = s["total_loss_ha"] if s and s["total_loss_ha"] is not None else 0.0
+        tg = s["total_gain_ha"] if s and s["total_gain_ha"] is not None else 0.0
+        p_loss += tl
+        p_gain += tg
+        p_net += tg - tl
+    _write(
+        out_dir,
+        "portfolio",
+        {
+            "aoi_count": [p_n],
+            "total_area_ha": [round(p_area, 4)],
+            "total_perimeter_km": [round(p_per, 4)],
+            "weighted_mean_ndvi": [round(p_wnum / p_wden, 4) if p_wden > 0 else None],
+            "total_loss_ha": [round(p_loss, 2)],
+            "total_gain_ha": [round(p_gain, 2)],
+            "net_change_ha": [round(p_net, 2)],
+        },
+    )
+
     # clustering (J9) — union-find over vectorized haversine pairs
     keys = [a["dedup_key"] for a in aois]
     lons = np.array([a["centroid"][0] for a in aois])

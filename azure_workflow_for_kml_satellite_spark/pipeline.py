@@ -57,12 +57,28 @@ def default_parallelism(spark: SparkSession) -> int:
 # Per-process memo of expensive intermediate DataFrames: several queries()
 # entries share the extraction/NDVI prefix; caching the DataFrame (Spark
 # .cache()) within one session avoids rebuilding the whole pipeline per
-# query when the driver runs the full suite.
+# query when the driver runs the full suite. Keyed by applicationId (id()
+# of a stopped session can be reused by a new one) and evictable.
 _MEMO: dict[tuple, DataFrame] = {}
 
 
+def _memo_key(spark: SparkSession, *parts) -> tuple:
+    return (spark.sparkContext.applicationId, *parts)
+
+
+def evict_memo(unpersist: bool = True) -> None:
+    """Drop all memoized DataFrames, unpersisting their cached blocks."""
+    for df in _MEMO.values():
+        if unpersist:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped
+                pass
+    _MEMO.clear()
+
+
 def build_aois(spark: SparkSession, ed: str) -> DataFrame:
-    key = ("aois", id(spark), ed)
+    key = _memo_key(spark, "aois", ed)
     if key in _MEMO:
         return _MEMO[key]
     t = load_tables(spark, ed)
@@ -157,7 +173,7 @@ def build_ndvi(
     date_end: str = RUN_DATE_END,
     include_raster: bool = False,
 ) -> DataFrame:
-    key = ("ndvi", id(spark), ed, date_start, date_end, include_raster)
+    key = _memo_key(spark, "ndvi", ed, date_start, date_end, include_raster)
     if key in _MEMO:
         return _MEMO[key]
     t = load_tables(spark, ed)

@@ -8,10 +8,12 @@ the Spark-native equivalent is a write-audit pattern:
 
 - every stage writes its output as a (optionally partitioned) parquet table
   under ``<root>/<run_id>/<stage>/``;
-- a ledger table ``<root>/<run_id>/_ledger/`` records one row per
-  (stage, partition_value) with row counts, wall-clock and status —
-  the role of the reference's ResourceAccumulator + pipeline_stats
-  (resource_accumulator.py:17-105);
+- a ledger TABLE ``<root>/<run_id>/_ledger/`` (parquet, append-only,
+  Iceberg-shaped schema) records one row per (stage, partition_value) with
+  row counts, wall-clock and status — the role of the reference's
+  ResourceAccumulator + pipeline_stats (resource_accumulator.py:17-105).
+  Being a table write rather than driver-side JSON files, the resume
+  metadata itself scales with the job and is queryable like any dataset;
 - on re-run, completed stages short-circuit to a read of the checkpoint;
   partitioned stages resume mid-stage with a **left-anti join** of the input
   against the ledger's completed partition values (SURVEY.md §2.3: "left-anti
@@ -24,12 +26,16 @@ the same interface fronts Iceberg tables (atomic commit + snapshot lineage)
 
 from __future__ import annotations
 
-import json
 import time
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LEDGER_SCHEMA = (
+    "run_id string, stage string, partition string, rows long, "
+    "duration_s double, status string, ts string"
+)
 
 
 class CheckpointManager:
@@ -42,23 +48,41 @@ class CheckpointManager:
 
     # ── ledger ──────────────────────────────────────────────────────────────
 
-    def _ledger(self) -> DataFrame | None:
-        if not self.ledger_dir.exists() or not any(self.ledger_dir.glob("*.json")):
-            return None
-        rows = []
-        for p in sorted(self.ledger_dir.glob("*.json")):
-            rows.extend(json.loads(p.read_text()))
-        return self.spark.createDataFrame(rows) if rows else None
+    def ledger(self) -> DataFrame:
+        """The ledger as a DataFrame (empty with the right schema if no row
+        has been committed yet)."""
+        if self.ledger_dir.exists() and any(self.ledger_dir.glob("*.parquet")):
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(str(self.ledger_dir))
+        return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def _append_ledger(self, rows: list[dict]) -> None:
-        self.ledger_dir.mkdir(parents=True, exist_ok=True)
-        (self.ledger_dir / f"{time.time_ns()}.json").write_text(json.dumps(rows))
+        # append-only parquet table: each commit is one new file (the
+        # Iceberg-append analog); coalesce(1) keeps commits single-file
+        (
+            self.spark.createDataFrame(
+                [
+                    (
+                        r["run_id"],
+                        r["stage"],
+                        r["partition"],
+                        r["rows"],
+                        r["duration_s"],
+                        r["status"],
+                        r["ts"],
+                    )
+                    for r in rows
+                ],
+                LEDGER_SCHEMA,
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(self.ledger_dir))
+        )
 
     def ledger_rows(self) -> list[dict]:
-        rows = []
-        for p in sorted(self.ledger_dir.glob("*.json")) if self.ledger_dir.exists() else []:
-            rows.extend(json.loads(p.read_text()))
-        return rows
+        if not self.ledger_dir.exists() or not any(self.ledger_dir.glob("*.parquet")):
+            return []
+        return [r.asDict() for r in self.ledger().collect()]
 
     def completed_partitions(self, stage: str) -> set[str]:
         return {
@@ -156,9 +180,5 @@ class CheckpointManager:
         return back
 
     def metrics(self) -> DataFrame:
-        """The per-partition metrics table (A11 analog)."""
-        rows = self.ledger_rows()
-        return self.spark.createDataFrame(rows) if rows else self.spark.createDataFrame(
-            [], "run_id string, stage string, partition string, rows long, "
-            "duration_s double, status string, ts string"
-        )
+        """The per-partition metrics table (A11 analog) — the ledger itself."""
+        return self.ledger()

@@ -1,0 +1,156 @@
+"""Round-2 scale operators: SimHash Hamming pair join, DF-capped Jaccard
+candidates, banded-LSH embedding near-dup pairs, order-pinned portfolio."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _brute_hamming(spark, docs, d):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import simhash
+
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    out = []
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if h <= d:
+                out.append((a, b, h))
+    return sorted(out)
+
+
+def test_simhash_hamming_pairs_matches_bruteforce(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    rng = random.Random(3)
+    base = ["tok%d" % rng.randrange(500) for _ in range(60)]
+    texts = []
+    for i in range(30):
+        words = list(base)
+        for _ in range(rng.randrange(0, 6)):  # small edits → near-dups
+            words[rng.randrange(len(words))] = "tok%d" % rng.randrange(500)
+        texts.append(" ".join(words))
+    texts += ["completely different text %d galaxy" % i for i in range(10)]
+    docs = _docs_df(spark, texts)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(docs, max_distance=3).collect()
+    )
+    assert got == _brute_hamming(spark, docs, 3)
+    assert len(got) > 0  # the planted near-dups must actually be found
+
+
+def test_simhash_pairs_plan_has_no_cartesian(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = _docs_df(spark, ["a b c", "a b d", "x y z"])
+    plan = simhash_hamming_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_df_cap_bounds_candidates_and_keeps_pairs(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    # 40 docs all sharing one hot shingle ("the the the") + 2 true near-dups
+    hot = "the the the"
+    texts = [f"{hot} unique{i} filler{i} body{i}" for i in range(40)]
+    texts.append("alpha beta gamma delta epsilon zeta")
+    texts.append("alpha beta gamma delta epsilon eta")
+    docs = _docs_df(spark, texts)
+
+    exact = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    capped = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10).collect()
+    )
+    # the two planted near-dups share rare shingles → identical output here
+    assert capped == exact and len(exact) >= 1
+
+    # and the capped candidate side actually drops the hot shingle: the
+    # inverted index no longer produces O(df²) rows for it
+    sh = shingles(docs, 3)
+    df_counts = {r.sh: r.c for r in sh.groupBy("sh").agg(F.count("*").alias("c")).collect()}
+    assert max(df_counts.values()) >= 40  # hot shingle exists
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= 10),
+        "sh",
+    )
+    a = rare.select(F.col("doc_id").alias("id_a"), "sh")
+    b = rare.select(F.col("doc_id").alias("id_b"), "sh")
+    n_cand = a.join(b, "sh").filter(F.col("id_a") < F.col("id_b")).count()
+    assert n_cand < 40 * 39 / 2  # far below the hot shingle's O(df²) blow-up
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+        lsh_band_shape,
+    )
+
+    rng = random.Random(11)
+    vecs = []
+    for i in range(60):
+        vecs.append([rng.gauss(0, 1) for _ in range(16)])
+    # planted high-cosine near-dups
+    for i in range(0, 10, 2):
+        vecs[i + 1] = [v + rng.gauss(0, 0.05) for v in vecs[i]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    exact = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    )
+    assert len(exact) >= 5
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_lsh(emb, threshold=0.9).collect()
+    )
+    assert got == exact
+    # high threshold → genuinely pruning shape (r ≥ 4 bits per band)
+    r, b = lsh_band_shape(0.9)
+    assert r >= 4 and b <= 32
+
+
+def test_portfolio_fold_is_partition_order_insensitive(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import portfolio_py
+
+    rng = random.Random(5)
+    rows = [
+        {
+            "url": f"u{rng.randrange(100)}",
+            "feature_index": i,
+            "area_ha": rng.uniform(1, 500),
+            "perimeter_km": rng.uniform(0.1, 30),
+            "latest_mean": None if rng.random() < 0.3 else rng.uniform(0, 1),
+            "total_loss_ha": None if rng.random() < 0.5 else rng.uniform(0, 20),
+            "total_gain_ha": None if rng.random() < 0.5 else rng.uniform(0, 20),
+        }
+        for i in range(500)
+    ]
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    assert portfolio_py(rows) == portfolio_py(shuffled)
+    out = portfolio_py(rows)
+    assert out[0] == 500 and math.isfinite(out[1])

@@ -14,9 +14,13 @@ def test_queries_oracles_consistent():
     assert len(qs) >= 30
     # every oracle refers to an existing query
     assert set(oracles) <= set(qs)
-    # the deliberately rows-only ops are absent from oracles
-    for name in ("q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_portfolio"):
+    # round 2 oracled everything except approximate ANN top-k (whose rank
+    # order is recall-dependent); it stays rows-only by design
+    for name in ("q_ann_lsh",):
         assert name in qs and name not in oracles
+    for name in ("q_minhash_lsh", "q_simhash", "q_simhash_pairs", "q_fingerprint",
+                 "q_portfolio", "q_embed_near_dup_lsh"):
+        assert name in qs and name in oracles
 
 
 def test_entry_smoke(spark):

@@ -111,3 +111,26 @@ def test_compactness_circle_near_one():
     per_km = 2 * math.pi * r_km
     assert geo.compactness_index(area_ha, per_km) == 1.0
     assert geo.compactness_index(0, 1) == 0.0
+
+
+def test_area_golden_band_both_paths():
+    """Reference band (test_geo.py:58-71) must hold on BOTH geodesic paths:
+    the always-available spherical+haversine fallback, and the pyproj-primary
+    path when pyproj is importable (reference geo.py:69-83)."""
+    import pytest
+
+    sq = _square()
+    area_fb = geo.spherical_area_ha(sq)
+    per_fb = geo.haversine_perimeter_km(sq)
+    assert 50 < area_fb < 200 and 3 < per_fb < 6
+    try:
+        from pyproj import Geod
+    except ImportError:
+        pytest.skip("pyproj not installed — primary path inactive in this env")
+    a_m2, p_m = Geod(ellps="WGS84").polygon_area_perimeter(
+        [c[0] for c in sq], [c[1] for c in sq]
+    )
+    assert 50 < abs(a_m2) / 10_000 < 200 and 3 < abs(p_m) / 1_000 < 6
+    # and the dispatching kernel must agree with the active primary path
+    area, per = geo.geodesic_area_and_perimeter(sq)
+    assert area == abs(a_m2) / 10_000 and per == abs(p_m) / 1_000

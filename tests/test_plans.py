@@ -71,3 +71,33 @@ def test_repartition_by_cell(spark):
     df = spark.range(100).withColumn("cell", F.pmod("id", F.lit(4)))
     out = repartition_by_cell(df, "cell", partitions=4)
     assert out.count() == 100
+
+
+def test_mid_stage_kill_then_resume_completes(spark, tmp_path):
+    """Simulate a job dying mid-partitioned-stage: only some partitions are
+    committed to the table ledger; a NEW manager on the same run_id resumes,
+    recomputes only the missing partitions, and the final table is complete."""
+    from pyspark.sql import functions as F
+
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import (
+        CheckpointManager,
+    )
+
+    df = spark.range(100).withColumn("grp", (F.col("id") % 5).cast("string"))
+
+    cm1 = CheckpointManager(spark, str(tmp_path), run_id="run1")
+    # first attempt "dies" after finishing groups 0 and 1 only
+    cm1.partitioned_stage("st", df.filter(F.col("grp").isin("0", "1")), "grp")
+    assert cm1.completed_partitions("st") == {"0", "1"}
+
+    cm2 = CheckpointManager(spark, str(tmp_path), run_id="run1")  # fresh process
+    out = cm2.partitioned_stage("st", df, "grp")
+    assert out.count() == 100
+    assert cm2.completed_partitions("st") == {"0", "1", "2", "3", "4"}
+    # the resume attempt must have computed ONLY the 3 missing partitions
+    resumed_rows = [
+        r for r in cm2.ledger_rows() if r["stage"] == "st" and r["partition"] in ("2", "3", "4")
+    ]
+    assert len(resumed_rows) == 3
+    led = cm2.ledger()
+    assert led.filter(F.col("stage") == "st").count() == 5
