@@ -618,6 +618,17 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # approximate (cluster-pruned) → rows-only like q_ann_lsh; recall vs the
+    # exact q_ann_topk is asserted in tests/test_dedup_scale_ops.py
+    return ivf_topk(emb, _ANN_QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_ann_topk": _q_ann_topk,
         "q_ann_lsh": _q_ann_lsh,
+        "q_ann_ivf": _q_ann_ivf,
         "q_events_hourly": _q_events_hourly,
         "q_sessionize": _q_sessionize,
         "q_pricing_summary": _q_pricing_summary,

@@ -423,6 +423,77 @@ def change_stats(
     }
 
 
+def reproject_bilinear(
+    src: np.ndarray,
+    src_bbox: list[float],
+    dst_bbox: list[float],
+    dst_shape: tuple[int, int],
+    src_crs: str = "EPSG:4326",
+    dst_crs: str = "EPSG:4326",
+) -> np.ndarray:
+    """R5: continuous-band bilinear reprojection between north-up grids
+    (the rasterio `reproject(..., Resampling.bilinear)` role, reference:
+    fulfilment.py:321-354). Inverse mapping: each destination pixel centre is
+    located in the source grid and sampled bilinearly; pixels outside the
+    source coverage — and pixels whose 2×2 support touches NaN nodata —
+    come out NaN, matching rasterio's nodata handling for float rasters.
+
+    Same-CRS grids map affinely; differing CRSs require pyproj (importable →
+    the destination centres are transformed into src_crs first, mirroring
+    the reference; absent → NotImplementedError, same upgrade rule as
+    functions.geometry.transform_bbox)."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    dpx = (dst_bbox[2] - dst_bbox[0]) / dw
+    dpy = (dst_bbox[3] - dst_bbox[1]) / dh
+    xs = dst_bbox[0] + (np.arange(dw) + 0.5) * dpx
+    ys = dst_bbox[3] - (np.arange(dh) + 0.5) * dpy
+    if src_crs != dst_crs:
+        try:
+            from pyproj import Transformer
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"reprojection {dst_crs}->{src_crs} requires pyproj (unavailable)"
+            ) from exc
+        tr = Transformer.from_crs(dst_crs, src_crs, always_xy=True)
+        gx, gy = np.meshgrid(xs, ys)
+        gx, gy = tr.transform(gx, gy)
+    else:
+        gx, gy = np.meshgrid(xs, ys)
+    spx = (src_bbox[2] - src_bbox[0]) / sw
+    spy = (src_bbox[3] - src_bbox[1]) / sh
+    # coverage = destination centres inside the source bbox (edge pixels
+    # sample with clamped support, like rasterio)
+    inside = (
+        (gx >= src_bbox[0]) & (gx <= src_bbox[2])
+        & (gy >= src_bbox[1]) & (gy <= src_bbox[3])
+    )
+    # fractional source pixel coordinates of the destination centres
+    fx = np.clip((gx - src_bbox[0]) / spx - 0.5, 0, sw - 1)
+    fy = np.clip((src_bbox[3] - gy) / spy - 0.5, 0, sh - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = (fx - x0).astype(np.float32)
+    wy = (fy - y0).astype(np.float32)
+    x0c = np.clip(x0, 0, sw - 1)
+    y0c = np.clip(y0, 0, sh - 1)
+    x1c = np.clip(x0 + 1, 0, sw - 1)
+    y1c = np.clip(y0 + 1, 0, sh - 1)
+    s = src.astype(np.float32, copy=False)
+    v00 = s[y0c, x0c]
+    v01 = s[y0c, x1c]
+    v10 = s[y1c, x0c]
+    v11 = s[y1c, x1c]
+    out = (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+    out[~inside] = np.nan
+    return out
+
+
 # ── raster codec (GeoTIFF stand-in) ─────────────────────────────────────────
 
 _MAGIC = b"KSR1"

@@ -84,8 +84,22 @@ def compute_ndvi_for_row(rec: dict, include_raster: bool = False) -> dict:
     if include_raster:
         import numpy as np
 
+        from azure_workflow_for_kml_satellite_spark.functions.geotiff import (
+            write_geotiff_f32,
+        )
+
+        # masked float32 GeoTIFF, NaN nodata, deflate — the reference's NDVI
+        # export artifact byte-for-byte in role (enrichment/ndvi.py:239-255)
         ndvi_masked = np.where(mask, ndvi, np.nan)
-        out["ndvi_raster"] = R.pack_raster(ndvi_masked, rec["resolution_m"])
+        win = R.window_from_bounds(scene_bbox, rec["resolution_m"], read_bbox)
+        px = rec["resolution_m"] * R.DEG_PER_METRE
+        out["ndvi_raster"] = write_geotiff_f32(
+            ndvi_masked,
+            west=scene_bbox[0] + win[2] * px,
+            north=scene_bbox[3] - win[0] * px,
+            px_x=px,
+            px_y=px,
+        )
     return out
 
 

@@ -154,3 +154,38 @@ def test_portfolio_fold_is_partition_order_insensitive(spark):
     assert portfolio_py(rows) == portfolio_py(shuffled)
     out = portfolio_py(rows)
     assert out[0] == 500 and math.isfinite(out[1])
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(21)
+    dim = 16
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    vecs = []
+    for i in range(240):
+        c = centers[i % 6]
+        vecs.append([v + rng.gauss(0, 0.15) for v in c])
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    qids = list(range(6))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, recall
+    # deterministic: same training init + assignment → identical result
+    got2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    assert got == got2
