@@ -130,6 +130,51 @@ def streaming_sessionize(
     )
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    docs_schema: str = "doc_id long, ts timestamp, text string",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct text's FIRST
+    arrival, dropping later byte-identical copies.
+
+    `dropDuplicates` on the xxhash64 of the text keeps one state-store row
+    per distinct document; the event-time watermark bounds that state (a
+    duplicate arriving later than the watermark re-emits — the standard
+    Structured Streaming state/completeness trade; at 100 TB the state store
+    is RocksDB-backed and keyed by a single long per distinct text).
+    Batch analog: operators/dedup.exact_duplicates."""
+    docs = spark.readStream.schema(docs_schema).parquet(input_dir)
+    return (
+        docs.withColumn("text_hash", F.xxhash64("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["text_hash"])
+        .select("doc_id", "ts", "text_hash")
+    )
+
+
+def streaming_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    docs_schema: str = "doc_id long, ts timestamp, text string",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+) -> DataFrame:
+    """Streaming training-data quality filter: the stateless subset of the
+    batch quality_score heuristics (token floor + punctuation ceiling) as a
+    pure column-expression filter — runs incrementally with no state."""
+    docs = spark.readStream.schema(docs_schema).parquet(input_dir)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    punct_ratio = punct / F.greatest(F.length("text"), F.lit(1))
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .filter((F.col("n_tokens") >= min_tokens) & (punct_ratio <= max_punct_ratio))
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "update"):
     """Start the query into an in-memory sink and drain it (tests/demos)."""
     q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -137,4 +182,11 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "update"):
     return q
 
 
-__all__ = ["streaming_extract", "streaming_event_counts", "run_stream_to_memory", "FEATURES_SCHEMA"]
+__all__ = [
+    "streaming_extract",
+    "streaming_event_counts",
+    "streaming_exact_dedup",
+    "streaming_quality_gate",
+    "run_stream_to_memory",
+    "FEATURES_SCHEMA",
+]

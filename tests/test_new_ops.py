@@ -300,3 +300,74 @@ def test_streaming_event_window_counts(spark, tmp_path):
         q.stop()
     assert rows[(10, "click")] == 2
     assert rows[(11, "view")] == 1
+
+
+def test_streaming_exact_dedup_drops_copies(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ts = [datetime(2024, 1, 1, 0, m) for m in range(6)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+            }
+        ),
+        src / "part0.parquet",
+    )
+    q = run_stream_to_memory(
+        streaming_exact_dedup(spark, str(src)), "dedup_stream", mode="append"
+    )
+    try:
+        rows = spark.sql("select doc_id from dedup_stream").collect()
+    finally:
+        q.stop()
+    # one row per distinct text; within one micro-batch Spark keeps one
+    # arbitrary-but-single representative per hash
+    assert len(rows) == 3
+
+
+def test_streaming_quality_gate_filters(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_quality_gate,
+    )
+
+    src = tmp_path / "docs_q"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": pa.array([datetime(2024, 1, 1)] * 3, pa.timestamp("us")),
+                "text": [
+                    "a good long document with many plain tokens here",
+                    "short",
+                    "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))",
+                ],
+            }
+        ),
+        src / "part0.parquet",
+    )
+    q = run_stream_to_memory(
+        streaming_quality_gate(spark, str(src)), "quality_stream", mode="append"
+    )
+    try:
+        ids = sorted(r.doc_id for r in spark.sql("select doc_id from quality_stream").collect())
+    finally:
+        q.stop()
+    assert ids == [0]
