@@ -436,6 +436,36 @@ def _q_portfolio(spark, sf_dir):
     )
 
 
+def _q_eudr_report(spark, sf_dir):
+    """S20: per-document due-diligence PDF (binary is deterministic; the
+    query exposes url/parcel-count/byte-size — rows-only, rendering output)."""
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        ndvi_trend_per_aoi,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.reports import (
+        eudr_report_pdfs,
+    )
+
+    ed = engine_dir(sf_dir)
+    aois = build_aois(spark, ed)
+    nd = build_ndvi(spark, ed)
+    det = _q_determination(spark, sf_dir)
+    pdfs = eudr_report_pdfs(
+        aois,
+        ndvi_trend_per_aoi(nd),
+        change_summary_per_aoi(season_changes(nd)),
+        det,
+    )
+    return pdfs.select(
+        "url", F.col("n_parcels").cast("long").alias("n_parcels"),
+        F.length("report_pdf").cast("long").alias("pdf_bytes"),
+    )
+
+
 def _q_worldcover_hist(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.eudr import (
         class_histogram_per_aoi,
@@ -713,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_landsat_baseline": _q_landsat_baseline,
         "q_pipeline_summary": _q_pipeline_summary,
         "q_portfolio": _q_portfolio,
+        "q_eudr_report": _q_eudr_report,
         "q_worldcover_hist": _q_worldcover_hist,
         "q_lulc_trend": _q_lulc_trend,
         "q_determination": _q_determination,

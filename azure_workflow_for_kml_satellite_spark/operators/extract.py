@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from azure_workflow_for_kml_satellite_spark.constants import MAX_FEATURES_PER_KML
@@ -98,8 +99,18 @@ def _extract_page(url: str, html: bytes) -> list[dict]:
     return out
 
 
-def extract_features(pages: DataFrame) -> DataFrame:
-    """pages(url, html, ...) → one row per parsed polygon feature."""
+def extract_features(pages: DataFrame, prefilter: bool = True) -> DataFrame:
+    """pages(url, html, ...) → one row per parsed polygon feature.
+
+    ``prefilter`` keeps a JVM-side `contains` gate in front of the Arrow
+    transfer: a page can only yield features (or quarantine rows) if its
+    html contains an inline ``<kml`` block or a KMZ script payload, so pages
+    with neither marker are dropped inside whole-stage codegen and their
+    html bytes NEVER cross into Python. On the synthetic corpus every page
+    embeds KML (no-op); on a real web corpus well under 1% of pages do,
+    making this the dominant extraction optimization at 100 TB — the scan
+    still reads the html column, but Arrow serialization + Python regex work
+    shrink by the selectivity factor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,4 +121,11 @@ def extract_features(pages: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
             ) if rows else pd.DataFrame(columns=[f.name for f in FEATURES_SCHEMA.fields])
 
-    return pages.select("url", "html").mapInPandas(run, FEATURES_SCHEMA)
+    src = pages.select("url", "html")
+    if prefilter:
+        kml_marker = F.lit(b"<kml")
+        kmz_marker = F.lit(b'<script type="application/vnd.kmz">')
+        src = src.filter(
+            F.contains("html", kml_marker) | F.contains("html", kmz_marker)
+        )
+    return src.mapInPandas(run, FEATURES_SCHEMA)

@@ -16,7 +16,7 @@ def test_queries_oracles_consistent():
     assert set(oracles) <= set(qs)
     # round 2 oracled everything except approximate ANN top-k (whose rank
     # order is recall-dependent); it stays rows-only by design
-    for name in ("q_ann_lsh", "q_ann_ivf"):
+    for name in ("q_ann_lsh", "q_ann_ivf", "q_eudr_report"):
         assert name in qs and name not in oracles
     for name in ("q_minhash_lsh", "q_simhash", "q_simhash_pairs", "q_fingerprint",
                  "q_portfolio", "q_embed_near_dup_lsh"):

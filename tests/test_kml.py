@@ -150,3 +150,24 @@ def test_extract_kml_documents_inline_and_kmz():
     assert len(docs) == 2
     assert docs[0] == KML
     assert K.maybe_unzip(docs[1]) == KML
+
+
+def test_extract_prefilter_is_semantics_preserving(spark):
+    """The JVM-side contains() gate must drop only pages that cannot yield
+    rows: output with and without the prefilter is identical, and a page
+    with no KML marker never reaches Python."""
+    from azure_workflow_for_kml_satellite_spark.operators.extract import (
+        extract_features,
+    )
+    from tests.conftest import SF_SMALL
+
+    pages = spark.read.parquet(f"{SF_SMALL}/pages.parquet").limit(60)
+    plain = spark.createDataFrame(
+        [("https://nokml.example/x", b"<html><body>just text, nothing inside</body></html>")],
+        "url string, html binary",
+    )
+    both = pages.select("url", "html").unionByName(plain)
+    a = sorted(map(tuple, extract_features(both, prefilter=True).collect()))
+    b = sorted(map(tuple, extract_features(both, prefilter=False).collect()))
+    assert a == b
+    assert not any(r[0] == "https://nokml.example/x" for r in a)

@@ -1,0 +1,76 @@
+"""S20 PDF report: structural validity, content, determinism."""
+
+from __future__ import annotations
+
+import re
+
+from azure_workflow_for_kml_satellite_spark.functions.pdf import PdfBuilder
+
+
+def _build_sample() -> bytes:
+    pdf = PdfBuilder()
+    pdf.heading("EUDR Due-Diligence Report", 18)
+    pdf.line("Report ID: test (with) \\ parens", 9)
+    pdf.table(["a", "b"], [["1", "2"], ["3", "4"]], [100.0, 100.0])
+    for i in range(120):  # force a page break
+        pdf.line(f"row {i}")
+    return pdf.build()
+
+
+def test_pdf_structure_and_xref():
+    data = _build_sample()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    # xref offsets must point at the right objects
+    xref_at = int(re.search(rb"startxref\n(\d+)\n%%EOF$", data).group(1))
+    assert data[xref_at : xref_at + 4] == b"xref"
+    offsets = re.findall(rb"(\d{10}) 00000 n", data[xref_at:])
+    for i, off in enumerate(offsets, start=1):
+        assert data[int(off) :].startswith(f"{i} 0 obj".encode())
+    # multi-page: the forced overflow must create >= 2 pages
+    assert int(re.search(rb"/Count (\d+)", data).group(1)) >= 2
+
+
+def test_pdf_text_and_escaping_and_determinism():
+    data = _build_sample()
+    assert b"(EUDR Due-Diligence Report)" in data
+    assert rb"\(with\)" in data and rb"\\" in data
+    assert data == _build_sample()  # byte-deterministic
+
+
+def test_eudr_report_pdfs_operator(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.reports import (
+        eudr_report_pdfs,
+    )
+
+    aois = spark.createDataFrame(
+        [
+            ("u1", 0, "Farm A", 120.5),
+            ("u1", 1, "Farm B", 30.0),
+            ("u2", 0, "Lot C", 999.9),
+        ],
+        "url string, feature_index long, name string, area_ha double",
+    )
+    trend = spark.createDataFrame(
+        [("u1", 0, "declining", "sparse_vegetation"), ("u1", 1, "stable", "healthy_vegetation")],
+        "url string, feature_index long, direction string, health_class string",
+    )
+    chg = spark.createDataFrame(
+        [("u1", 0, "Declining")], "url string, feature_index long, trajectory string"
+    )
+    det = spark.createDataFrame(
+        [
+            ("u1", 0, False, "high", "Vegetation loss 12.0% (5.0 ha) in Summer 2022 -> 2023|Overall NDVI trajectory is declining"),
+            ("u1", 1, True, "medium", ""),
+            ("u2", 0, True, "low", ""),
+        ],
+        "url string, feature_index long, deforestation_free boolean, confidence string, flags string",
+    )
+    out = {r.url: r for r in eudr_report_pdfs(aois, trend, chg, det).collect()}
+    assert set(out) == {"u1", "u2"} and out["u1"].n_parcels == 2
+    pdf = bytes(out["u1"].report_pdf)
+    assert pdf.startswith(b"%PDF-1.4")
+    assert b"(Deforestation-free parcels: 1)" in pdf
+    assert b"(Parcels with findings: 1)" in pdf
+    assert b"(Farm A)" in pdf and b"(NDVI trend 'declining': 1 parcel\\(s\\))" in pdf
+    assert b"Vegetation loss 12.0% \\(5.0 ha\\)" in pdf
