@@ -562,6 +562,16 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.dedup import (
         simhash_hamming_pairs,
@@ -752,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
+        "q_dedup_clusters": _q_dedup_clusters,
         "q_token_stats": _q_token_stats,
         "q_quality_score": _q_quality_score,
         "q_language_id": _q_language_id,
@@ -1008,6 +1019,10 @@ def oracle_sql() -> dict[str, str]:
     sql["q_minhash_lsh"] = (
         "SELECT id_a, id_b, jaccard "
         f"FROM read_parquet('{_E}/expected/minhash_pairs.parquet')"
+    )
+    sql["q_dedup_clusters"] = (
+        "SELECT doc_id, cluster_id "
+        f"FROM read_parquet('{_E}/expected/dedup_clusters.parquet')"
     )
     sql["q_fingerprint"] = (
         "SELECT doc_id, text_hash, min_window_hash "

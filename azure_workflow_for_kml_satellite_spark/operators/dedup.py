@@ -229,6 +229,56 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+def near_dup_clusters(
+    documents: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id) with
+    cluster_id = the smallest doc_id in the component (the canonical
+    'keeper'); singletons label themselves.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    label among itself and its neighbours (one shuffle join per round over
+    (edge, label) — the standard Spark shape for CC; rounds needed =
+    graph diameter, which for near-dup clusters is tiny). Convergence is
+    detected with a changed-row count; ``max_iter`` bounds pathological
+    chains. Deterministic.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = documents.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_hamming_pairs(
     documents: DataFrame, max_distance: int = 3, bits: int = 64
 ) -> DataFrame:

@@ -141,6 +141,36 @@ def build_expected_text(
         out_dir / "minhash_pairs.parquet",
     )
 
+    # near-dup clusters: independent union-find over the minhash pairs
+    # (the Spark side uses iterative min-label propagation instead)
+    parent = {did: did for did in doc_ids}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _j in pairs:
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for did in doc_ids:
+        r = _find(did)
+        comp_min[r] = min(comp_min.get(r, did), did)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "cluster_id": pa.array(
+                    [comp_min[_find(d)] for d in doc_ids], pa.int64()
+                ),
+            }
+        ),
+        out_dir / "dedup_clusters.parquet",
+    )
+
     # rolling-window fingerprint
     text_hashes = [xxhash64(s) for s in texts]
     win_hashes = []

@@ -189,3 +189,19 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         for r in ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=3).collect()
     }
     assert got == got2
+
+
+def test_near_dup_clusters_chain_and_singletons(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    # a 5-chain (4-3-2-1-0 only via consecutive edges → needs >1 round),
+    # a 2-cycle, and a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 5)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
