@@ -550,6 +550,20 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def _q_ngram_jaccard_capped(spark, sf_dir):
+    """The DF-capped candidate path (scale variant of q_ngram_jaccard): at
+    sf0.01 the max shingle document-frequency is 7, so cap=20 provably
+    changes nothing and the exact SQL oracle applies verbatim — the gate
+    then checks the capped candidate+verify plumbing end-to-end."""
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=20
+    )
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.dedup import minhash_lsh_pairs
 
@@ -759,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_determination": _q_determination,
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
@@ -1016,6 +1031,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN read_parquet('{_E}/expected/simhash.parquet') b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
+    # cap=20 > max shingle DF at sf0.01, so the exact oracle applies verbatim
+    sql["q_ngram_jaccard_capped"] = sql["q_ngram_jaccard"]
     sql["q_minhash_lsh"] = (
         "SELECT id_a, id_b, jaccard "
         f"FROM read_parquet('{_E}/expected/minhash_pairs.parquet')"
