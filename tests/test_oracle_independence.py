@@ -180,3 +180,56 @@ def test_kml_parsing_parity():
         except ValueError as exc:
             e2 = str(exc)
         assert e1 == e2 and e1 is not None
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """The pure-Python xxhash64 (oracle/xxh64.py) must match Spark's JVM
+    expression exactly — the text/dedup expected-parquet oracles depend on
+    it. Covers str, long, long+int-literal chains across tail lengths."""
+    from pyspark.sql import functions as F
+
+    from azure_workflow_for_kml_satellite_spark.oracle.xxh64 import xxhash64
+
+    strs = ["", "a", "hello world", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+            "v" * 100, "unicode ü€ test", "tok123 tok456 tok789"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.xxhash64("s").alias("h"), F.xxhash64("s", "s").alias("hh")
+    )
+    for r in df.collect():
+        assert r.h == xxhash64(r.s)
+        assert r.hh == xxhash64(r.s, r.s)
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 42, 123456789123456789]
+    df2 = spark.createDataFrame([(v,) for v in longs], "v long")
+    for k in (0, 3, 63):
+        got = df2.select("v", F.xxhash64("v", F.lit(k)).alias("h")).collect()
+        for r in got:
+            assert r.h == xxhash64(r.v, ("int", k))
+
+
+def test_windowing_properties():
+    """Hypothesis: every clamped window is inside the raster, non-empty
+    windows cover the requested bbox's in-scene portion, and the two
+    implementations agree everywhere (not just on the fuzz seeds above)."""
+    from hypothesis import given, settings, strategies as st
+
+    from azure_workflow_for_kml_satellite_spark.functions import raster as R
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        x0=st.floats(-179, 178), y0=st.floats(-89, 88),
+        w=st.floats(0.01, 1.5), h=st.floats(0.01, 1.5),
+        rx=st.floats(-0.5, 0.5), ry=st.floats(-0.5, 0.5),
+        rw=st.floats(0.001, 0.8), rh=st.floats(0.001, 0.8),
+        res=st.sampled_from([10.0, 20.0, 30.0]),
+    )
+    def check(x0, y0, w, h, rx, ry, rw, rh, res):
+        scene = [x0, y0, x0 + w, y0 + h]
+        read = [x0 + rx, y0 + ry, x0 + rx + rw, y0 + ry + rh]
+        win = R.window_from_bounds(scene, res, read)
+        assert win == K.clamp_window(scene, res, read)
+        gh, gw = R.grid_shape(scene, res)
+        if win is not None:
+            r0, r1, c0, c1 = win
+            assert 0 <= r0 < r1 <= gh and 0 <= c0 < c1 <= gw
+
+    check()
