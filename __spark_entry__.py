@@ -576,6 +576,20 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_sample_hash(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate_permille=100)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(_docs(spark, sf_dir), per_stratum=50)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -778,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_sample_hash": _q_sample_hash,
+        "q_sample_stratified": _q_sample_stratified,
         "q_token_stats": _q_token_stats,
         "q_quality_score": _q_quality_score,
         "q_language_id": _q_language_id,
@@ -1040,6 +1056,14 @@ def oracle_sql() -> dict[str, str]:
     sql["q_dedup_clusters"] = (
         "SELECT doc_id, cluster_id "
         f"FROM read_parquet('{_E}/expected/dedup_clusters.parquet')"
+    )
+    sql["q_sample_hash"] = (
+        "SELECT doc_id, lang, n_chars "
+        f"FROM read_parquet('{_E}/expected/sample_hash.parquet')"
+    )
+    sql["q_sample_stratified"] = (
+        "SELECT doc_id, stratum, sample_rank "
+        f"FROM read_parquet('{_E}/expected/sample_stratified.parquet')"
     )
     sql["q_fingerprint"] = (
         "SELECT doc_id, text_hash, min_window_hash "

@@ -111,10 +111,16 @@ def build_expected_text(
     ngram: int = 3,
     minhash_threshold: float = 0.5,
     fingerprint_window: int = 4,
+    sample_rate_permille: int = 100,
+    sample_per_stratum: int = 50,
 ) -> None:
-    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    t = pq.read_table(
+        documents_path, columns=["doc_id", "text", "lang", "n_chars"]
+    )
     doc_ids = t["doc_id"].to_pylist()
     texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    n_chars = t["n_chars"].to_pylist()
     toks_by = [spark_tokens(s) for s in texts]
 
     out_dir = Path(out_dir)
@@ -139,6 +145,45 @@ def build_expected_text(
             }
         ),
         out_dir / "minhash_pairs.parquet",
+    )
+
+    # deterministic samples (hash-rate + per-stratum quota), re-derived from
+    # the same xxhash64 contract the Spark operators use
+    id_hash = {did: xxhash64(did) for did in doc_ids}
+    keep = [
+        (did, lg, nc)
+        for did, lg, nc in zip(doc_ids, langs, n_chars)
+        if id_hash[did] % 1000 < sample_rate_permille  # python % == Spark pmod
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([k[0] for k in keep], pa.int64()),
+                "lang": pa.array([k[1] for k in keep], pa.string()),
+                "n_chars": pa.array([k[2] for k in keep], pa.int64()),
+            }
+        ),
+        out_dir / "sample_hash.parquet",
+    )
+    by_lang: dict[str, list[int]] = {}
+    for did, lg in zip(doc_ids, langs):
+        by_lang.setdefault(lg, []).append(did)
+    s_ids, s_strata, s_ranks = [], [], []
+    for lg in by_lang:
+        ordered = sorted(by_lang[lg], key=lambda d: (id_hash[d], d))
+        for rank, did in enumerate(ordered[:sample_per_stratum], start=1):
+            s_ids.append(did)
+            s_strata.append(lg)
+            s_ranks.append(rank)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(s_ids, pa.int64()),
+                "stratum": pa.array(s_strata, pa.string()),
+                "sample_rank": pa.array(s_ranks, pa.int64()),
+            }
+        ),
+        out_dir / "sample_stratified.parquet",
     )
 
     # near-dup clusters: independent union-find over the minhash pairs
