@@ -1,11 +1,13 @@
 """Multimodal binary-column operators (task brief: image/audio/video as
 opaque binary columns with typed metadata).
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the DECODE step
-is stubbed behind a deterministic fake (as the brief instructs) while the
-Spark-side plumbing — schemas, Arrow batch shape, partitioning, UDF
-signatures — is real and tested. Swapping ``_fake_decode_*`` for a PIL /
-soundfile call is a one-function change; everything else stays.
+PNG payloads are REALLY decoded (the repo's from-scratch decoder,
+functions/png.py — zlib inflate + all five filter types incl. Paeth), so
+width/height/channels/mean_luma/phash are true pixel statistics for PNG
+inputs. Other codecs (JPEG/audio/video — no PIL/ffmpeg in this container)
+fall back to a deterministic stand-in, clearly marked: swapping
+``_fake_decode_image`` for a PIL call is a one-function change; schemas,
+Arrow batch shape, partitioning and UDF signatures are the real contract.
 """
 
 from __future__ import annotations
@@ -31,11 +33,28 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    """bytes → HxWxC uint8. PNG: real decode via functions/png.py.
+    Other formats: deterministic stand-in (no codecs in this container)."""
+    if data[:8] == _PNG_MAGIC:
+        from azure_workflow_for_kml_satellite_spark.functions.png import decode_png
+
+        decoded = decode_png(data)
+        if decoded is None:
+            raise ValueError("corrupt or unsupported PNG payload")
+        img, bpp = decoded
+        return img
+    return _fake_decode_image(data)
+
+
 def _fake_decode_image(data: bytes) -> np.ndarray:
-    """Deterministic stand-in for an image decoder: derives a small uint8
-    HxWx3 array purely from the bytes. Replace with PIL.Image.open when a
-    codec is available — the call site contract (bytes → ndarray) is the
-    real one."""
+    """Deterministic stand-in for a non-PNG image decoder: derives a small
+    uint8 HxWx3 array purely from the bytes. Replace with PIL.Image.open
+    when a codec is available — the call-site contract (bytes → ndarray) is
+    the real one."""
     if len(data) < 8:
         raise ValueError("truncated image payload")
     crc = zlib.crc32(data)
@@ -72,7 +91,7 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    img = _fake_decode_image(bytes(data))
+                    img = _decode_image(bytes(data))
                     rows.append(
                         {
                             "asset_id": aid,

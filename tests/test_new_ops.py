@@ -371,3 +371,28 @@ def test_streaming_quality_gate_filters(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [0]
+
+
+def test_image_metadata_real_png_decode(spark):
+    """PNG payloads go through the real from-scratch decoder: the reported
+    dims/mean are TRUE pixel statistics, and corrupt PNGs quarantine."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.png import encode_png_rgba
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(12, 17, 4), dtype=np.uint8)
+    good = encode_png_rgba(img)
+    bad = good[:40] + b"\x00\x00\x00\x00" + good[44:]
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad", bytearray(bad))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in image_metadata(df).collect()}
+    assert (out["ok"].width, out["ok"].height, out["ok"].channels) == (17, 12, 4)
+    assert abs(out["ok"].mean_luma - round(float(img.mean()), 4)) < 1e-9
+    assert out["ok"].decode_error is None
+    assert out["bad"].decode_error is not None and out["bad"].width is None
