@@ -678,21 +678,31 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Banded RH-LSH ANN at the provable-equality operating point: the
+    coverage band makes the candidate set provably complete, so the identical
+    banded machinery (explode → bucket equi-join → dedup → exact verify →
+    top-k) is checked against the exact-cosine DuckDB oracle (the
+    q_ngram_jaccard_capped pattern). The pruned operating point is
+    benchmarked in bench.py and recall-tested in tests."""
     from azure_workflow_for_kml_satellite_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, _ANN_QUERY_IDS, k=10).select(
+    return lsh_topk(emb, _ANN_QUERY_IDS, k=10, coverage_band=True).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
 
 def _q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN at the provable-equality operating point
+    n_probe == n_centroids: every inverted list is probed, so the
+    train → assign → probe-join → exact-score pipeline provably equals
+    brute_force_topk and the exact-cosine DuckDB oracle applies. The pruned
+    operating point (n_probe=4) is benchmarked in bench.py and recall-tested
+    in tests/test_dedup_scale_ops.py."""
     from azure_workflow_for_kml_satellite_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # approximate (cluster-pruned) → rows-only like q_ann_lsh; recall vs the
-    # exact q_ann_topk is asserted in tests/test_dedup_scale_ops.py
-    return ivf_topk(emb, _ANN_QUERY_IDS, k=10).select(
+    return ivf_topk(emb, _ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=16).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
@@ -1154,6 +1164,11 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         QUALIFY rank <= 10
     """
+    # both approximate-ANN queries run at provable-equality operating points
+    # (coverage band / n_probe == n_centroids), so the exact-cosine oracle
+    # applies verbatim — see _q_ann_lsh/_q_ann_ivf docstrings
+    sql["q_ann_lsh"] = sql["q_ann_topk"]
+    sql["q_ann_ivf"] = sql["q_ann_topk"]
     sql["q_events_hourly"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -240,8 +240,16 @@ def near_dup_clusters(
     label among itself and its neighbours (one shuffle join per round over
     (edge, label) — the standard Spark shape for CC; rounds needed =
     graph diameter, which for near-dup clusters is tiny). Convergence is
-    detected with a changed-row count; ``max_iter`` bounds pathological
-    chains. Deterministic.
+    detected with a changed-row count; if a pathological chain is still
+    changing after ``max_iter`` rounds the function RAISES rather than
+    silently returning partially-propagated (wrong) labels.
+
+    Lineage is cut each round: with a configured checkpoint dir
+    (``spark.sparkContext.setCheckpointDir``) a RELIABLE ``checkpoint()`` is
+    written — on a real cluster an executor loss mid-CC then recovers from
+    the checkpoint store instead of killing the job, which is what
+    ``localCheckpoint`` (executor-storage-pinned) cannot survive; without a
+    checkpoint dir the local variant is the fallback.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -251,6 +259,9 @@ def near_dup_clusters(
     labels = documents.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     )
+    sc = documents.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -266,7 +277,11 @@ def near_dup_clusters(
                 ).alias("cluster_id"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        # cut lineage growth each round (reliable when a checkpoint dir is set)
+        if reliable:
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -276,6 +291,12 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; returning "
+            "truncated labels would be silently wrong"
+        )
     return labels
 
 

@@ -24,50 +24,148 @@ def _hav(lon1, lat1, lon2, lat2):
     return F.lit(2 * _R_KM) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
 
 
+def _hav_py(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    import math
+
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon / 2) ** 2
+    )
+    return 2 * _R_KM * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+def _span_bound_km(lo_x: float, lo_y: float, hi_x: float, hi_y: float) -> float:
+    """Rigorous upper bound on the max pairwise haversine inside a lon/lat
+    box: meridian leg + parallel leg at the latitude of the box edge closest
+    to the equator (where a degree of longitude is longest). The raw corner
+    diagonal is NOT an upper bound for wide, low-lat-span boxes away from
+    the equator — the equator-side edge pair can exceed it."""
+    import math
+
+    lat_span_km = math.radians(hi_y - lo_y) * _R_KM
+    cos_min = 1.0 if lo_y <= 0.0 <= hi_y else math.cos(math.radians(min(abs(lo_y), abs(hi_y))))
+    lon_span_km = math.radians(hi_x - lo_x) * _R_KM * cos_min
+    return lat_span_km + lon_span_km
+
+
 def is_multi_region(aois: DataFrame, threshold_km: float = MULTI_REGION_THRESHOLD_KM,
                     exact_limit: int = 10_000) -> bool:
     """True when some centroid pair is farther than threshold_km.
 
-    Two-step: a free upper bound from the centroid bounding box (diagonal
-    ≤ threshold ⇒ no pair can exceed it — one tiny agg); only if the bound
-    is inconclusive and n is small, the exact O(n²) max via self-join
-    (the reference's loop, runner.py:598-617). For larger n the diagonal
-    check is decisive in practice because threshold ≪ region spans."""
+    Sound at every exit, at any n:
+    1. one tiny agg gives the centroid bbox; if the rigorous span BOUND is
+       ≤ threshold no pair can exceed it → False;
+    2. the four extreme DATA points (min/max lon/lat rows — real centroids,
+       via min_by/max_by) give a cheap witness: if any of their 6 pairwise
+       distances exceeds the threshold → True (a real pair is the proof —
+       an over-estimating bound is never used as a witness);
+    3. small n → the exact O(n²) max via self-join (the reference's loop,
+       runner.py:598-617);
+    4. huge n → grid bracketing: per-cell bbox + extreme points (one agg,
+       grid coarsened until ≤2000 occupied cells). Cell-pair LOWER bounds
+       (real extreme-point distances) prove True; cell-pair span UPPER
+       bounds prove False; only points in still-ambiguous cell pairs (a
+       thin annulus around the threshold) fall through to an exact join
+       over that small subset.
+    """
+    import math
+
     c = aois.select("centroid_lon", "centroid_lat")
-    box = c.agg(
+    ext = c.agg(
         F.min("centroid_lon").alias("lo_x"),
         F.min("centroid_lat").alias("lo_y"),
         F.max("centroid_lon").alias("hi_x"),
         F.max("centroid_lat").alias("hi_y"),
         F.count("*").alias("n"),
+        F.min_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lon").alias("p_w"),
+        F.max_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lon").alias("p_e"),
+        F.min_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lat").alias("p_s"),
+        F.max_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lat").alias("p_n"),
     ).collect()[0]
-    if box["n"] < 2:
+    if ext["n"] < 2:
         return False
-    # Rigorous upper bound on the max pairwise distance inside the box:
-    # meridian leg + parallel leg at the latitude of the box edge closest to
-    # the equator (where a degree of longitude is longest). The raw corner
-    # diagonal is NOT an upper bound for wide, low-lat-span boxes away from
-    # the equator — the equator-side edge pair can exceed it.
-    import math
-
-    lat_span_km = math.radians(box["hi_y"] - box["lo_y"]) * _R_KM
-    if box["lo_y"] <= 0.0 <= box["hi_y"]:
-        cos_min = 1.0
-    else:
-        cos_min = math.cos(math.radians(min(abs(box["lo_y"]), abs(box["hi_y"]))))
-    lon_span_km = math.radians(box["hi_x"] - box["lo_x"]) * _R_KM * cos_min
-    if lat_span_km + lon_span_km <= threshold_km:
+    if _span_bound_km(ext["lo_x"], ext["lo_y"], ext["hi_x"], ext["hi_y"]) <= threshold_km:
         return False
-    if box["n"] > exact_limit:
-        return True  # bbox spans > threshold and n is huge → treat as multi-region
-    a = c.select(F.col("centroid_lon").alias("x1"), F.col("centroid_lat").alias("y1"))
-    b = c.select(F.col("centroid_lon").alias("x2"), F.col("centroid_lat").alias("y2"))
+    pts = [
+        (ext[k]["centroid_lon"], ext[k]["centroid_lat"]) for k in ("p_w", "p_e", "p_s", "p_n")
+    ]
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if _hav_py(*pts[i], *pts[j]) > threshold_km:
+                return True  # witnessed by a real centroid pair
+    if ext["n"] <= exact_limit:
+        a = c.select(F.col("centroid_lon").alias("x1"), F.col("centroid_lat").alias("y1"))
+        b = c.select(F.col("centroid_lon").alias("x2"), F.col("centroid_lat").alias("y2"))
+        mx = (
+            a.crossJoin(b)
+            .agg(F.max(_hav(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))).alias("m"))
+            .collect()[0]["m"]
+        )
+        return bool(mx > threshold_km)
+    # huge n: grid bracketing. Coarsen until the occupied-cell set is small
+    # enough to compare pairwise on the driver (numpy-vectorizable sizes).
+    cell_deg = 1.0
+    while True:
+        cells = (
+            c.groupBy(
+                F.floor(F.col("centroid_lon") / cell_deg).alias("cx"),
+                F.floor(F.col("centroid_lat") / cell_deg).alias("cy"),
+            )
+            .agg(
+                F.min("centroid_lon").alias("lo_x"),
+                F.min("centroid_lat").alias("lo_y"),
+                F.max("centroid_lon").alias("hi_x"),
+                F.max("centroid_lat").alias("hi_y"),
+                F.min_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lon").alias("p_w"),
+                F.max_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lon").alias("p_e"),
+                F.min_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lat").alias("p_s"),
+                F.max_by(F.struct("centroid_lon", "centroid_lat"), "centroid_lat").alias("p_n"),
+            )
+            .collect()
+        )
+        if len(cells) <= 2000:
+            break
+        cell_deg *= 2.0
+    ambiguous: set[tuple[int, int]] = set()
+    for i in range(len(cells)):
+        for j in range(i, len(cells)):
+            ci, cj = cells[i], cells[j]
+            # lower bound: real extreme-point witnesses across the pair
+            for ka in ("p_w", "p_e", "p_s", "p_n"):
+                for kb in ("p_w", "p_e", "p_s", "p_n"):
+                    d = _hav_py(
+                        ci[ka]["centroid_lon"], ci[ka]["centroid_lat"],
+                        cj[kb]["centroid_lon"], cj[kb]["centroid_lat"],
+                    )
+                    if d > threshold_km:
+                        return True
+            # upper bound: span bound of the two cells' combined envelope
+            ub = _span_bound_km(
+                min(ci["lo_x"], cj["lo_x"]), min(ci["lo_y"], cj["lo_y"]),
+                max(ci["hi_x"], cj["hi_x"]), max(ci["hi_y"], cj["hi_y"]),
+            )
+            if ub > threshold_km:
+                ambiguous.add((int(ci["cx"]), int(ci["cy"])))
+                ambiguous.add((int(cj["cx"]), int(cj["cy"])))
+    if not ambiguous:
+        return False  # every cell pair's upper bound is ≤ threshold
+    amb = c.filter(
+        F.concat_ws(
+            ":",
+            F.floor(F.col("centroid_lon") / cell_deg).cast("long"),
+            F.floor(F.col("centroid_lat") / cell_deg).cast("long"),
+        ).isin([f"{x}:{y}" for (x, y) in sorted(ambiguous)])
+    )
+    a = amb.select(F.col("centroid_lon").alias("x1"), F.col("centroid_lat").alias("y1"))
+    b = amb.select(F.col("centroid_lon").alias("x2"), F.col("centroid_lat").alias("y2"))
     mx = (
         a.crossJoin(b)
         .agg(F.max(_hav(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))).alias("m"))
         .collect()[0]["m"]
     )
-    return bool(mx > threshold_km)
+    return bool(mx is not None and mx > threshold_km)
 
 
 def enforce_feature_limit(features: DataFrame, limit: int) -> DataFrame:

@@ -150,6 +150,11 @@ def lsh_band_shape(
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    # τ ≥ 1 (or clamped to it) ⇒ p = 1: every bit agrees for qualifying pairs
+    # (exact duplicates up to scale), so a single widest band is both complete
+    # and maximally pruning — and log(p) = 0 must not be divided by.
+    if p >= 1.0:
+        return 32, 1
     r = max(2, int(math.log(0.5) / math.log(p)))
     pr = p**r
     b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
@@ -194,37 +199,56 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     iters: int = 5,
     sample_fraction: float | None = None,
+    max_train_rows: int | None = 100_000,
 ) -> list[list[float]]:
     """Deterministic IVF centroid training: k-means/Lloyd with init = the
     ``n_centroids`` vectors of smallest xxhash64(vec_id) (reproducible, no
     RNG), assignment in an Arrow-batched pandas UDF (numpy argmax of the
-    dot products), means via distributed per-dimension avg. At 100 TB train
-    on a sample (``sample_fraction``) — IVF quality needs only a sketch of
-    the distribution — then assign the full corpus in one pass."""
+    dot products), means via distributed per-dimension avg.
+
+    IVF quality needs only a sketch of the distribution, so by default the
+    Lloyd iterations run on a hash sample capped at ``max_train_rows``
+    vectors (one count + one partition-independent xxhash filter) — NEVER on
+    the full corpus: at 100 TB ``iters`` full-corpus assignment passes would
+    dominate the whole query. ``sample_fraction`` overrides the derived
+    fraction explicitly; below the cap the corpus trains unsampled (the
+    small-sf determinism/recall contract is unchanged). The sampled training
+    set is cached across the Lloyd iterations and unpersisted after."""
     import numpy as np
 
     emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    if sample_fraction:
-        emb = emb.sample(fraction=sample_fraction, seed=7)
-    init = (
-        emb.withColumn("h", F.xxhash64("vec_id"))
-        .orderBy("h")
-        .limit(n_centroids)
-        .select("emb")
-        .collect()
-    )
-    centroids = np.array([r.emb for r in init], dtype=np.float64)
-
-    for _ in range(iters):
-        assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("emb")))
-        new_rows = (
-            assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
+    if sample_fraction is None and max_train_rows is not None:
+        n = emb.count()
+        if n > max_train_rows:
+            sample_fraction = max_train_rows / n
+    if sample_fraction and sample_fraction < 1.0:
+        # deterministic, partitioning-independent hash sample (same scheme as
+        # operators/sampling.hash_sample)
+        bound = int(sample_fraction * 1_000_000)
+        emb = emb.filter(F.pmod(F.xxhash64("vec_id", F.lit(7)), F.lit(1_000_000)) < bound)
+    emb = emb.cache()
+    try:
+        init = (
+            emb.withColumn("h", F.xxhash64("vec_id"))
+            .orderBy("h")
+            .limit(n_centroids)
+            .select("emb")
             .collect()
         )
-        for r in new_rows:
-            centroids[r.cluster][r.pos] = r.m
+        centroids = np.array([r.emb for r in init], dtype=np.float64)
+
+        for _ in range(iters):
+            assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("emb")))
+            new_rows = (
+                assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
+            for r in new_rows:
+                centroids[r.cluster][r.pos] = r.m
+    finally:
+        emb.unpersist()
     return centroids.tolist()
 
 
@@ -249,6 +273,26 @@ def _assign_udf(centroids):
     return pandas_udf(assign, "int", PandasUDFType.SCALAR)
 
 
+def _probe_udf(centroids, n_probe: int):
+    """Pandas UDF mapping each query vector to its ``n_probe`` max-cosine
+    centroid ids (stable tie order) — the probe set stays a column, so
+    unbounded query sets never collect to the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    def probe(embs):
+        m = np.stack(embs.to_numpy())
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        idx = np.argsort(-(mn @ cn.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return pandas_udf(probe, "array<int>", PandasUDFType.SCALAR)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -256,32 +300,40 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     iters: int = 5,
+    max_train_rows: int | None = 100_000,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the brief's 'IVF variant as the scale
     path'): vectors are routed to their nearest trained centroid once
     (inverted lists = a cluster column, i.e. a partitionable key); each query
     probes its ``n_probe`` nearest centroids and scores ONLY those lists with
     the exact cosine. At scale the corpus is read cluster-pruned
-    (n_probe/n_centroids of the data) instead of fully scanned; the routing
-    join is a broadcast of (query × probed cluster) pairs."""
-    centroids = train_ivf_centroids(embeddings, n_centroids, iters)
-    import numpy as np
+    (n_probe/n_centroids of the data) instead of fully scanned; centroid
+    training runs on a ≤``max_train_rows`` hash sample; probe assignment is
+    a column expression over broadcast centroids, so queries stay a
+    distributed (broadcast) DataFrame end-to-end — no driver collect.
 
+    Provable-equality gate (the q_ngram_jaccard_capped pattern): with
+    ``n_probe == n_centroids`` every inverted list is probed, so every
+    (query, vector) pair is scored with the exact cosine and the result
+    PROVABLY equals ``brute_force_topk`` — that operating point is what the
+    driver's exact-cosine oracle checks; pruned operating points are
+    benchmarked and recall-tested separately."""
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, iters, max_train_rows=max_train_rows
+    )
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("cluster", _assign_udf(centroids)(F.col("emb")))
 
-    c = np.asarray(centroids)
-    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    q_rows = emb.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "emb").collect()
-    probe_pairs = []
-    for r in q_rows:
-        v = np.asarray(r.emb)
-        v = v / max(float(np.linalg.norm(v)), 1e-12)
-        for cl in np.argsort(-(cn @ v))[:n_probe]:
-            probe_pairs.append((r.vec_id, r.emb, int(cl)))
-    probes = emb.sparkSession.createDataFrame(
-        probe_pairs, "query_id long, q_emb array<double>, cluster int"
+    probes = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .withColumn(
+            "cluster", F.explode(_probe_udf(centroids, min(n_probe, n_centroids))("q_emb"))
+        )
     )
     cand = emb.join(F.broadcast(probes), "cluster").filter(
         F.col("vec_id") != F.col("query_id")
@@ -305,30 +357,39 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 10,
     planes: int = 12,
+    coverage_band: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the full random-hyperplane
-    signature bucket (or differ in ≤1 of 3 sub-bands via banded buckets)."""
+    signature bucket (or differ in ≤1 of 3 sub-bands via banded buckets).
+
+    ``coverage_band=True`` is the provable-equality operating point (the
+    q_ngram_jaccard_capped pattern): one extra band whose bucket value is
+    constant is appended, so the banded candidate generation provably covers
+    every (query, vector) pair — the identical explode → bucket equi-join →
+    dedup → exact-cosine verify → window top-k machinery runs, but its
+    output PROVABLY equals ``brute_force_topk`` and the driver's exact
+    oracle applies. The pruned default (sign-bit bands only) is what runs
+    at 100 TB and is benchmarked/recall-tested separately."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("sig", _rh_signature("emb", planes))
     band_size = planes // 3
+    bucket_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(bi),
+            F.shiftright("sig", bi * band_size)
+            .bitwiseAND(F.lit((1 << band_size) - 1))
+            .cast("string"),
+        )
+        for bi in range(3)
+    ]
+    if coverage_band:
+        bucket_exprs.append(F.lit("cover:0"))
     banded = emb.select(
         "vec_id",
         "emb",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(bi),
-                        F.shiftright("sig", bi * band_size)
-                        .bitwiseAND(F.lit((1 << band_size) - 1))
-                        .cast("string"),
-                    )
-                    for bi in range(3)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*bucket_exprs)).alias("bucket"),
     )
     q = banded.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "bucket"

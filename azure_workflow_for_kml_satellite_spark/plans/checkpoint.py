@@ -50,10 +50,59 @@ class CheckpointManager:
 
     def ledger(self) -> DataFrame:
         """The ledger as a DataFrame (empty with the right schema if no row
-        has been committed yet)."""
+        has been committed yet). Legacy driver-side JSON ledger files (the
+        pre-table format) are migrated into the parquet ledger on first read
+        — silently treating such a run as fresh would re-run completed
+        stages and double-append already-completed partitions."""
+        self._migrate_legacy_json()
         if self.ledger_dir.exists() and any(self.ledger_dir.glob("*.parquet")):
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(str(self.ledger_dir))
         return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def _migrate_legacy_json(self) -> None:
+        """Convert leftover ``_ledger/*.json`` rows (one JSON object or a
+        JSON list per file) into the parquet ledger, then rename the source
+        file to ``_migrated_*.json`` (the ``_`` prefix keeps Spark's parquet
+        file index from touching it) so migration is one-shot. Unreadable or
+        schema-incompatible files raise instead of being dropped."""
+        if not self.ledger_dir.exists():
+            return
+        legacy = sorted(
+            p for p in self.ledger_dir.glob("*.json") if not p.name.startswith("_migrated_")
+        )
+        if not legacy:
+            return
+        import json
+
+        field_names = [f.split()[0] for f in LEDGER_SCHEMA.split(", ")]
+        rows: list[dict] = []
+        for path in legacy:
+            try:
+                payload = json.loads(path.read_text())
+            except (OSError, json.JSONDecodeError) as exc:
+                raise RuntimeError(
+                    f"incompatible ledger format: cannot parse legacy ledger file {path}"
+                ) from exc
+            for rec in payload if isinstance(payload, list) else [payload]:
+                if not isinstance(rec, dict) or "stage" not in rec:
+                    raise RuntimeError(
+                        f"incompatible ledger format: unexpected record in {path}: {rec!r}"
+                    )
+                rows.append(
+                    {
+                        "run_id": rec.get("run_id", self.run_id),
+                        "stage": rec["stage"],
+                        "partition": str(rec.get("partition", "__ALL__")),
+                        "rows": int(rec.get("rows", 0)),
+                        "duration_s": float(rec.get("duration_s", 0.0)),
+                        "status": rec.get("status", "completed"),
+                        "ts": str(rec.get("ts", "")),
+                    }
+                )
+        if rows:
+            self._append_ledger([{k: r[k] for k in field_names} for r in rows])
+        for path in legacy:
+            path.rename(path.with_name(f"_migrated_{path.name}"))
 
     def _append_ledger(self, rows: list[dict]) -> None:
         # append-only parquet table: each commit is one new file (the
@@ -80,6 +129,7 @@ class CheckpointManager:
         )
 
     def ledger_rows(self) -> list[dict]:
+        self._migrate_legacy_json()
         if not self.ledger_dir.exists() or not any(self.ledger_dir.glob("*.parquet")):
             return []
         return [r.asDict() for r in self.ledger().collect()]

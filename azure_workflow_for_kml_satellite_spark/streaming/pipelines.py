@@ -139,17 +139,20 @@ def streaming_exact_dedup(
     """Streaming exact deduplication: emit each distinct text's FIRST
     arrival, dropping later byte-identical copies.
 
-    `dropDuplicates` on the xxhash64 of the text keeps one state-store row
-    per distinct document; the event-time watermark bounds that state (a
-    duplicate arriving later than the watermark re-emits — the standard
-    Structured Streaming state/completeness trade; at 100 TB the state store
-    is RocksDB-backed and keyed by a single long per distinct text).
+    `dropDuplicatesWithinWatermark` on the xxhash64 of the text keeps one
+    state-store row per distinct document AND evicts that row once the
+    event-time watermark passes it — plain ``dropDuplicates`` on a subset
+    that excludes the event-time column would never evict, so its state
+    grows with the number of distinct texts forever. The trade is the
+    documented one: a duplicate arriving later than the watermark re-emits
+    (state/completeness trade; at 100 TB the state store is RocksDB-backed
+    and keyed by a single long per distinct in-watermark text).
     Batch analog: operators/dedup.exact_duplicates."""
     docs = spark.readStream.schema(docs_schema).parquet(input_dir)
     return (
         docs.withColumn("text_hash", F.xxhash64("text"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
         .select("doc_id", "ts", "text_hash")
     )
 

@@ -48,6 +48,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     )
     from azure_workflow_for_kml_satellite_spark.operators.similarity import (
         brute_force_topk,
+        ivf_topk,
+        lsh_topk,
     )
     from azure_workflow_for_kml_satellite_spark.operators.spatial_join import (
         spatial_join_best_scene,
@@ -102,6 +104,13 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     timed("q_quality", lambda: quality_score(docs).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("q_ann_topk", lambda: brute_force_topk(emb, list(range(10)), 10).count())
+    # pruned ANN operating points (the 100 TB configs; the driver-oracled
+    # queries run the provable-equality configs instead)
+    timed("q_ann_lsh_pruned", lambda: lsh_topk(emb, list(range(10)), 10).count())
+    timed(
+        "q_ann_ivf_pruned",
+        lambda: ivf_topk(emb, list(range(10)), 10, n_centroids=16, n_probe=4).count(),
+    )
 
     n_geoms = counts["q_extract_aoi"]
     pipeline_sec = timings["q_extract_aoi"] + timings["q_spatial_join"] + timings["q_ndvi_e2e"]

@@ -205,3 +205,112 @@ def test_near_dup_clusters_chain_and_singletons(spark):
     )
     got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+
+
+def test_near_dup_clusters_raises_on_nonconvergence(spark):
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(docs, chain, max_iter=1)
+
+
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """With a configured checkpoint dir the CC loop uses reliable
+    checkpoint() (survives executor loss on a cluster); labels identical."""
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 5)], "id_a long, id_b long"
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
+    finally:
+        # best-effort reset so later tests see no checkpoint dir (the scala
+        # setter name contains '$', hence getattr); leaking it is harmless —
+        # only the CC lineage-cut mode would change, with identical labels
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        except Exception:
+            pass
+    assert reliable == local == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+    import os
+
+    assert os.listdir(tmp_path / "ckpt")  # reliable checkpoints were written
+
+
+def test_lsh_band_shape_degenerate_threshold():
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import lsh_band_shape
+
+    assert lsh_band_shape(1.0) == (32, 1)
+    assert lsh_band_shape(1.5) == (32, 1)  # clamped
+    r, b = lsh_band_shape(0.999999)
+    assert r >= 2 and b >= 1
+
+
+def test_ann_provable_equality_operating_points(spark):
+    """coverage_band=True (LSH) and n_probe == n_centroids (IVF) must equal
+    brute_force_topk exactly — the gate that lets the driver's exact-cosine
+    oracle check the approximate-ANN machinery."""
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rng = random.Random(31)
+    vecs = [[rng.gauss(0, 1) for _ in range(12)] for _ in range(80)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    qids = list(range(5))
+    exact = sorted(map(tuple, brute_force_topk(emb, qids, k=7).collect()))
+    lsh = sorted(map(tuple, lsh_topk(emb, qids, k=7, coverage_band=True).collect()))
+    ivf = sorted(
+        map(tuple, ivf_topk(emb, qids, k=7, n_centroids=6, n_probe=6, iters=2).collect())
+    )
+    assert lsh == exact
+    assert ivf == exact
+
+
+def test_ivf_training_sample_cap(spark):
+    """Lloyd iterations must never see more than max_train_rows vectors; the
+    derived hash sample is deterministic and training still yields usable
+    centroids (recall floor vs exact)."""
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(41)
+    dim = 8
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = [[v + rng.gauss(0, 0.1) for v in centers[i % 4]] for i in range(400)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    c1 = train_ivf_centroids(emb, n_centroids=4, iters=2, max_train_rows=100)
+    c2 = train_ivf_centroids(emb, n_centroids=4, iters=2, max_train_rows=100)
+    assert c1 == c2  # deterministic under the cap
+    qids = [0, 1]
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, qids, k=10, n_centroids=4, n_probe=2, iters=2, max_train_rows=100
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8

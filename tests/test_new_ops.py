@@ -396,3 +396,34 @@ def test_image_metadata_real_png_decode(spark):
     assert abs(out["ok"].mean_luma - round(float(img.mean()), 4)) < 1e-9
     assert out["ok"].decode_error is None
     assert out["bad"].decode_error is not None and out["bad"].width is None
+
+
+def test_multi_region_gate_huge_n_sound(spark):
+    """Above exact_limit the gate must stay SOUND: an L-shaped cloud whose
+    span BOUND exceeds the threshold but whose true max pairwise distance
+    does not must classify single-region (the round-2 early-True would have
+    misclassified it), and a genuinely split cloud must classify multi."""
+    from azure_workflow_for_kml_satellite_spark.operators.gates import is_multi_region
+
+    # L-shape near the equator: two 2.6°-long arms (~290 km each) sharing a
+    # corner → span bound ≈ 580 km > 500 km threshold, true max ≈ 410 km.
+    arm = [(0.0 + 0.026 * i, 0.0) for i in range(100)] + [
+        (0.0, 0.0 + 0.026 * i) for i in range(100)
+    ]
+    l_shape = spark.createDataFrame(arm, ["centroid_lon", "centroid_lat"])
+    assert is_multi_region(l_shape, exact_limit=10) is False
+
+    # same shape plus one far outlier → witnessed multi-region
+    split = spark.createDataFrame(
+        arm + [(20.0, 20.0)], ["centroid_lon", "centroid_lat"]
+    )
+    assert is_multi_region(split, exact_limit=10) is True
+
+    # two tight clusters ~600 km apart along a diagonal: the global extreme
+    # points witness it even when n is huge relative to exact_limit
+    two = spark.createDataFrame(
+        [(0.0 + 0.001 * i, 0.0) for i in range(30)]
+        + [(3.8 + 0.001 * i, 3.8) for i in range(30)],
+        ["centroid_lon", "centroid_lat"],
+    )
+    assert is_multi_region(two, exact_limit=10) is True

@@ -101,3 +101,53 @@ def test_mid_stage_kill_then_resume_completes(spark, tmp_path):
     assert len(resumed_rows) == 3
     led = cm2.ledger()
     assert led.filter(F.col("stage") == "st").count() == 5
+
+
+def test_legacy_json_ledger_migrates(spark, tmp_path):
+    """A pre-table JSON ledger must migrate into the parquet ledger on read —
+    not be silently ignored (which would re-run completed stages and
+    double-append completed partitions)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    run_dir = tmp_path / "legacy"
+    ledger_dir = run_dir / "_ledger"
+    ledger_dir.mkdir(parents=True)
+    (ledger_dir / "st.json").write_text(
+        json.dumps(
+            [
+                {"run_id": "legacy", "stage": "st", "partition": "0",
+                 "rows": 10, "duration_s": 1.0, "status": "completed",
+                 "ts": "2026-01-01T00:00:00"},
+                {"run_id": "legacy", "stage": "st", "partition": "1",
+                 "rows": 10, "duration_s": 1.0, "status": "completed",
+                 "ts": "2026-01-01T00:00:00"},
+            ]
+        )
+    )
+    cm = CheckpointManager(spark, str(tmp_path), run_id="legacy")
+    assert cm.completed_partitions("st") == {"0", "1"}
+    # migration is one-shot: json renamed, parquet rows persist
+    assert not [p for p in ledger_dir.glob("*.json") if not p.name.startswith("_migrated_")]
+    assert list(ledger_dir.glob("_migrated_*.json"))
+    assert cm.completed_partitions("st") == {"0", "1"}
+    # resume computes only the missing partitions
+    df = spark.range(40).withColumn("grp", (F.col("id") % 4).cast("string"))
+    cm.partitioned_stage("st", df, "grp")
+    assert cm.completed_partitions("st") == {"0", "1", "2", "3"}
+
+
+def test_legacy_json_ledger_bad_format_raises(spark, tmp_path):
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    ledger_dir = tmp_path / "bad" / "_ledger"
+    ledger_dir.mkdir(parents=True)
+    (ledger_dir / "x.json").write_text("{not json")
+    cm = CheckpointManager(spark, str(tmp_path), run_id="bad")
+    with pytest.raises(RuntimeError, match="incompatible ledger format"):
+        cm.ledger()
