@@ -437,8 +437,13 @@ def _q_portfolio(spark, sf_dir):
 
 
 def _q_eudr_report(spark, sf_dir):
-    """S20: per-document due-diligence PDF (binary is deterministic; the
-    query exposes url/parcel-count/byte-size — rows-only, rendering output)."""
+    """S20: per-document due-diligence report. The query exposes the
+    report's full logical CONTENT (report_text — every header, summary
+    counter, NDVI-trend histogram line, vegetation-table row, and per-parcel
+    evidence line) plus the parcel count, both hash-checked against the
+    sequential oracle's independent text assembly; the deterministic PDF 1.4
+    byte stream is a pure rendering of that content and stays
+    structure-tested in tests/test_pdf_report.py."""
     from azure_workflow_for_kml_satellite_spark.operators.change import (
         change_summary_per_aoi,
         season_changes,
@@ -461,8 +466,7 @@ def _q_eudr_report(spark, sf_dir):
         det,
     )
     return pdfs.select(
-        "url", F.col("n_parcels").cast("long").alias("n_parcels"),
-        F.length("report_pdf").cast("long").alias("pdf_bytes"),
+        "url", F.col("n_parcels").cast("long").alias("n_parcels"), "report_text"
     )
 
 
@@ -930,6 +934,10 @@ def oracle_sql() -> dict[str, str]:
     sql["q_determination"] = (
         "SELECT url, feature_index, deforestation_free, confidence, flags "
         f"FROM read_parquet('{_E}/expected/determination.parquet')"
+    )
+    sql["q_eudr_report"] = (
+        "SELECT url, n_parcels, report_text "
+        f"FROM read_parquet('{_E}/expected/eudr_report.parquet')"
     )
 
     # — genuine SQL re-derivations over engine tables —

@@ -15,51 +15,92 @@ from pyspark.sql import DataFrame, functions as F
 from azure_workflow_for_kml_satellite_spark.functions.pdf import PdfBuilder
 
 
-def _render_report(url: str, parcels: list) -> bytes:
+def report_content(url: str, parcels: list) -> tuple[list[str], list[list[str]]]:
+    """The report's logical text content: (lines, table_rows). The PDF is a
+    pure rendering of this content, and ``"\\n"``-joined lines + flattened
+    table rows form the ``report_text`` column the oracle checks — so the
+    report CONTENT is hash-verified while the PDF byte stream stays
+    structure-tested (test_pdf_report)."""
     parcels = sorted(parcels, key=lambda p: p["feature_index"])
-    pdf = PdfBuilder()
+    lines: list[str] = []
     # header (export.py:569-593)
-    pdf.heading("EUDR Due-Diligence Report", size=18)
-    pdf.line(f"Report ID: {url}", size=9)
-    pdf.line(f"Parcels analysed: {len(parcels)}", size=9)
+    lines.append("EUDR Due-Diligence Report")
+    lines.append(f"Report ID: {url}")
+    lines.append(f"Parcels analysed: {len(parcels)}")
     # compliance summary (export.py:610-671)
-    pdf.heading("EUDR Compliance Summary", size=12)
-    pdf.line("EUDR cutoff date: 31 December 2020", size=10)
+    lines.append("EUDR Compliance Summary")
+    lines.append("EUDR cutoff date: 31 December 2020")
     n_free = sum(1 for p in parcels if p["deforestation_free"])
     n_flagged = sum(1 for p in parcels if not p["deforestation_free"])
-    pdf.line(f"Deforestation-free parcels: {n_free}", size=10)
-    pdf.line(f"Parcels with findings: {n_flagged}", size=10)
+    lines.append(f"Deforestation-free parcels: {n_free}")
+    lines.append(f"Parcels with findings: {n_flagged}")
     # vegetation analysis (export.py:674-713)
-    pdf.heading("Vegetation Analysis", size=12)
+    lines.append("Vegetation Analysis")
     directions: dict[str, int] = {}
     for p in parcels:
         directions[p["direction"] or "unknown"] = directions.get(p["direction"] or "unknown", 0) + 1
     for d in sorted(directions):
-        pdf.line(f"NDVI trend '{d}': {directions[d]} parcel(s)", size=10)
-    pdf.table(
-        ["parcel", "area (ha)", "health", "trajectory", "confidence"],
+        lines.append(f"NDVI trend '{d}': {directions[d]} parcel(s)")
+    table_rows = [
         [
-            [
-                str(p["name"] or f"feature {p['feature_index']}"),
-                f"{p['area_ha']:.1f}" if p["area_ha"] is not None else "-",
-                str(p["health_class"] or "-"),
-                str(p["trajectory"] or "-"),
-                str(p["confidence"] or "-"),
-            ]
-            for p in parcels
-        ],
-        [150.0, 70.0, 110.0, 90.0, 70.0],
-    )
+            str(p["name"] or f"feature {p['feature_index']}"),
+            f"{p['area_ha']:.1f}" if p["area_ha"] is not None else "-",
+            str(p["health_class"] or "-"),
+            str(p["trajectory"] or "-"),
+            str(p["confidence"] or "-"),
+        ]
+        for p in parcels
+    ]
     # per-parcel evidence (export.py:748-840)
-    pdf.heading("Per-Parcel Evidence", size=14)
+    evidence: list[str] = ["Per-Parcel Evidence"]
     for p in parcels:
-        pdf.line(str(p["name"] or f"feature {p['feature_index']}"), size=11, style="B")
+        evidence.append(str(p["name"] or f"feature {p['feature_index']}"))
         verdict = "DEFORESTATION-FREE" if p["deforestation_free"] else "FINDINGS PRESENT"
-        pdf.line(f"Determination: {verdict} (confidence: {p['confidence']})", size=9)
+        evidence.append(f"Determination: {verdict} (confidence: {p['confidence']})")
         for flag in (p["flags"] or "").split("|"):
             if flag:
-                pdf.line(f"- {flag}", size=9, style="I")
-    return pdf.build()
+                evidence.append(f"- {flag}")
+    return lines + evidence, table_rows
+
+
+TABLE_HEADER = ["parcel", "area (ha)", "health", "trajectory", "confidence"]
+
+
+def report_text(lines: list[str], table_rows: list[list[str]]) -> str:
+    """Canonical flat text of one report: the content lines with the
+    vegetation table (header + rows, cells ' | '-joined) spliced after the
+    NDVI-trend histogram (i.e. before 'Per-Parcel Evidence')."""
+    cut = lines.index("Per-Parcel Evidence")
+    table = [" | ".join(TABLE_HEADER)] + [" | ".join(r) for r in table_rows]
+    return "\n".join(lines[:cut] + table + lines[cut:])
+
+
+def _render_report(url: str, parcels: list) -> tuple[bytes, str]:
+    lines, table_rows = report_content(url, parcels)
+    cut = lines.index("Per-Parcel Evidence")
+    parcels = sorted(parcels, key=lambda p: p["feature_index"])
+    pdf = PdfBuilder()
+    pdf.heading(lines[0], size=18)       # title (export.py:569-593)
+    pdf.line(lines[1], size=9)
+    pdf.line(lines[2], size=9)
+    pdf.heading(lines[3], size=12)       # compliance summary (export.py:610-671)
+    for ln in lines[4:7]:
+        pdf.line(ln, size=10)
+    pdf.heading(lines[7], size=12)       # vegetation analysis (export.py:674-713)
+    for ln in lines[8:cut]:
+        pdf.line(ln, size=10)
+    pdf.table(TABLE_HEADER, table_rows, [150.0, 70.0, 110.0, 90.0, 70.0])
+    pdf.heading(lines[cut], size=14)     # per-parcel evidence (export.py:748-840)
+    i = cut + 1
+    for p in parcels:
+        pdf.line(lines[i], size=11, style="B")        # parcel name
+        pdf.line(lines[i + 1], size=9)                # determination verdict
+        i += 2
+        n_flags = sum(1 for flag in (p["flags"] or "").split("|") if flag)
+        for _ in range(n_flags):
+            pdf.line(lines[i], size=9, style="I")
+            i += 1
+    return pdf.build(), report_text(lines, table_rows)
 
 
 def eudr_report_pdfs(
@@ -68,7 +109,10 @@ def eudr_report_pdfs(
     change_summary: DataFrame,
     determination: DataFrame,
 ) -> DataFrame:
-    """One (url, report_pdf, n_parcels) row per source document."""
+    """One (url, report_pdf, report_text, n_parcels) row per source
+    document. ``report_text`` is the report's full logical content
+    (hash-oracled); ``report_pdf`` is its deterministic PDF 1.4 rendering
+    (structure-tested)."""
     j = (
         aois.select("url", "feature_index", "name", "area_ha")
         .join(
@@ -89,7 +133,7 @@ def eudr_report_pdfs(
             "left",
         )
     )
-    render = F.udf(_render_report, "binary")
+    render = F.udf(_render_report, "report_pdf binary, report_text string")
     return (
         j.groupBy("url")
         .agg(
@@ -107,9 +151,11 @@ def eudr_report_pdfs(
                 )
             ).alias("parcels")
         )
+        .withColumn("r", render("url", "parcels"))
         .select(
             "url",
-            render("url", "parcels").alias("report_pdf"),
+            F.col("r.report_pdf").alias("report_pdf"),
+            F.col("r.report_text").alias("report_text"),
             F.size("parcels").alias("n_parcels"),
         )
     )

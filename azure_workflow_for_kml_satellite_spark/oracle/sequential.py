@@ -769,6 +769,74 @@ def build_expected(sf_dir: str | Path) -> Path:
     _write(out_dir, "determination", {k: [r[k] for r in det_rows] for k in
         ("url", "feature_index", "deforestation_free", "confidence", "flags")})
 
+    # EUDR report text (S20 content; reference: export.py:512-1533 sections).
+    # Independent re-assembly of the per-document report content from the
+    # sequential tables above — the engine's report_text column must hash-
+    # match this; the PDF byte stream is a rendering of the same content and
+    # is structure-tested, not oracled.
+    ndvi_trend_by = {(t["url"], t["feature_index"]): t for t in trends}
+    det_by = {(d["url"], d["feature_index"]): d for d in det_rows}
+    by_url: dict[str, list[dict]] = {}
+    for a in aois:
+        by_url.setdefault(a["url"], []).append(a)
+    rep_urls: list[str] = []
+    rep_counts: list[int] = []
+    rep_texts: list[str] = []
+    for url in by_url:
+        docs_parcels = sorted(by_url[url], key=lambda a: a["feature_index"])
+        free = flagged = 0
+        trend_counts: dict[str, int] = {}
+        table: list[str] = [
+            "parcel | area (ha) | health | trajectory | confidence"
+        ]
+        evidence: list[str] = ["Per-Parcel Evidence"]
+        for a in docs_parcels:
+            key = (a["url"], a["feature_index"])
+            t = ndvi_trend_by.get(key)
+            s = summ_by.get(key)
+            d = det_by[key]
+            if d["deforestation_free"]:
+                free += 1
+            else:
+                flagged += 1
+            direction = (t["direction"] if t else None) or "unknown"
+            trend_counts[direction] = trend_counts.get(direction, 0) + 1
+            label = a["name"] if a["name"] else f"feature {a['feature_index']}"
+            cells = [
+                str(label),
+                ("%.1f" % a["area_ha"]) if a["area_ha"] is not None else "-",
+                str((t["health_class"] if t else None) or "-"),
+                str((s["trajectory"] if s else None) or "-"),
+                str(d["confidence"] or "-"),
+            ]
+            table.append(" | ".join(cells))
+            evidence.append(str(label))
+            word = "DEFORESTATION-FREE" if d["deforestation_free"] else "FINDINGS PRESENT"
+            evidence.append(f"Determination: {word} (confidence: {d['confidence']})")
+            for fl in (d["flags"] or "").split("|"):
+                if fl:
+                    evidence.append(f"- {fl}")
+        head = [
+            "EUDR Due-Diligence Report",
+            f"Report ID: {url}",
+            f"Parcels analysed: {len(docs_parcels)}",
+            "EUDR Compliance Summary",
+            "EUDR cutoff date: 31 December 2020",
+            f"Deforestation-free parcels: {free}",
+            f"Parcels with findings: {flagged}",
+            "Vegetation Analysis",
+        ]
+        for direction in sorted(trend_counts):
+            head.append(f"NDVI trend '{direction}': {trend_counts[direction]} parcel(s)")
+        rep_urls.append(url)
+        rep_counts.append(len(docs_parcels))
+        rep_texts.append("\n".join(head + table + evidence))
+    _write(
+        out_dir,
+        "eudr_report",
+        {"url": rep_urls, "n_parcels": rep_counts, "report_text": rep_texts},
+    )
+
     _write(
         out_dir,
         "wdpa_overlap",

@@ -74,3 +74,51 @@ def test_eudr_report_pdfs_operator(spark):
     assert b"(Parcels with findings: 1)" in pdf
     assert b"(Farm A)" in pdf and b"(NDVI trend 'declining': 1 parcel\\(s\\))" in pdf
     assert b"Vegetation loss 12.0% \\(5.0 ha\\)" in pdf
+
+
+def test_report_text_matches_pdf_content(spark):
+    """report_text is the report's full logical content: every line of it
+    (headers, counters, histogram, table rows, evidence) must appear in the
+    rendered PDF, and the text itself is deterministic."""
+    from azure_workflow_for_kml_satellite_spark.operators.reports import (
+        eudr_report_pdfs,
+    )
+
+    aois = spark.createDataFrame(
+        [("u1", 0, "Farm A", 12.345), ("u1", 1, None, 7.0)],
+        "url string, feature_index long, name string, area_ha double",
+    )
+    trend = spark.createDataFrame(
+        [("u1", 0, "declining", "sparse_vegetation")],
+        "url string, feature_index long, direction string, health_class string",
+    )
+    chg = spark.createDataFrame(
+        [("u1", 0, "Declining")], "url string, feature_index long, trajectory string"
+    )
+    det = spark.createDataFrame(
+        [("u1", 0, False, "high", "Overall NDVI trajectory is declining"),
+         ("u1", 1, True, "low", "")],
+        "url string, feature_index long, deforestation_free boolean, confidence string, flags string",
+    )
+    rows = eudr_report_pdfs(aois, trend, chg, det).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    text = r.report_text
+    pdf = bytes(r.report_pdf)
+    assert "Report ID: u1" in text and "Parcels analysed: 2" in text
+    assert "NDVI trend 'declining': 1 parcel(s)" in text
+    assert "NDVI trend 'unknown': 1 parcel(s)" in text
+    assert "parcel | area (ha) | health | trajectory | confidence" in text
+    assert "Farm A | 12.3 | sparse_vegetation | Declining | high" in text
+    assert "feature 1 | 7.0 | - | - | low" in text
+    assert "Determination: FINDINGS PRESENT (confidence: high)" in text
+    assert "- Overall NDVI trajectory is declining" in text
+    # every non-table text line is rendered into the PDF stream (escaped)
+    for line in text.split("\n"):
+        if " | " in line:
+            continue  # table rows render cell-wise
+        probe = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        assert f"({probe})".encode("latin-1", "replace") in pdf, line
+    # determinism
+    r2 = eudr_report_pdfs(aois, trend, chg, det).collect()[0]
+    assert r2.report_text == text and bytes(r2.report_pdf) == pdf
