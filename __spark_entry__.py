@@ -914,9 +914,10 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_ndvi_ok
               FROM read_parquet('{_E}/expected/ndvi_stats.parquet')) n
     """
-    # q_portfolio: the operator folds the per-AOI rows in (url, feature_index)
-    # order inside one scalar UDF, so the sequential oracle reproduces the
-    # single row exactly.
+    # q_portfolio: the operator reduces each partition to exact Shewchuk
+    # expansion partials and merges them with fsum — correctly-rounded exact
+    # sums, so the sequential oracle's math.fsum reproduces the single row
+    # bit-for-bit under any partitioning.
     sql["q_portfolio"] = (
         "SELECT aoi_count, total_area_ha, total_perimeter_km, weighted_mean_ndvi, "
         "total_loss_ha, total_gain_ha, net_change_ha "

@@ -229,10 +229,11 @@ def pipeline_summary(features: DataFrame, ndvi_df: DataFrame) -> DataFrame:
 
 
 def portfolio_py(rows: list) -> tuple:
-    """Sequential portfolio accumulation over (url, feature_index)-sorted AOI
-    rows (reference arithmetic: aoi_metrics.py:228-283). Pinning the fold
-    order makes the single-row result reproducible across any partitioning,
-    so the sequential oracle can re-derive it exactly."""
+    """Single-pass sequential portfolio fold over (url, feature_index)-sorted
+    AOI rows (reference arithmetic: aoi_metrics.py:228-283). Kept as the
+    readable reference fold and parity baseline for the distributed
+    two-level exact fold below (portfolio_summary), which upgrades the
+    semantics to correctly-rounded exact sums."""
     rows = sorted(rows, key=lambda r: (r["url"], r["feature_index"]))
     n = 0
     area = per = wnum = wden = loss = gain = net = 0.0
@@ -267,31 +268,115 @@ _PORTFOLIO_SCHEMA = (
 )
 
 
+def _expansion_add(partials: list, x: float) -> None:
+    """Grow a Shewchuk non-overlapping float expansion by x in place: the
+    expansion's components sum EXACTLY (in real arithmetic) to the running
+    total, so per-partition partials can later be merged without losing a
+    single bit (math.fsum over all components = the correctly-rounded exact
+    sum, independent of partitioning and order)."""
+    i = 0
+    for y in partials:
+        if abs(x) < abs(y):
+            x, y = y, x
+        hi = x + y
+        lo = y - (hi - x)
+        if lo:
+            partials[i] = lo
+            i += 1
+        x = hi
+    partials[i:] = [x]
+
+
+_PARTIAL_SCHEMA = (
+    "n long, area array<double>, per array<double>, wnum array<double>, "
+    "wden array<double>, loss array<double>, gain array<double>, net array<double>"
+)
+
+
+def _portfolio_partials(batches):
+    """mapInPandas stage 1: one exact partial-sum row per task partition."""
+    import pandas as pd
+
+    n = 0
+    acc = {k: [] for k in ("area", "per", "wnum", "wden", "loss", "gain", "net")}
+    for pdf in batches:
+        for r in pdf.itertuples(index=False):
+            n += 1
+            _expansion_add(acc["area"], float(r.area_ha))
+            _expansion_add(acc["per"], float(r.perimeter_km))
+            if r.latest_mean is not None and not pd.isna(r.latest_mean):
+                _expansion_add(acc["wnum"], float(r.latest_mean) * float(r.area_ha))
+                _expansion_add(acc["wden"], float(r.area_ha))
+            tl = 0.0 if r.total_loss_ha is None or pd.isna(r.total_loss_ha) else float(r.total_loss_ha)
+            tg = 0.0 if r.total_gain_ha is None or pd.isna(r.total_gain_ha) else float(r.total_gain_ha)
+            _expansion_add(acc["loss"], tl)
+            _expansion_add(acc["gain"], tg)
+            _expansion_add(acc["net"], tg - tl)
+    if n:
+        yield pd.DataFrame(
+            [
+                {
+                    "n": n,
+                    "area": acc["area"], "per": acc["per"],
+                    "wnum": acc["wnum"], "wden": acc["wden"],
+                    "loss": acc["loss"], "gain": acc["gain"], "net": acc["net"],
+                }
+            ]
+        )
+
+
+def _portfolio_merge(parts: list) -> tuple:
+    """Stage 2: merge the (few) per-partition exact expansions. fsum over
+    concatenated expansion components returns the correctly-rounded sum of
+    ALL original per-AOI values — bit-identical for any partitioning."""
+    import math
+
+    def total(key: str) -> float:
+        return math.fsum(c for p in parts for c in p[key])
+
+    n = sum(p["n"] for p in parts)
+    area = total("area")
+    per = total("per")
+    wnum = total("wnum")
+    wden = total("wden")
+    loss = total("loss")
+    gain = total("gain")
+    net = total("net")
+    return (
+        n,
+        round(area, 4),
+        round(per, 4),
+        round(wnum / wden, 4) if wden > 0 else None,
+        round(loss, 2),
+        round(gain, 2),
+        round(net, 2),
+    )
+
+
 def portfolio_summary(
     geom: DataFrame, trend: DataFrame, change_sum: DataFrame
 ) -> DataFrame:
     """A8: portfolio-level rollup incl. area-weighted mean NDVI
     (reference: aoi_metrics.py:228-283). Returns a single row.
 
-    The per-AOI inputs are collected into one sorted array and folded
-    sequentially (portfolio_py) — a single-row rollup over ~10⁴ AOI structs,
-    so the collect is a few hundred KB regardless of raw data scale; the
-    heavy reduction work already happened in the distributed inputs."""
+    Two-level exact fold: stage 1 reduces each task partition to ONE row of
+    Shewchuk expansion partials (exact, a handful of doubles per metric);
+    stage 2 merges those few rows with math.fsum. No task ever materializes
+    all AOI structs (the round-2 single collect_list hit the 2 GiB task
+    limit at ~10⁸ AOIs), and because the partials are exact the result is
+    the correctly-rounded sum — bit-identical under ANY partitioning, which
+    is a stronger reproducibility guarantee than the previous sorted-fold
+    (the sequential oracle computes the same fsum semantics)."""
     j = geom.join(trend, ["url", "feature_index"], "left").join(
         change_sum, ["url", "feature_index"], "left"
     )
-    fold = F.udf(portfolio_py, _PORTFOLIO_SCHEMA)
-    agg = j.agg(
+    partials = j.select(
+        "area_ha", "perimeter_km", "latest_mean", "total_loss_ha", "total_gain_ha"
+    ).mapInPandas(_portfolio_partials, _PARTIAL_SCHEMA)
+    merge = F.udf(_portfolio_merge, _PORTFOLIO_SCHEMA)
+    agg = partials.agg(
         F.collect_list(
-            F.struct(
-                "url",
-                "feature_index",
-                "area_ha",
-                "perimeter_km",
-                "latest_mean",
-                "total_loss_ha",
-                "total_gain_ha",
-            )
-        ).alias("rows")
+            F.struct("n", "area", "per", "wnum", "wden", "loss", "gain", "net")
+        ).alias("parts")
     )
-    return agg.select(fold("rows").alias("p")).select("p.*")
+    return agg.select(merge("parts").alias("p")).select("p.*")

@@ -433,39 +433,51 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
-    # portfolio rollup (A8) — sequential fold in (url, feature_index) order,
-    # mirroring the operator's portfolio_py contract (re-derived, not imported)
+    # portfolio rollup (A8) — correctly-rounded EXACT sums (math.fsum), the
+    # same semantics as the operator's two-level Shewchuk-expansion fold:
+    # exact summation is order-independent, so the single-row result is
+    # reproducible under any partitioning on the engine side and any
+    # iteration order here (re-derived, not imported).
+    import math as _math
+
     t_by = {(t["url"], t["feature_index"]): t for t in trends}
     s_by = {(s["url"], s["feature_index"]): s for s in summ}
-    p_n = 0
-    p_area = p_per = p_wnum = p_wden = p_loss = p_gain = p_net = 0.0
-    for a in sorted(aois, key=lambda a: (a["url"], a["feature_index"])):
+    v_area: list[float] = []
+    v_per: list[float] = []
+    v_wnum: list[float] = []
+    v_wden: list[float] = []
+    v_loss: list[float] = []
+    v_gain: list[float] = []
+    v_net: list[float] = []
+    for a in aois:
         key = (a["url"], a["feature_index"])
-        p_n += 1
-        p_area += a["area_ha"]
-        p_per += a["perimeter_km"]
+        v_area.append(a["area_ha"])
+        v_per.append(a["perimeter_km"])
         t = t_by.get(key)
         lm = t["latest_mean"] if t else None
         if lm is not None:
-            p_wnum += lm * a["area_ha"]
-            p_wden += a["area_ha"]
+            v_wnum.append(lm * a["area_ha"])
+            v_wden.append(a["area_ha"])
         s = s_by.get(key)
         tl = s["total_loss_ha"] if s and s["total_loss_ha"] is not None else 0.0
         tg = s["total_gain_ha"] if s and s["total_gain_ha"] is not None else 0.0
-        p_loss += tl
-        p_gain += tg
-        p_net += tg - tl
+        v_loss.append(tl)
+        v_gain.append(tg)
+        v_net.append(tg - tl)
+    p_wden = _math.fsum(v_wden)
     _write(
         out_dir,
         "portfolio",
         {
-            "aoi_count": [p_n],
-            "total_area_ha": [round(p_area, 4)],
-            "total_perimeter_km": [round(p_per, 4)],
-            "weighted_mean_ndvi": [round(p_wnum / p_wden, 4) if p_wden > 0 else None],
-            "total_loss_ha": [round(p_loss, 2)],
-            "total_gain_ha": [round(p_gain, 2)],
-            "net_change_ha": [round(p_net, 2)],
+            "aoi_count": [len(v_area)],
+            "total_area_ha": [round(_math.fsum(v_area), 4)],
+            "total_perimeter_km": [round(_math.fsum(v_per), 4)],
+            "weighted_mean_ndvi": [
+                round(_math.fsum(v_wnum) / p_wden, 4) if p_wden > 0 else None
+            ],
+            "total_loss_ha": [round(_math.fsum(v_loss), 2)],
+            "total_gain_ha": [round(_math.fsum(v_gain), 2)],
+            "net_change_ha": [round(_math.fsum(v_net), 2)],
         },
     )
 

@@ -314,3 +314,72 @@ def test_ivf_training_sample_cap(spark):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.8
+
+
+def test_portfolio_two_level_fold_parity(spark):
+    """The two-level Shewchuk-partials fold must (a) be bit-identical under
+    any partitioning, (b) agree with the sequential portfolio_py fold on
+    realistic data, (c) match direct math.fsum semantics exactly."""
+    import math
+
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        portfolio_py,
+        portfolio_summary,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (
+            f"u{idx % 97}",
+            idx,
+            rng.uniform(0.5, 900.0),
+            rng.uniform(0.05, 40.0),
+            None if rng.random() < 0.25 else rng.uniform(0.0, 1.0),
+            None if rng.random() < 0.4 else rng.uniform(0.0, 30.0),
+            None if rng.random() < 0.4 else rng.uniform(0.0, 30.0),
+        )
+        for idx in range(3000)
+    ]
+    schema = (
+        "url string, feature_index long, area_ha double, perimeter_km double, "
+        "latest_mean double, total_loss_ha double, total_gain_ha double"
+    )
+    geom = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "url string, feature_index long, area_ha double, perimeter_km double",
+    )
+    trend = spark.createDataFrame(
+        [(r[0], r[1], r[4]) for r in rows],
+        "url string, feature_index long, latest_mean double",
+    )
+    chg = spark.createDataFrame(
+        [(r[0], r[1], r[5], r[6]) for r in rows],
+        "url string, feature_index long, total_loss_ha double, total_gain_ha double",
+    )
+    outs = []
+    for parts in (1, 7, 32):
+        out = portfolio_summary(
+            geom.repartition(parts), trend.repartition(max(1, parts // 2)), chg
+        ).collect()[0]
+        outs.append(tuple(out))
+    assert outs[0] == outs[1] == outs[2]  # partitioning-invariant, bit-exact
+    # fsum semantics, recomputed directly
+    exp_area = round(math.fsum(r[2] for r in rows), 4)
+    wnum = math.fsum(r[4] * r[2] for r in rows if r[4] is not None)
+    wden = math.fsum(r[2] for r in rows if r[4] is not None)
+    assert outs[0][0] == 3000 and outs[0][1] == exp_area
+    assert outs[0][3] == round(wnum / wden, 4)
+    net = math.fsum((r[6] or 0.0) - (r[5] or 0.0) for r in rows)
+    assert outs[0][6] == round(net, 2)
+    # agreement with the sequential reference fold (4/2-dp rounded values)
+    py = portfolio_py(
+        [
+            {
+                "url": r[0], "feature_index": r[1], "area_ha": r[2],
+                "perimeter_km": r[3], "latest_mean": r[4],
+                "total_loss_ha": r[5], "total_gain_ha": r[6],
+            }
+            for r in rows
+        ]
+    )
+    assert tuple(outs[0]) == py
