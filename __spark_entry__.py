@@ -311,6 +311,41 @@ def _q_monthly_weather(spark, sf_dir):
     return monthly_weather_rollup(t["weather_daily"])
 
 
+def _q_monthly_frames(spark, sf_dir):
+    """Monthly-cadence frame plan (the 'monthly' branch of the frame
+    generator, reference frames.py:111-129 incl. the calendar month-end
+    semantics) joined per region against daily weather: the DuckDB oracle
+    re-derives every month window with make_date/interval arithmetic, so
+    frame_id positions, start dates and month-end dates (incl. leap-year
+    February) are pinned bit-for-bit."""
+    from azure_workflow_for_kml_satellite_spark.sources.frames import (
+        build_frame_rows,
+        filter_frames,
+    )
+
+    rows = filter_frames(
+        build_frame_rows(False, cadence="monthly"), RUN_DATE_START, RUN_DATE_END
+    )
+    frames = spark.createDataFrame(
+        [(f["frame_id"], f["year"], f["season"], f["start"], f["end"]) for f in rows],
+        "frame_id long, year long, month_key string, date_start string, date_end string",
+    )
+    ed = engine_dir(sf_dir)
+    w = load_tables(spark, ed)["weather_daily"]
+    joined = w.join(
+        F.broadcast(frames),
+        (F.col("date") >= F.to_date("date_start")) & (F.col("date") <= F.to_date("date_end")),
+    )
+    return (
+        joined.groupBy("frame_id", "year", "month_key", "date_start", "date_end", "region")
+        .agg(
+            F.count("*").alias("observation_days"),
+            F.round(F.avg("temp_c"), 1).alias("temp_mean_c"),
+            F.round(F.sum("precip_mm"), 1).alias("precip_total_mm"),
+        )
+    )
+
+
 def _q_fire_summary(spark, sf_dir):
     ed = engine_dir(sf_dir)
     t = load_tables(spark, ed)
@@ -789,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wdpa_overlap": _q_wdpa_overlap,
         "q_weather_summary": _q_weather_summary,
         "q_monthly_weather": _q_monthly_weather,
+        "q_monthly_frames": _q_monthly_frames,
         "q_fire_summary": _q_fire_summary,
         "q_flood_summary": _q_flood_summary,
         "q_display_annotations": _q_display_annotations,
@@ -977,6 +1013,33 @@ def oracle_sql() -> dict[str, str]:
                round(sum(precip_mm), 1) AS precip_total_mm
         FROM read_parquet('{_E}/weather_daily.parquet')
         GROUP BY region, month
+    """
+    sql["q_monthly_frames"] = f"""
+        WITH months AS (
+          SELECT CAST((y - 2018) * 12 + (m - 1) AS BIGINT) AS frame_id,
+                 CAST(y AS BIGINT) AS year,
+                 printf('m%02d', m) AS month_key,
+                 make_date(y, m, 1) AS d_start,
+                 CASE WHEN m = 12 THEN make_date(y, 12, 31)
+                      ELSE make_date(y, m, 1) + INTERVAL 1 MONTH - INTERVAL 1 DAY
+                 END AS d_end
+          FROM generate_series(2018, 2026) AS ys(y),
+               generate_series(1, 12) AS ms(m)
+        ),
+        win AS (
+          SELECT * FROM months
+          WHERE d_end >= DATE '{RUN_DATE_START}' AND d_start <= DATE '{RUN_DATE_END}'
+        )
+        SELECT win.frame_id, win.year, win.month_key,
+               strftime(win.d_start, '%Y-%m-%d') AS date_start,
+               strftime(win.d_end, '%Y-%m-%d') AS date_end,
+               w.region,
+               count(*) AS observation_days,
+               round(avg(w.temp_c), 1) AS temp_mean_c,
+               round(sum(w.precip_mm), 1) AS precip_total_mm
+        FROM win JOIN read_parquet('{_E}/weather_daily.parquet') w
+          ON w.date >= win.d_start AND w.date <= win.d_end
+        GROUP BY 1, 2, 3, 4, 5, 6
     """
     sql["q_fire_summary"] = f"""
         SELECT a.url, a.feature_index, count(*) AS n_events,

@@ -105,7 +105,16 @@ def geodesic_area_and_perimeter(coords: Ring) -> tuple[float, float]:
     In this container pyproj is absent so the fallback runs; when pyproj is
     importable the primary path activates automatically (regenerate the
     expected-parquet oracles after an environment change — the sequential
-    oracle upgrades the same way)."""
+    oracle upgrades the same way).
+
+    The primary ELLIPSOIDAL semantics are still exercised in-container by
+    the vendored WGS84 geodesic (functions/geodesic.py — Vincenty inverse +
+    exact authalic equal-area mapping, validated against closed-form
+    ellipsoid facts in tests/test_geodesic.py). It is intentionally NOT
+    spliced into this dispatch: the reference's behaviour without pyproj is
+    the spherical fallback, and the independent oracle can re-derive that
+    bit-for-bit, which no second from-scratch geodesic implementation
+    could."""
     if len(coords) < 3:
         return 0.0, 0.0
     try:

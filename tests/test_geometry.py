@@ -115,22 +115,35 @@ def test_compactness_circle_near_one():
 
 def test_area_golden_band_both_paths():
     """Reference band (test_geo.py:58-71) must hold on BOTH geodesic paths:
-    the always-available spherical+haversine fallback, and the pyproj-primary
-    path when pyproj is importable (reference geo.py:69-83)."""
-    import pytest
-
+    the always-available spherical+haversine fallback, and the ellipsoidal
+    PRIMARY semantics (reference geo.py:69-83) — via pyproj when importable,
+    else via the vendored WGS84 geodesic (functions/geodesic.py), so the
+    primary path is exercised in every environment (no skip)."""
     sq = _square()
     area_fb = geo.spherical_area_ha(sq)
     per_fb = geo.haversine_perimeter_km(sq)
     assert 50 < area_fb < 200 and 3 < per_fb < 6
     try:
         from pyproj import Geod
+
+        a_m2, p_m = Geod(ellps="WGS84").polygon_area_perimeter(
+            [c[0] for c in sq], [c[1] for c in sq]
+        )
+        # the dispatching kernel must agree with the active primary path
+        area, per = geo.geodesic_area_and_perimeter(sq)
+        assert area == abs(a_m2) / 10_000 and per == abs(p_m) / 1_000
     except ImportError:
-        pytest.skip("pyproj not installed — primary path inactive in this env")
-    a_m2, p_m = Geod(ellps="WGS84").polygon_area_perimeter(
-        [c[0] for c in sq], [c[1] for c in sq]
-    )
+        from azure_workflow_for_kml_satellite_spark.functions.geodesic import (
+            polygon_area_perimeter,
+        )
+
+        a_m2, p_m = polygon_area_perimeter([c[0] for c in sq], [c[1] for c in sq])
+        # without pyproj the dispatching kernel takes the documented
+        # spherical fallback (bit-parity with the reference + oracle)
+        area, per = geo.geodesic_area_and_perimeter(sq)
+        assert (area, per) == (area_fb, per_fb)
     assert 50 < abs(a_m2) / 10_000 < 200 and 3 < abs(p_m) / 1_000 < 6
-    # and the dispatching kernel must agree with the active primary path
-    area, per = geo.geodesic_area_and_perimeter(sq)
-    assert area == abs(a_m2) / 10_000 and per == abs(p_m) / 1_000
+    # primary (ellipsoidal) and fallback (spherical) agree to ~1% at parcel
+    # scale — the documented accuracy trade of the fallback
+    assert abs(abs(a_m2) / 10_000 - area_fb) / area_fb < 0.01
+    assert abs(abs(p_m) / 1_000 - per_fb) / per_fb < 0.01
