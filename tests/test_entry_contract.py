@@ -14,10 +14,12 @@ def test_queries_oracles_consistent():
     assert len(qs) >= 30
     # every oracle refers to an existing query
     assert set(oracles) <= set(qs)
-    # round 2 oracled everything except approximate ANN top-k (whose rank
-    # order is recall-dependent); it stays rows-only by design
-    for name in ("q_ann_lsh", "q_ann_ivf", "q_eudr_report"):
-        assert name in qs and name not in oracles
+    # round 3 oracled EVERY query: the approximate-ANN entries run at
+    # provable-equality operating points (coverage band / n_probe ==
+    # n_centroids) and the EUDR report exposes its content as report_text
+    assert set(oracles) == set(qs)
+    for name in ("q_ann_lsh", "q_ann_ivf", "q_eudr_report", "q_monthly_frames"):
+        assert name in qs and name in oracles
     for name in ("q_minhash_lsh", "q_simhash", "q_simhash_pairs", "q_fingerprint",
                  "q_portfolio", "q_embed_near_dup_lsh"):
         assert name in qs and name in oracles
