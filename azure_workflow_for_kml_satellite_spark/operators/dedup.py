@@ -300,6 +300,97 @@ def near_dup_clusters(
     return labels
 
 
+def near_dup_clusters_star(
+    documents: DataFrame, pairs: DataFrame, max_rounds: int = 12
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same output contract as ``near_dup_clusters`` (cluster_id =
+    min doc_id of the component, singletons label themselves) but converges
+    in O(log n) rounds instead of O(graph diameter): the 100 TB choice when
+    near-dup chains can be long (boilerplate ladders, template families).
+
+    Each round is two grouped aggregations over the edge set:
+    - large-star: every node's strictly-larger neighbours re-link to the
+      minimum of its closed neighbourhood;
+    - small-star: every node's smaller-or-equal neighbours re-link to the
+      minimum neighbour.
+    Both only ever REPLACE an edge with one incident to a smaller node, so
+    the edge multiset's total label mass strictly decreases until the graph
+    is a star forest rooted at each component's minimum. Convergence is
+    detected by an unchanged edge set; non-convergence within ``max_rounds``
+    raises (it would mean wrong labels, and 2^12 ≥ any real diameter).
+    """
+    spark = documents.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    # canonical undirected edge set, self-loops dropped
+    edges = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = _cut(edges)
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        # large-star: group the closed neighbourhood of u (edges in both
+        # orientations), m = min(neighbourhood ∪ {u}); relink v > u to m
+        both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr_min = both.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m")
+        )
+        large = (
+            both.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (u = max endpoint); m = min smaller neighbour;
+        # relink every smaller neighbour and u itself to m
+        onto = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        small_min = onto.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = (
+            onto.join(small_min, "u")
+            .select(F.col("m").alias("nu"), F.col("v").alias("nv"))
+            .union(small_min.select(F.col("m").alias("nu"), F.col("u").alias("nv")))
+        )
+        new_edges = (
+            relinked.select(
+                F.least("nu", "nv").alias("u"), F.greatest("nu", "nv").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = _cut(new_edges)
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters_star did not converge in {max_rounds} rounds"
+        )
+    labels = edges.groupBy("v").agg(F.min("u").alias("root"))
+    return (
+        documents.select("doc_id")
+        .join(labels, documents.doc_id == labels.v, "left")
+        .select(
+            "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
 def simhash_hamming_pairs(
     documents: DataFrame, max_distance: int = 3, bits: int = 64
 ) -> DataFrame:

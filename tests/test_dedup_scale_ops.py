@@ -383,3 +383,55 @@ def test_portfolio_two_level_fold_parity(spark):
         ]
     )
     assert tuple(outs[0]) == py
+
+
+def test_near_dup_clusters_star_matches_label_propagation(spark):
+    """Large-star/small-star CC must produce the identical (doc_id →
+    component-min) labelling as min-label propagation, including on a long
+    path (diameter 60 — converges in O(log n) rounds, where propagation
+    needs 60) and on random graphs with singletons."""
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+    )
+
+    # long path 0-1-2-...-60 plus a separate triangle and singletons
+    n = 70
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(n)], "doc_id long, text string")
+    path = [(i, i + 1) for i in range(60)]
+    tri = [(63, 64), (64, 65), (65, 63)]
+    pairs = spark.createDataFrame(path + tri, "id_a long, id_b long")
+    star = {r.doc_id: r.cluster_id for r in near_dup_clusters_star(docs, pairs).collect()}
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, pairs, max_iter=80).collect()
+    }
+    assert star == prop
+    assert star[60] == 0 and star[65] == 63 and star[66] == 66
+
+    # randomized union-find cross-check
+    rng = random.Random(9)
+    m = 120
+    edges = [(rng.randrange(m), rng.randrange(m)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for i in range(m):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in range(m)}
+    docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(m)], "doc_id long, text string")
+    pairs2 = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters_star(docs2, pairs2).collect()}
+    assert got == expected
