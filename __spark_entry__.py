@@ -639,6 +639,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.5))
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """O(log n)-round star-contraction CC over the same near-dup pairs —
+    the labelling contract (component-min keeper) is identical to min-label
+    propagation, so it shares q_dedup_clusters' independent union-find
+    oracle."""
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters_star,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_clusters_star(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.dedup import (
         simhash_hamming_pairs,
@@ -842,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_dedup_clusters_star": _q_dedup_clusters_star,
         "q_sample_hash": _q_sample_hash,
         "q_sample_stratified": _q_sample_stratified,
         "q_token_stats": _q_token_stats,
@@ -1139,6 +1154,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, cluster_id "
         f"FROM read_parquet('{_E}/expected/dedup_clusters.parquet')"
     )
+    # star contraction computes the same component-min labelling, so the
+    # same independent union-find expected table is its oracle
+    sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
     sql["q_sample_hash"] = (
         "SELECT doc_id, lang, n_chars "
         f"FROM read_parquet('{_E}/expected/sample_hash.parquet')"

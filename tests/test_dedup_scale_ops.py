@@ -435,3 +435,31 @@ def test_near_dup_clusters_star_matches_label_propagation(spark):
     pairs2 = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id for r in near_dup_clusters_star(docs2, pairs2).collect()}
     assert got == expected
+
+
+def test_lsh_topk_pruned_recall(spark):
+    """The PRUNED lsh_topk operating point (sign-bit bands only, the 100 TB
+    config benchmarked in bench.py) must keep useful recall vs brute force
+    on clustered data — pins that the bucket machinery actually routes
+    neighbours together, not just that the coverage band works."""
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = random.Random(27)
+    dim = 16
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    vecs = [[v + rng.gauss(0, 0.12) for v in centers[i % 5]] for i in range(200)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    qids = list(range(5))
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id) for r in lsh_topk(emb, qids, k=10).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, recall
