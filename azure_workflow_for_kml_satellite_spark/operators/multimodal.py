@@ -2,16 +2,21 @@
 opaque binary columns with typed metadata).
 
 PNG payloads are REALLY decoded (the repo's from-scratch decoder,
-functions/png.py — zlib inflate + all five filter types incl. Paeth), so
-width/height/channels/mean_luma/phash are true pixel statistics for PNG
-inputs. Other codecs (JPEG/audio/video — no PIL/ffmpeg in this container)
-fall back to a deterministic stand-in, clearly marked: swapping
-``_fake_decode_image`` for a PIL call is a one-function change; schemas,
-Arrow batch shape, partitioning and UDF signatures are the real contract.
+functions/png.py — zlib inflate + all five filter types incl. Paeth), and
+baseline JPEG payloads are REALLY decoded too (functions/jpeg.py —
+Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), so
+width/height/channels/mean_luma/phash are true pixel statistics for both.
+WAV (RIFF/PCM) audio is really parsed (``audio_metadata`` — header +
+sample statistics). Remaining codecs (progressive JPEG, compressed audio,
+video containers — no PIL/ffmpeg in this container) fall back to a
+deterministic stand-in, clearly marked: swapping ``_fake_decode_image``
+for a PIL call is a one-function change; schemas, Arrow batch shape,
+partitioning and UDF signatures are the real contract.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -38,7 +43,9 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def _decode_image(data: bytes) -> np.ndarray:
     """bytes → HxWxC uint8. PNG: real decode via functions/png.py.
-    Other formats: deterministic stand-in (no codecs in this container)."""
+    Baseline JPEG: real decode via functions/jpeg.py (corrupt/progressive →
+    ValueError → per-row quarantine). Other formats: deterministic stand-in
+    (no codecs in this container)."""
     if data[:8] == _PNG_MAGIC:
         from azure_workflow_for_kml_satellite_spark.functions.png import decode_png
 
@@ -47,6 +54,13 @@ def _decode_image(data: bytes) -> np.ndarray:
             raise ValueError("corrupt or unsupported PNG payload")
         img, bpp = decoded
         return img
+    if data[:2] == b"\xff\xd8":
+        from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except (ValueError, IndexError, KeyError, struct.error) as exc:
+            raise ValueError(f"corrupt or unsupported JPEG payload: {exc}") from exc
     return _fake_decode_image(data)
 
 
@@ -159,3 +173,98 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _parse_wav(data: bytes) -> dict:
+    """Real RIFF/WAVE PCM parse: fmt header + integer-PCM sample statistics
+    (8/16/32-bit). Compressed WAVE formats raise (quarantined per-row)."""
+    import struct as _s
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = _s.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = _s.unpack_from("<HHI", body, 0)
+            bits = _s.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM WAVE format {audio_fmt} unsupported")
+            if bits not in (8, 16, 32):
+                raise ValueError(f"unsupported PCM bit depth {bits}")
+            fmt = {"channels": channels, "rate": rate, "bits": bits}
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[fmt["bits"]]
+    arr = np.frombuffer(samples, dtype=dt)
+    if fmt["channels"] > 1:
+        arr = arr[: len(arr) - len(arr) % fmt["channels"]]
+    if fmt["bits"] == 8:
+        x = (arr.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = arr.astype(np.float64) / float(2 ** (fmt["bits"] - 1))
+    n_frames = len(arr) // max(1, fmt["channels"])
+    return {
+        "sample_rate": int(fmt["rate"]),
+        "channels": int(fmt["channels"]),
+        "bits_per_sample": int(fmt["bits"]),
+        "n_samples": int(n_frames),
+        "duration_ms": int(round(1000.0 * n_frames / fmt["rate"])) if fmt["rate"] else 0,
+        "rms": round(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, 6),
+        "peak": round(float(np.max(np.abs(x))) if len(x) else 0.0, 6),
+    }
+
+
+def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
+    """binary column → typed audio metadata rows. RIFF/WAVE PCM payloads are
+    REALLY parsed (header + per-sample statistics); other containers (mp3/
+    ogg/flac — no codecs here) quarantine per-row with a decode_error, the
+    same contract as image_metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    meta = _parse_wav(bytes(data))
+                    rows.append({"asset_id": aid, **meta, "decode_error": None})
+                except ValueError as exc:
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "sample_rate": None,
+                            "channels": None,
+                            "bits_per_sample": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "rms": None,
+                            "peak": None,
+                            "decode_error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(run, AUDIO_META_SCHEMA)

@@ -427,3 +427,110 @@ def test_multi_region_gate_huge_n_sound(spark):
         ["centroid_lon", "centroid_lat"],
     )
     assert is_multi_region(two, exact_limit=10) is True
+
+
+# ── round 3: real JPEG decode + WAV audio ────────────────────────────────────
+
+
+def _wav_bytes(rate=8000, channels=1, bits=16, seconds=0.25, freq=440.0):
+    import math
+    import struct as s
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = np.sin(2 * math.pi * freq * t)
+    if bits == 16:
+        pcm = (x * 32767).astype("<i2")
+    elif bits == 8:
+        pcm = ((x * 127) + 128).astype("u1")
+    else:
+        pcm = (x * (2**31 - 1)).astype("<i4")
+    if channels == 2:
+        pcm = np.repeat(pcm, 2)
+    body = pcm.tobytes()
+    byte_rate = rate * channels * bits // 8
+    fmt = s.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * bits // 8, bits)
+    riff = b"WAVE" + b"fmt " + s.pack("<I", len(fmt)) + fmt + b"data" + s.pack("<I", len(body)) + body
+    return b"RIFF" + s.pack("<I", len(riff)) + riff, n
+
+
+def test_jpeg_codec_roundtrip_all_modes():
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:61]
+    img = np.stack([(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1).astype(
+        np.uint8
+    )
+    for mode in ("4:4:4", "4:2:2", "4:2:0"):
+        for ri in (0, 3):
+            dec = decode_jpeg(encode_jpeg(img, subsample=mode, restart_interval=ri))
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 3.0 and err.max() <= 12, (mode, ri)
+    # flat block is near-exact (DC-only) and deterministic
+    flat = np.full((16, 16, 3), [120, 64, 200], dtype=np.uint8)
+    enc = encode_jpeg(flat)
+    assert enc == encode_jpeg(flat)
+    assert np.abs(decode_jpeg(enc).astype(int) - flat.astype(int)).max() <= 1
+    # progressive marker rejected
+    import pytest
+
+    bad = bytearray(enc)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(bad))
+
+
+def test_image_metadata_real_jpeg_decode(spark):
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import encode_jpeg
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    img = np.full((20, 30, 3), 90, dtype=np.uint8)
+    good = encode_jpeg(img, subsample="4:2:0")
+    df = spark.createDataFrame(
+        [("a", bytearray(good)), ("b", bytearray(b"\xff\xd8truncated"))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in image_metadata(df).collect()}
+    assert out["a"].decode_error is None
+    assert (out["a"].width, out["a"].height, out["a"].channels) == (30, 20, 3)
+    assert abs(out["a"].mean_luma - 90.0) < 2.0  # true pixel stats
+    assert out["b"].decode_error is not None and out["b"].width is None
+
+
+def test_audio_metadata_real_wav_parse(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        audio_metadata,
+    )
+
+    wav16, n16 = _wav_bytes(rate=8000, channels=1, bits=16)
+    wav8st, n8 = _wav_bytes(rate=44100, channels=2, bits=8)
+    df = spark.createDataFrame(
+        [
+            ("m16", bytearray(wav16)),
+            ("s8", bytearray(wav8st)),
+            ("bad", bytearray(b"ID3mp3-like-bytes")),
+        ],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in audio_metadata(df).collect()}
+    m = out["m16"]
+    assert (m.sample_rate, m.channels, m.bits_per_sample, m.n_samples) == (8000, 1, 16, n16)
+    assert m.duration_ms == 250
+    # full-scale sine: RMS ~= 1/sqrt(2), peak ~= 1
+    assert abs(m.rms - 0.7071) < 0.01 and 0.98 <= m.peak <= 1.0
+    s = out["s8"]
+    assert (s.sample_rate, s.channels, s.bits_per_sample) == (44100, 2, 8)
+    assert out["bad"].decode_error is not None
