@@ -7,11 +7,13 @@ baseline JPEG payloads are REALLY decoded too (functions/jpeg.py —
 Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), so
 width/height/channels/mean_luma/phash are true pixel statistics for both.
 WAV (RIFF/PCM) audio is really parsed (``audio_metadata`` — header +
-sample statistics). Remaining codecs (progressive JPEG, compressed audio,
-video containers — no PIL/ffmpeg in this container) fall back to a
-deterministic stand-in, clearly marked: swapping ``_fake_decode_image``
-for a PIL call is a one-function change; schemas, Arrow batch shape,
-partitioning and UDF signatures are the real contract.
+sample statistics), and MJPEG-in-AVI video is really demuxed + decoded
+(``video_frame_sample`` — RIFF walk → movi JPEG chunks → per-frame pixel
+hash). Remaining codecs (progressive JPEG, compressed audio, mp4/mkv — no
+PIL/ffmpeg in this container) fall back to a deterministic stand-in,
+clearly marked: swapping ``_fake_decode_image`` for a PIL call is a
+one-function change; schemas, Arrow batch shape, partitioning and UDF
+signatures are the real contract.
 """
 
 from __future__ import annotations
@@ -144,19 +146,76 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _parse_mjpeg_avi(data: bytes) -> tuple[int, list[bytes]]:
+    """Real RIFF/AVI walk for an MJPEG stream: returns (us_per_frame,
+    ordered JPEG frame payloads from the movi list). Raises ValueError for
+    non-AVI / frameless containers."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type tag
+            elif cid == b"avih" and size >= 4:
+                (us_per_frame,) = struct.unpack_from("<I", data, body_start)
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI has no video frame chunks")
+    if us_per_frame <= 0:
+        us_per_frame = 33333  # spec default ~30 fps when avih is absent
+    return us_per_frame, frames
+
+
 def video_frame_sample(
     df: DataFrame, every_ms: int = 1000, id_col: str = "asset_id", bin_col: str = "payload"
 ) -> DataFrame:
-    """Video → sampled frame rows (1 per ``every_ms``). The decoder is the
-    deterministic stub; the explode shape (1 asset → N frame rows) is the
-    real contract for a UDTF-style frame sampler."""
+    """Video → sampled frame rows (1 per ``every_ms``).
+
+    MJPEG-in-AVI payloads are REALLY demuxed and decoded: the RIFF walker
+    pulls the movi '..dc' JPEG chunks + avih frame timing, the sampler picks
+    the frame at each ``every_ms`` instant, and frame_phash is a true pixel
+    hash via the from-scratch JPEG decoder. Other containers (mp4/mkv — no
+    ffmpeg here) keep the deterministic stand-in; the explode shape
+    (1 asset → N frame rows) is the real UDTF-style contract either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
+
         cols = [f.name for f in FRAME_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data)
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    us_pf, frames = _parse_mjpeg_avi(data)
+                    duration_ms = len(frames) * us_pf / 1000.0
+                    n = max(1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0))
+                    for i in range(int(n)):
+                        ts = i * every_ms
+                        fi = min(int(ts * 1000 // us_pf), len(frames) - 1)
+                        frame = decode_jpeg(frames[fi])
+                        if frame.shape[2] == 1:
+                            frame = np.repeat(frame, 3, axis=2)
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_index": fi,
+                                "ts_ms": ts,
+                                "frame_phash": _phash(frame),
+                            }
+                        )
+                    continue
                 crc = zlib.crc32(data)
                 duration_ms = 1000 + crc % 9000  # fake container header read
                 n = max(1, duration_ms // every_ms)

@@ -534,3 +534,65 @@ def test_audio_metadata_real_wav_parse(spark):
     s = out["s8"]
     assert (s.sample_rate, s.channels, s.bits_per_sample) == (44100, 2, 8)
     assert out["bad"].decode_error is not None
+
+
+def _mjpeg_avi_bytes(frames, us_per_frame=100_000):
+    """Minimal RIFF/AVI container around pre-encoded JPEG frames."""
+    import struct as s
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + s.pack("<I", len(body)) + body + pad
+
+    avih = s.pack("<IIIIIIIIII", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, 32, 24) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + s.pack("<I", len(riff_body)) + riff_body
+
+
+def test_video_frame_sample_real_mjpeg_avi(spark):
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import encode_jpeg
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    # 20 frames at 10 fps = 2 s of video; frame i is a flat gray i*12
+    frames = [
+        encode_jpeg(np.full((16, 16, 3), i * 12, dtype=np.uint8)) for i in range(20)
+    ]
+    avi = _mjpeg_avi_bytes(frames, us_per_frame=100_000)
+    df = spark.createDataFrame([("v1", bytearray(avi))], "asset_id string, payload binary")
+    rows = sorted(
+        video_frame_sample(df, every_ms=500).collect(), key=lambda r: r.ts_ms
+    )
+    # 2 s / 500 ms → samples at 0, 500, 1000, 1500 (ts 2000 is past the end)
+    assert [r.ts_ms for r in rows] == [0, 500, 1000, 1500]
+    assert [r.frame_index for r in rows] == [0, 5, 10, 15]
+    # flat frames → all-zero average-hash, and distinct frames really decoded
+    # (sanity: phash of a flat image is 0 because no pixel exceeds the mean)
+    assert all(r.frame_phash == 0 for r in rows)
+
+    # gradient frames give nonzero, frame-dependent hashes
+    yy, xx = np.mgrid[0:16, 0:16]
+    gframes = [
+        encode_jpeg(((yy * (i + 1) * 16 + xx) % 256).astype(np.uint8))
+        for i in range(4)
+    ]
+    avi2 = _mjpeg_avi_bytes(gframes, us_per_frame=250_000)
+    df2 = spark.createDataFrame([("v2", bytearray(avi2))], "asset_id string, payload binary")
+    rows2 = sorted(
+        video_frame_sample(df2, every_ms=250).collect(), key=lambda r: r.ts_ms
+    )
+    assert [r.frame_index for r in rows2] == [0, 1, 2, 3]
+    assert len({r.frame_phash for r in rows2}) > 1
+
+    # non-AVI payloads keep the documented stand-in path (no exception)
+    df3 = spark.createDataFrame(
+        [("v3", bytearray(b"\x00\x00\x00 ftypisom-fake-mp4"))],
+        "asset_id string, payload binary",
+    )
+    assert video_frame_sample(df3).count() >= 1
