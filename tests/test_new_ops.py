@@ -596,3 +596,55 @@ def test_video_frame_sample_real_mjpeg_avi(spark):
         "asset_id string, payload binary",
     )
     assert video_frame_sample(df3).count() >= 1
+
+
+def test_streaming_dedup_evicts_state_and_reemits_late_duplicate(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: duplicates inside the
+    watermark window are dropped, and a duplicate arriving AFTER the
+    watermark passed the original re-emits (state was evicted — the bounded
+    state/completeness trade the docstring documents; plain dropDuplicates
+    on a non-event-time subset would keep state forever and never re-emit)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "text": [r[2] for r in rows],
+                }
+            ),
+            src / name,
+        )
+
+    # batch 1: original + in-window duplicate (watermark = 1 hour)
+    write("b1.parquet", [(0, datetime(2024, 1, 1, 0, 0), "aa"),
+                         (1, datetime(2024, 1, 1, 0, 30), "aa")])
+    q = run_stream_to_memory(
+        streaming_exact_dedup(spark, str(src), watermark="1 hour"),
+        "dedup_wm", mode="append",
+    )
+    try:
+        # batch 2: advance event time far past aa's watermark horizon
+        write("b2.parquet", [(2, datetime(2024, 1, 1, 6, 0), "bb")])
+        q.processAllAvailable()
+        # batch 3: duplicate of aa arrives after eviction → re-emits
+        write("b3.parquet", [(3, datetime(2024, 1, 1, 6, 1), "aa")])
+        q.processAllAvailable()
+        ids = sorted(r.doc_id for r in spark.sql("select doc_id from dedup_wm").collect())
+    finally:
+        q.stop()
+    # 0 kept, 1 dropped (in-window dup), 2 kept, 3 re-emitted after eviction
+    assert ids == [0, 2, 3]
