@@ -128,27 +128,50 @@ def is_multi_region(aois: DataFrame, threshold_km: float = MULTI_REGION_THRESHOL
         if len(cells) <= 2000:
             break
         cell_deg *= 2.0
+    # vectorized cell-pair bracketing (≤2000 cells → ≤4M-pair matrices)
+    import numpy as np
+
+    n_cells = len(cells)
+    ex_lon = np.array(
+        [[cl[k]["centroid_lon"] for k in ("p_w", "p_e", "p_s", "p_n")] for cl in cells]
+    )
+    ex_lat = np.array(
+        [[cl[k]["centroid_lat"] for k in ("p_w", "p_e", "p_s", "p_n")] for cl in cells]
+    )
+    # lower bound: real extreme-point witnesses — max haversine over the
+    # (4·n_cells)² point set equals the max over all cell-pair combinations;
+    # processed in row blocks so the distance matrix stays ≤ ~32 MB
+    pl = np.radians(ex_lon.ravel())
+    pb = np.radians(ex_lat.ravel())
+    cos_pb = np.cos(pb)
+    for s in range(0, len(pl), 512):
+        e = s + 512
+        sin_dlat = np.sin((pb[None, :] - pb[s:e, None]) / 2.0)
+        sin_dlon = np.sin((pl[None, :] - pl[s:e, None]) / 2.0)
+        a_ = sin_dlat**2 + cos_pb[s:e, None] * cos_pb[None, :] * sin_dlon**2
+        d = 2.0 * _R_KM * np.arctan2(np.sqrt(a_), np.sqrt(np.clip(1.0 - a_, 0.0, None)))
+        if float(d.max()) > threshold_km:
+            return True  # witnessed by a real centroid pair
+    # upper bound per cell pair: span bound of the combined envelope
+    lo_x = np.array([cl["lo_x"] for cl in cells])
+    lo_y = np.array([cl["lo_y"] for cl in cells])
+    hi_x = np.array([cl["hi_x"] for cl in cells])
+    hi_y = np.array([cl["hi_y"] for cl in cells])
+    env_lo_x = np.minimum(lo_x[:, None], lo_x[None, :])
+    env_lo_y = np.minimum(lo_y[:, None], lo_y[None, :])
+    env_hi_x = np.maximum(hi_x[:, None], hi_x[None, :])
+    env_hi_y = np.maximum(hi_y[:, None], hi_y[None, :])
+    lat_span = np.radians(env_hi_y - env_lo_y) * _R_KM
+    cos_min = np.where(
+        (env_lo_y <= 0.0) & (env_hi_y >= 0.0),
+        1.0,
+        np.cos(np.radians(np.minimum(np.abs(env_lo_y), np.abs(env_hi_y)))),
+    )
+    lon_span = np.radians(env_hi_x - env_lo_x) * _R_KM * cos_min
+    amb_i, amb_j = np.nonzero(lat_span + lon_span > threshold_km)
     ambiguous: set[tuple[int, int]] = set()
-    for i in range(len(cells)):
-        for j in range(i, len(cells)):
-            ci, cj = cells[i], cells[j]
-            # lower bound: real extreme-point witnesses across the pair
-            for ka in ("p_w", "p_e", "p_s", "p_n"):
-                for kb in ("p_w", "p_e", "p_s", "p_n"):
-                    d = _hav_py(
-                        ci[ka]["centroid_lon"], ci[ka]["centroid_lat"],
-                        cj[kb]["centroid_lon"], cj[kb]["centroid_lat"],
-                    )
-                    if d > threshold_km:
-                        return True
-            # upper bound: span bound of the two cells' combined envelope
-            ub = _span_bound_km(
-                min(ci["lo_x"], cj["lo_x"]), min(ci["lo_y"], cj["lo_y"]),
-                max(ci["hi_x"], cj["hi_x"]), max(ci["hi_y"], cj["hi_y"]),
-            )
-            if ub > threshold_km:
-                ambiguous.add((int(ci["cx"]), int(ci["cy"])))
-                ambiguous.add((int(cj["cx"]), int(cj["cy"])))
+    for idx in np.unique(np.concatenate([amb_i, amb_j])):
+        ambiguous.add((int(cells[int(idx)]["cx"]), int(cells[int(idx)]["cy"])))
     if not ambiguous:
         return False  # every cell pair's upper bound is ≤ threshold
     amb = c.filter(
