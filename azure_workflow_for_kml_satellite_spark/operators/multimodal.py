@@ -142,6 +142,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_index", T.IntegerType()),
         T.StructField("ts_ms", T.LongType()),
         T.StructField("frame_phash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -198,21 +199,37 @@ def video_frame_sample(
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data)
                 if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-                    us_pf, frames = _parse_mjpeg_avi(data)
-                    duration_ms = len(frames) * us_pf / 1000.0
-                    n = max(1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0))
-                    for i in range(int(n)):
-                        ts = i * every_ms
-                        fi = min(int(ts * 1000 // us_pf), len(frames) - 1)
-                        frame = decode_jpeg(frames[fi])
-                        if frame.shape[2] == 1:
-                            frame = np.repeat(frame, 3, axis=2)
+                    try:
+                        us_pf, frames = _parse_mjpeg_avi(data)
+                        duration_ms = len(frames) * us_pf / 1000.0
+                        n = max(
+                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
+                        )
+                        for i in range(int(n)):
+                            ts = i * every_ms
+                            fi = min(int(ts * 1000 // us_pf), len(frames) - 1)
+                            frame = decode_jpeg(frames[fi])
+                            if frame.shape[2] == 1:
+                                frame = np.repeat(frame, 3, axis=2)
+                            rows.append(
+                                {
+                                    "asset_id": aid,
+                                    "frame_index": fi,
+                                    "ts_ms": ts,
+                                    "frame_phash": _phash(frame),
+                                    "decode_error": None,
+                                }
+                            )
+                    except (ValueError, IndexError, KeyError, struct.error) as exc:
+                        # corrupt container/frame quarantines the ASSET, not
+                        # the task (mirrors image_metadata's per-row contract)
                         rows.append(
                             {
                                 "asset_id": aid,
-                                "frame_index": fi,
-                                "ts_ms": ts,
-                                "frame_phash": _phash(frame),
+                                "frame_index": None,
+                                "ts_ms": None,
+                                "frame_phash": None,
+                                "decode_error": f"corrupt AVI/MJPEG payload: {exc}",
                             }
                         )
                     continue
@@ -227,6 +244,7 @@ def video_frame_sample(
                             "frame_index": i,
                             "ts_ms": i * every_ms,
                             "frame_phash": _phash(frame),
+                            "decode_error": None,
                         }
                     )
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)

@@ -648,3 +648,16 @@ def test_streaming_dedup_evicts_state_and_reemits_late_duplicate(spark, tmp_path
         q.stop()
     # 0 kept, 1 dropped (in-window dup), 2 kept, 3 re-emitted after eviction
     assert ids == [0, 2, 3]
+
+
+def test_video_frame_sample_quarantines_corrupt_avi(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    # RIFF/AVI magic but garbage body → per-asset quarantine row, no task kill
+    bad = b"RIFF\x20\x00\x00\x00AVI " + b"\x01\x02\x03\x04" * 8
+    df = spark.createDataFrame([("vx", bytearray(bad))], "asset_id string, payload binary")
+    rows = video_frame_sample(df).collect()
+    assert len(rows) == 1 and rows[0].decode_error is not None
+    assert rows[0].frame_index is None
