@@ -147,3 +147,50 @@ def test_area_golden_band_both_paths():
     # scale — the documented accuracy trade of the fallback
     assert abs(abs(a_m2) / 10_000 - area_fb) / area_fb < 0.01
     assert abs(abs(p_m) / 1_000 - per_fb) / per_fb < 0.01
+
+
+def test_polygon_near_antimeridian_lenient_parity():
+    """SURVEY §7.4 risk 4: the reference computes the bbox from RAW min/max
+    coords, so a ±180°-crossing ring yields a zero-spanning (wrong but
+    defined) bbox and must NOT raise — a documented limitation we replicate,
+    not fix (reference: tests/test_geo.py:300-317)."""
+    ring = [
+        [179.9, -16.5],
+        [-179.8, -16.5],
+        [-179.8, -16.6],
+        [179.9, -16.6],
+        [179.9, -16.5],
+    ]
+    bbox = geo.compute_bbox(ring)
+    assert bbox == [-179.8, -16.6, 179.9, -16.5]  # raw min/max, crosses zero
+    c = geo.centroid(ring)
+    # same lenient assertion shape as the reference's test
+    assert bbox[0] <= c[0] <= bbox[2] or bbox[0] > bbox[2]
+    # the full kernel ladder stays crash-free on this input
+    area, per = geo.geodesic_area_and_perimeter(ring)
+    assert area >= 0.0 and per >= 0.0
+
+
+def test_prepare_aoi_antimeridian_end_to_end(spark):
+    """Same leniency through the Spark AOI-prep operator."""
+    from azure_workflow_for_kml_satellite_spark.operators.aoi import prepare_aois
+
+    feats = spark.createDataFrame(
+        [
+            (
+                "u-am",
+                0,
+                "Antimeridian",
+                [179.9, -16.5, -179.8, -16.5, -179.8, -16.6, 179.9, -16.6, 179.9, -16.5],
+                [],
+                None,
+            )
+        ],
+        "url string, feature_index long, name string, exterior array<double>, "
+        "holes array<array<double>>, error string",
+    )
+    rows = prepare_aois(feats).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["min_lon"] == -179.8 and r["max_lon"] == 179.9
+    assert r["min_lon"] <= r["centroid_lon"] <= r["max_lon"]
