@@ -126,6 +126,11 @@ def window_from_bounds(
     return row0, row1, col0, col1
 
 
+# uint8-indexed validity table for the SCL mask (see ndvi_s2): one gather
+# replaces np.isin's sort/search on every window
+_SCL_VALID_LUT = np.zeros(256, dtype=np.bool_)
+_SCL_VALID_LUT[list(VALID_SCL_CLASSES)] = True
+
 # Band codes for the hash field
 BAND_RED = 1
 BAND_NIR = 2
@@ -338,7 +343,10 @@ def ndvi_s2(
     ndvi, valid_mask = _ndvi_core(red_raw, nir_raw)
     scl_masked_count = 0
     if scl_mask is not None:
-        scl_valid = np.isin(scl_mask, VALID_SCL_CLASSES)
+        # identical semantics to np.isin(scl_mask, VALID_SCL_CLASSES) but a
+        # 256-entry table gather instead of a sort/search — np.isin measured
+        # ~24% of this whole kernel on 12.5k-px windows
+        scl_valid = _SCL_VALID_LUT[scl_mask]
         scl_masked_count = int(np.sum(valid_mask & ~scl_valid))
         np.logical_and(valid_mask, scl_valid, out=valid_mask)
     return ndvi, valid_mask, scl_masked_count
