@@ -278,19 +278,37 @@ def class_histogram(classes: np.ndarray) -> list[dict]:
 # ── reference numpy kernels ──────────────────────────────────────────────────
 
 
+def _resample_indices(
+    src_shape: tuple[int, int], target_shape: tuple[int, int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel-centre nearest-neighbour index arrays; cached — window shapes
+    repeat across the frames of an AOI and across same-sized AOIs, and the
+    arrays depend only on the two shapes."""
+    key = (src_shape, target_shape)
+    cached = _RESAMPLE_IDX.get(key)
+    if cached is not None:
+        return cached
+    row_scale = src_shape[0] / target_shape[0]
+    col_scale = src_shape[1] / target_shape[1]
+    row_idx = np.rint((np.arange(target_shape[0]) + 0.5) * row_scale - 0.5).astype(int)
+    col_idx = np.rint((np.arange(target_shape[1]) + 0.5) * col_scale - 0.5).astype(int)
+    np.clip(row_idx, 0, src_shape[0] - 1, out=row_idx)
+    np.clip(col_idx, 0, src_shape[1] - 1, out=col_idx)
+    if len(_RESAMPLE_IDX) > 4096:
+        _RESAMPLE_IDX.clear()  # bound worker memory; shapes rarely exceed this
+    _RESAMPLE_IDX[key] = (row_idx, col_idx)
+    return row_idx, col_idx
+
+
+_RESAMPLE_IDX: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
 def resample_nearest(src: np.ndarray, target_shape: tuple[int, int]) -> np.ndarray:
     """Categorical nearest-neighbour resample, pixel-centre mapping
     (reference: ndvi.py:487-510 — must match exactly: affects masked counts)."""
     if src.shape == tuple(target_shape):
         return src
-    row_scale = src.shape[0] / target_shape[0]
-    col_scale = src.shape[1] / target_shape[1]
-    row_coords = (np.arange(target_shape[0]) + 0.5) * row_scale - 0.5
-    col_coords = (np.arange(target_shape[1]) + 0.5) * col_scale - 0.5
-    row_idx = np.rint(row_coords).astype(int)
-    col_idx = np.rint(col_coords).astype(int)
-    np.clip(row_idx, 0, src.shape[0] - 1, out=row_idx)
-    np.clip(col_idx, 0, src.shape[1] - 1, out=col_idx)
+    row_idx, col_idx = _resample_indices(src.shape, tuple(target_shape))
     return src[np.ix_(row_idx, col_idx)]
 
 
