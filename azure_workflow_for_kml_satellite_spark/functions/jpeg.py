@@ -283,6 +283,8 @@ def encode_jpeg(
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects HxWx3 uint8 (or HxW grayscale)")
     h, w = img.shape[:2]
+    if h > 65535 or w > 65535 or h == 0 or w == 0:
+        raise ValueError(f"image dimensions {w}x{h} outside JPEG's 1..65535 range")
     factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
     if subsample not in factors:
         raise ValueError(f"unsupported subsampling {subsample!r}")
@@ -388,6 +390,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # legal 0xFF fill bytes before a marker
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
