@@ -463,3 +463,28 @@ def test_lsh_topk_pruned_recall(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_near_dup_clusters_star_logn_on_huge_diameter(spark):
+    """O(log n) demonstration: a 30 000-node PATH (graph diameter 30 000 —
+    min-label propagation would need 30 000 rounds) must converge within
+    star contraction's 24-double-round bound and label every node with the
+    component minimum."""
+    from pyspark.sql import functions as F
+
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        near_dup_clusters_star,
+    )
+
+    n = 30_000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = near_dup_clusters_star(docs, pairs)  # raises if > 24 rounds
+    agg = labels.agg(
+        F.count("*").alias("n"),
+        F.min("cluster_id").alias("lo"),
+        F.max("cluster_id").alias("hi"),
+    ).collect()[0]
+    assert (agg["n"], agg["lo"], agg["hi"]) == (n, 0, 0)
