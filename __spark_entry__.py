@@ -346,6 +346,43 @@ def _q_monthly_frames(spark, sf_dir):
     )
 
 
+def _q_knn_gauges(spark, sf_dir):
+    """Spatial kNN join (north star: 'point-in-polygon, kNN, …'): the 3
+    nearest flood gauges per AOI centroid by haversine — exact broadcast
+    baseline (candidates are a dimension table by contract)."""
+    from azure_workflow_for_kml_satellite_spark.operators.knn import knn_join_broadcast
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    return knn_join_broadcast(aois, t["flood_gauges"], k=3).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("cand_id").alias("station_id"),
+        "distance_km",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_knn_gauges_cells(spark, sf_dir):
+    """Same kNN through the 100 TB grid path: candidates bucketed on the
+    equal-angle grid, points probe an expanding Chebyshev ring and settle
+    only below a per-point guarantee radius — PROVABLY equal to the exact
+    baseline (never approximate), so it shares the same SQL oracle."""
+    from azure_workflow_for_kml_satellite_spark.operators.knn import knn_join_cells
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    return knn_join_cells(aois, t["flood_gauges"], k=3, res=6).select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("cand_id").alias("station_id"),
+        "distance_km",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_fire_summary(spark, sf_dir):
     ed = engine_dir(sf_dir)
     t = load_tables(spark, ed)
@@ -839,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weather_summary": _q_weather_summary,
         "q_monthly_weather": _q_monthly_weather,
         "q_monthly_frames": _q_monthly_frames,
+        "q_knn_gauges": _q_knn_gauges,
+        "q_knn_gauges_cells": _q_knn_gauges_cells,
         "q_fire_summary": _q_fire_summary,
         "q_flood_summary": _q_flood_summary,
         "q_display_annotations": _q_display_annotations,
@@ -1056,6 +1095,33 @@ def oracle_sql() -> dict[str, str]:
           ON w.date >= win.d_start AND w.date <= win.d_end
         GROUP BY 1, 2, 3, 4, 5, 6
     """
+    sql["q_knn_gauges"] = f"""
+        WITH a AS (SELECT url, feature_index, centroid_lon, centroid_lat
+                   FROM read_parquet('{_E}/expected/aois.parquet')),
+        g AS (SELECT station_id, longitude, latitude
+              FROM read_parquet('{_E}/flood_gauges.parquet')),
+        s AS (
+          SELECT a.url, a.feature_index, g.station_id,
+                 power(sin(radians(g.latitude - a.centroid_lat) / 2), 2)
+                   + cos(radians(a.centroid_lat)) * cos(radians(g.latitude))
+                   * power(sin(radians(g.longitude - a.centroid_lon) / 2), 2) AS h
+          FROM a CROSS JOIN g
+        ),
+        d AS (
+          SELECT url, feature_index, station_id,
+                 2 * 6371.0 * atan2(sqrt(h), sqrt(1.0 - h)) AS dist
+          FROM s
+        )
+        SELECT url, feature_index, station_id,
+               round(dist, 6) AS distance_km,
+               CAST(row_number() OVER (PARTITION BY url, feature_index
+                    ORDER BY dist ASC, station_id ASC) AS BIGINT) AS rank
+        FROM d
+        QUALIFY rank <= 3
+    """
+    # the grid expanding-ring path settles only below the per-point
+    # guarantee radius, so its output provably equals the exact baseline
+    sql["q_knn_gauges_cells"] = sql["q_knn_gauges"]
     sql["q_fire_summary"] = f"""
         SELECT a.url, a.feature_index, count(*) AS n_events,
                CAST(sum(CASE WHEN f.confidence = 'h' THEN 1 ELSE 0 END) AS BIGINT) AS n_high_conf,

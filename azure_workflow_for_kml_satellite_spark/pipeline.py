@@ -45,6 +45,7 @@ def load_tables(spark: SparkSession, ed: str) -> dict[str, DataFrame]:
         "weather_daily",
         "protected_areas",
         "fire_events",
+        "flood_gauges",
     ):
         t[name] = spark.read.parquet(f"{ed}/{name}.parquet")
     return t

@@ -661,3 +661,77 @@ def test_video_frame_sample_quarantines_corrupt_avi(spark):
     rows = video_frame_sample(df).collect()
     assert len(rows) == 1 and rows[0].decode_error is not None
     assert rows[0].frame_index is None
+
+
+# ── round 3: spatial kNN join ────────────────────────────────────────────────
+
+
+def _brute_knn(points, cands, k):
+    import math
+
+    def hav(lon1, lat1, lon2, lat2):
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+    out = []
+    for pid, plon, plat in points:
+        ds = sorted(
+            ((hav(plon, plat, clon, clat), cid) for cid, clon, clat in cands)
+        )
+        for r, (d, cid) in enumerate(ds[:k], 1):
+            out.append((pid, cid, round(d, 6), r))
+    return sorted(out)
+
+
+def test_knn_join_paths_agree_and_match_bruteforce(spark):
+    """Broadcast baseline and expanding-ring grid path must produce the
+    IDENTICAL kNN result, matching a pure-python brute force — including
+    high-latitude points (longitude shrink) and a sparse region that forces
+    ring escalation past r=1."""
+    import random as rnd
+
+    from azure_workflow_for_kml_satellite_spark.operators.knn import (
+        knn_join_broadcast,
+        knn_join_cells,
+    )
+
+    rng = rnd.Random(13)
+    # clustered candidates + a sparse far region + polar candidates
+    cands = [(f"g{i:03d}", rng.uniform(-10, 10), rng.uniform(-10, 10)) for i in range(40)]
+    cands += [(f"p{i}", rng.uniform(-180, 180), rng.uniform(80, 85)) for i in range(5)]
+    cands += [("lone", 120.0, -45.0)]
+    points = [(i, rng.uniform(-12, 12), rng.uniform(-12, 12)) for i in range(30)]
+    points += [(100, 118.0, -44.0)]        # nearest set needs escalation
+    points += [(101, 10.0, 83.0)]          # high latitude
+    pdf = spark.createDataFrame(points, "pid long, centroid_lon double, centroid_lat double")
+    cdf = spark.createDataFrame(cands, "station_id string, longitude double, latitude double")
+    kwargs = dict(point_keys=("pid",))
+    exact = sorted(map(tuple, knn_join_broadcast(pdf, cdf, k=3, **kwargs).collect()))
+    grid = sorted(map(tuple, knn_join_cells(pdf, cdf, k=3, res=7, **kwargs).collect()))
+    assert exact == grid
+    assert exact == _brute_knn(points, cands, 3)
+
+
+def test_knn_join_cells_fallback_when_fewer_than_k(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.knn import (
+        knn_join_broadcast,
+        knn_join_cells,
+    )
+
+    pdf = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 90.0, 40.0)], "pid long, centroid_lon double, centroid_lat double"
+    )
+    cdf = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", -179.0, -80.0)],
+        "station_id string, longitude double, latitude double",
+    )
+    kwargs = dict(point_keys=("pid",))
+    exact = sorted(map(tuple, knn_join_broadcast(pdf, cdf, k=5, **kwargs).collect()))
+    grid = sorted(map(tuple, knn_join_cells(pdf, cdf, k=5, res=6, max_ring=4, **kwargs).collect()))
+    # only 2 candidates exist → both paths return 2 rows per point, equal
+    assert len(exact) == 4 and exact == grid
