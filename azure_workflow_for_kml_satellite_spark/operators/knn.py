@@ -87,25 +87,38 @@ def knn_join_broadcast(
     return _ranked_topk(scored, keys, k)
 
 
-def _ring_guarantee_km(plat, r: int, size_deg: float):
+def _ring_guarantee_km(plat, r: int, size_deg: float, n_lon: int, n_lat: int):
     """Column expr: minimum possible distance from a point in cell (px, py)
     to ANY candidate outside the Chebyshev ring of radius ``r``.
 
-    Outside means |dx| > r or |dy| > r (cell units):
-    - |dy| > r ⇒ latitude separation ≥ r·size ⇒ distance ≥ r·size·(πR/180);
-    - else |dx| > r with |dy| ≤ r ⇒ longitude separation ≥ r·size at
-      latitudes ≤ |plat| + (r+1)·size, and for φ1,φ2 within ±φmax the
-      haversine is minimized with both points AT φmax and Δφ=0:
-      d ≥ 2R·asin(cos(φmax)·sin(Δλ/2)).
-    The guarantee is the min of the two; settling requires the k-th
-    distance STRICTLY below it (so outside ties can never alter top-k).
+    Longitude ring probes WRAP modulo the grid (a cylinder), so 'outside in
+    x' means an EFFECTIVE angular separation ≥ min(r·size, 180°) — without
+    the wrap a coordinate Δλ > 180° (antimeridian pair) could be
+    geographically close while far in grid cells, which would make this
+    bound unsound. Outside means wrapped |dx| > r or |dy| > r:
+    - |dy| > r ⇒ latitude separation ≥ r·size ⇒ distance ≥ r·size·(πR/180)
+      (impossible once the ring spans every lat cell → +inf);
+    - else wrapped |dx| > r with |dy| ≤ r ⇒ effective Δλ ≥ min(r·size,180°)
+      at latitudes ≤ |plat| + (r+1)·size, and for φ1,φ2 within ±φmax the
+      haversine is minimized with both points AT φmax and Δφ = 0:
+      d ≥ 2R·asin(cos(φmax)·sin(Δλ/2)) (impossible once the ring spans
+      every lon cell → +inf).
+    Settling requires the k-th distance STRICTLY below the min of the two,
+    so outside ties can never alter the top-k.
     """
-    lat_bound = F.lit(r * size_deg * _KM_PER_DEG_LAT)
-    phi_max = F.least(F.lit(89.99), F.abs(plat) + F.lit((r + 1) * size_deg))
-    dlam = F.lit(math.radians(min(r * size_deg, 180.0)))
-    lon_bound = F.lit(2 * _R_KM) * F.asin(
-        F.cos(F.radians(phi_max)) * F.sin(dlam / F.lit(2.0))
-    )
+    inf = F.lit(float("inf"))
+    if 2 * r + 1 >= n_lat:
+        lat_bound = inf
+    else:
+        lat_bound = F.lit(r * size_deg * _KM_PER_DEG_LAT)
+    if 2 * r + 1 >= n_lon:
+        lon_bound = inf
+    else:
+        phi_max = F.least(F.lit(89.99), F.abs(plat) + F.lit((r + 1) * size_deg))
+        dlam = F.lit(math.radians(min(r * size_deg, 180.0)))
+        lon_bound = F.lit(2 * _R_KM) * F.asin(
+            F.cos(F.radians(phi_max)) * F.sin(dlam / F.lit(2.0))
+        )
     return F.least(lat_bound, lon_bound)
 
 
@@ -132,15 +145,16 @@ def knn_join_cells(
     """
     keys = list(point_keys)
     size = cell_size_deg(res)
-    nmax = (1 << res) - 1
+    n_lon = 1 << res                  # 360 / size longitude cells (wrap domain)
+    n_lat = max(1, (1 << res) // 2)   # 180 / size latitude cells (clamped)
 
     def cellify(df, lon, lat, prefix):
         return df.withColumn(
             f"{prefix}x",
-            F.least(F.lit(nmax), F.greatest(F.lit(0), F.floor((F.col(lon) + 180.0) / size))).cast("long"),
+            F.least(F.lit(n_lon - 1), F.greatest(F.lit(0), F.floor((F.col(lon) + 180.0) / size))).cast("long"),
         ).withColumn(
             f"{prefix}y",
-            F.least(F.lit(nmax), F.greatest(F.lit(0), F.floor((F.col(lat) + 90.0) / size))).cast("long"),
+            F.least(F.lit(n_lat - 1), F.greatest(F.lit(0), F.floor((F.col(lat) + 90.0) / size))).cast("long"),
         )
 
     p = cellify(
@@ -163,14 +177,19 @@ def knn_join_cells(
         probes = (
             unsettled.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .withColumn("jx", F.col("px") + F.col("dx"))
+            # longitude probes wrap (cylinder) — required for the guarantee's
+            # soundness across the antimeridian; latitude does not wrap
+            .withColumn("jx", F.pmod(F.col("px") + F.col("dx"), F.lit(n_lon)))
             .withColumn("jy", F.col("py") + F.col("dy"))
         )
-        scored = probes.join(
-            c, (F.col("jx") == F.col("cx")) & (F.col("jy") == F.col("cy"))
-        ).withColumn(
-            "knn_dist",
-            _hav_km(F.col("p_lon"), F.col("p_lat"), F.col("c_lon"), F.col("c_lat")),
+        scored = (
+            probes.join(c, (F.col("jx") == F.col("cx")) & (F.col("jy") == F.col("cy")))
+            # a ring wider than the wrap domain probes a cell twice
+            .dropDuplicates([*keys, "cand_id"])
+            .withColumn(
+                "knn_dist",
+                _hav_km(F.col("p_lon"), F.col("p_lat"), F.col("c_lon"), F.col("c_lat")),
+            )
         )
         w = Window.partitionBy(*keys).orderBy(F.asc("knn_dist"), F.asc("cand_id"))
         topk = (
@@ -179,7 +198,7 @@ def knn_join_cells(
             .withColumn("n_found", F.count("*").over(Window.partitionBy(*keys)))
             .withColumn("d_k", F.max("knn_dist").over(Window.partitionBy(*keys)))
         )
-        guarantee = _ring_guarantee_km(F.col("p_lat"), r, size)
+        guarantee = _ring_guarantee_km(F.col("p_lat"), r, size, n_lon, n_lat)
         done = topk.filter((F.col("n_found") >= k) & (F.col("d_k") < guarantee))
         settled_parts.append(
             done.select(

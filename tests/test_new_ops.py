@@ -735,3 +735,30 @@ def test_knn_join_cells_fallback_when_fewer_than_k(spark):
     grid = sorted(map(tuple, knn_join_cells(pdf, cdf, k=5, res=6, max_ring=4, **kwargs).collect()))
     # only 2 candidates exist → both paths return 2 rows per point, equal
     assert len(exact) == 4 and exact == grid
+
+
+def test_knn_join_cells_antimeridian_wrap(spark):
+    """A point at lon +179.9 whose true nearest candidate sits at −179.9
+    (0.2° away across the antimeridian, but ~maximally far in raw cell
+    coordinates): the wrapped ring probes MUST find it, and both paths must
+    agree — this is exactly the configuration an unwrapped grid with a
+    coordinate-Δλ escape bound would get wrong."""
+    from azure_workflow_for_kml_satellite_spark.operators.knn import (
+        knn_join_broadcast,
+        knn_join_cells,
+    )
+
+    pdf = spark.createDataFrame(
+        [(0, 179.9, 10.0)], "pid long, centroid_lon double, centroid_lat double"
+    )
+    cdf = spark.createDataFrame(
+        [("near_wrap", -179.9, 10.0), ("mid", 170.0, 10.0), ("far", 100.0, 10.0)],
+        "station_id string, longitude double, latitude double",
+    )
+    kwargs = dict(point_keys=("pid",))
+    exact = sorted(map(tuple, knn_join_broadcast(pdf, cdf, k=2, **kwargs).collect()))
+    grid = sorted(map(tuple, knn_join_cells(pdf, cdf, k=2, res=7, **kwargs).collect()))
+    assert exact == grid
+    # the wrap candidate is rank 1 (≈22 km), 'mid' is rank 2 (≈1089 km)
+    by_rank = {r[3]: r[1] for r in exact}
+    assert by_rank == {1: "near_wrap", 2: "mid"}
