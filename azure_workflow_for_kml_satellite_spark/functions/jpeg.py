@@ -4,16 +4,23 @@ No PIL/libjpeg exists in this container, so (like the PNG decoder in
 functions/png.py and the GeoTIFF codec in functions/geotiff.py) the engine
 carries its own implementation of the public format:
 
-- ``decode_jpeg``: baseline sequential DCT JPEG (SOF0), 8-bit, grayscale or
-  YCbCr with sampling factors up to 2x2 (covers 4:4:4 / 4:2:2 / 4:2:0 —
-  what cameras and web encoders actually emit), restart markers (DRI/RSTn),
-  Huffman + quantization tables read from the stream. Progressive (SOF2),
-  arithmetic and 12-bit variants raise ValueError (quarantined upstream).
+- ``decode_jpeg``: baseline sequential DCT JPEG (SOF0/1) AND progressive
+  DCT JPEG (SOF2 — spectral selection + successive approximation, DC/AC
+  first and refinement scans, EOB runs), 8-bit, grayscale or YCbCr with
+  sampling factors up to 2x2 (covers 4:4:4 / 4:2:2 / 4:2:0 — what cameras
+  and web encoders actually emit), restart markers (DRI/RSTn), Huffman +
+  quantization tables read from the stream. Arithmetic-coded, lossless and
+  12-bit variants raise ValueError (quarantined upstream).
 - ``encode_jpeg``: baseline 4:4:4 encoder used by tests and synthetic data
   generation; emits its own (valid, simple) canonical Huffman tables in DHT
   rather than the Annex-K defaults — any conformant decoder reads tables
   from the stream, so interchange is unaffected (compression ratio is not
   the point here; correctness is).
+- ``encode_jpeg_progressive``: progressive encoder following libjpeg's
+  default 10-scan YCbCr script (DC first/refine, banded AC first scans,
+  AC refinement with buffered correction bits + EOB runs) — exists so the
+  progressive decode paths are round-trip tested against the baseline
+  image without any external codec.
 
 The decoder's IDCT is the float DCT-III of the orthonormal DCT-II the
 encoder applies, so encode→decode error is bounded by quantization alone
@@ -267,17 +274,11 @@ def _encode_block(bw, block, q_nat, pred, dc_codes, ac_codes) -> int:
     return int(zz[0])
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    subsample: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx3 uint8 RGB (or HxW grayscale) → baseline JFIF bytes.
-
-    ``subsample``: '4:4:4' (1x1 chroma), '4:2:2' (2x1 luma factors) or
-    '4:2:0' (2x2) — chroma is box-averaged. ``restart_interval`` > 0 emits
-    DRI + RSTn markers every N MCUs (resets DC prediction), exercising the
-    decoder's restart path."""
+def _build_planes(img: np.ndarray, subsample: str):
+    """Shared encoder front end: colour convert, chroma downsample, pad each
+    component plane to its MCU grid. Returns (h, w, mcux, mcuy, comps) where
+    each comp carries plane / sampling factors / quant tables and its true
+    (non-padded) block dims bw×bh for non-interleaved progressive scans."""
     if img.ndim == 2:
         img = np.stack([img, img, img], axis=-1)
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -313,6 +314,24 @@ def encode_jpeg(
             p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge"
         )
         c["q_nat"] = c["q"][UNZIGZAG].reshape(8, 8)
+        cw = (w * c["h"] + hf - 1) // hf
+        ch = (h * c["v"] + vf - 1) // vf
+        c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+    return h, w, mcux, mcuy, comps
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale) → baseline JFIF bytes.
+
+    ``subsample``: '4:4:4' (1x1 chroma), '4:2:2' (2x1 luma factors) or
+    '4:2:0' (2x2) — chroma is box-averaged. ``restart_interval`` > 0 emits
+    DRI + RSTn markers every N MCUs (resets DC prediction), exercising the
+    decoder's restart path."""
+    h, w, mcux, mcuy, comps = _build_planes(img, subsample)
 
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _simple_tables()
     dc_codes = _canonical_codes(dc_bits, dc_vals)
@@ -373,12 +392,292 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ── progressive encoder ──────────────────────────────────────────────────────
+
+
+def _progressive_ac_table() -> tuple[list[int], list[int]]:
+    """AC table for progressive scans: the baseline (run,size) symbols plus
+    the EOBn run-length symbols (r<<4 for r=1..14) — 176 codes, all at
+    length 8 (Kraft 176/256 < 1, valid canonical)."""
+    ac_vals = [0x00, 0xF0]
+    for run in range(16):
+        for size in range(1, 11):
+            ac_vals.append((run << 4) | size)
+    ac_vals.extend(r << 4 for r in range(1, 15))
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    return ac_bits, ac_vals
+
+
+# libjpeg's default progressive scan script for YCbCr (jcparam.c):
+# (component indexes, Ss, Se, Ah, Al)
+_PROGRESSIVE_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _flush_eobrun(bw: _BitWriter, ac_codes, st: dict) -> None:
+    """Emit the pending EOBn symbol (+ its extension bits) and any buffered
+    correction bits riding with it (T.81 G.1.2.3 / libjpeg emit_eobrun)."""
+    if st["eobrun"] > 0:
+        eb = st["eobrun"]
+        nbits = eb.bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eb & ((1 << nbits) - 1), nbits)
+        st["eobrun"] = 0
+    for b in st["be"]:
+        bw.write(b, 1)
+    st["be"] = []
+
+
+def _encode_block_ac_first(bw, ac_codes, zz, ss, se, al, st) -> None:
+    """First-pass AC encoding of one block over [ss, se] at bit plane al
+    (point transform = arithmetic shift on magnitude), with EOB runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        t = (t >> al) if t >= 0 else -((-t) >> al)
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_codes, st)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        extra, cat = _encode_magnitude(t)
+        code, ln = ac_codes[(r << 4) | cat]
+        bw.write(code, ln)
+        bw.write(extra, cat)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_codes, st)
+
+
+def _encode_block_ac_refine(bw, ac_codes, zz, ss, se, al, st) -> None:
+    """AC successive-approximation refinement (libjpeg encode_mcu_AC_refine):
+    already-significant coefficients contribute one buffered correction bit
+    each; newly-significant ones emit (run,1) + sign; trailing zeros fold
+    into the shared EOB run (correction bits buffered in st['be'])."""
+    absv = []
+    eob_k = ss - 1  # last newly-significant index; ZRLs are pointless past it
+    for k in range(ss, se + 1):
+        a = abs(int(zz[k])) >> al
+        absv.append(a)
+        if a == 1:
+            eob_k = k
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            _flush_eobrun(bw, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if a > 1:
+            br_bits.append(a & 1)
+            continue
+        _flush_eobrun(bw, ac_codes, st)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        r = 0
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+    if r > 0 or br_bits:
+        st["eobrun"] += 1
+        st["be"].extend(br_bits)
+        if st["eobrun"] == 0x7FFF or len(st["be"]) > 900:
+            _flush_eobrun(bw, ac_codes, st)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale) → progressive (SOF2) JFIF bytes.
+
+    Quantizes exactly like ``encode_jpeg`` (same tables, same DCT), then
+    emits libjpeg's default 10-scan script — so a conformant decoder must
+    reproduce the baseline encoding's image bit-for-bit, which is what the
+    round-trip tests assert. ``restart_interval`` > 0 emits DRI + RSTn
+    every N MCUs in every scan (resets DC prediction and EOB runs)."""
+    h, w, mcux, mcuy, comps = _build_planes(img, subsample)
+    for c in comps:
+        plane = c["plane"]
+        by_n, bx_n = plane.shape[0] // 8, plane.shape[1] // 8
+        # per-block _dct2 + rint, the exact float path encode_jpeg takes, so
+        # both encoders quantize to identical coefficients (tested)
+        zz = np.empty((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qc = np.rint(_dct2(block - 128.0) / c["q_nat"]).astype(np.int64)
+                zz[by, bx] = qc.flatten()[ZIGZAG]
+        c["zz"] = zz
+
+    (dc_bits, dc_vals), _ = _simple_tables()
+    ac_bits, ac_vals = _progressive_ac_table()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(QUANT_LUMA))
+    out += seg(0xDB, bytes([1]) + bytes(QUANT_CHROMA))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, c in zip((1, 2, 3), comps):
+        sof += struct.pack(">BBB", cid, (c["h"] << 4) | c["v"], c["tq"])
+    out += seg(0xC2, sof)
+    for cls_id, (bits, vals) in (
+        ((0 << 4) | 0, (dc_bits, dc_vals)),
+        ((1 << 4) | 0, (ac_bits, ac_vals)),
+        ((0 << 4) | 1, (dc_bits, dc_vals)),
+        ((1 << 4) | 1, (ac_bits, ac_vals)),
+    ):
+        out += seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_ids, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        scan = [comps[i] for i in comp_ids]
+        sos = struct.pack(">B", len(scan))
+        for i, c in zip(comp_ids, scan):
+            tbl = 0x00 if i == 0 else 0x11
+            sos += struct.pack(">BB", i + 1, tbl)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += seg(0xDA, sos)
+        out += _encode_scan_entropy(
+            scan, ss, se, ah, al, dc_codes, ac_codes,
+            restart_interval, mcux, mcuy,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_scan_entropy(
+    scan, ss, se, ah, al, dc_codes, ac_codes, restart_interval, mcux, mcuy
+) -> bytes:
+    interleaved = len(scan) > 1
+    units = mcux * mcuy if interleaved else scan[0]["bw"] * scan[0]["bh"]
+    out = bytearray()
+    bw = _BitWriter()
+    preds = [0] * len(scan)
+    st = {"eobrun": 0, "be": []}
+    rst = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            _flush_eobrun(bw, ac_codes, st)
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * len(scan)
+            st = {"eobrun": 0, "be": []}
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            blocks = [
+                (si, my * c["v"] + by, mx * c["h"] + bx)
+                for si, c in enumerate(scan)
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+        else:
+            by, bx = divmod(u, scan[0]["bw"])
+            blocks = [(0, by, bx)]
+        for si, by, bx in blocks:
+            zz = scan[si]["zz"][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    v = int(zz[0]) >> al
+                    diff = v - preds[si]
+                    preds[si] = v
+                    extra, cat = _encode_magnitude(diff)
+                    code, ln = dc_codes[cat]
+                    bw.write(code, ln)
+                    if cat:
+                        bw.write(extra, cat)
+                else:
+                    bw.write((int(zz[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _encode_block_ac_first(bw, ac_codes, zz, ss, se, al, st)
+            else:
+                _encode_block_ac_refine(bw, ac_codes, zz, ss, se, al, st)
+    _flush_eobrun(bw, ac_codes, st)
+    out += bw.flush()
+    return bytes(out)
+
+
 # ── decoder ──────────────────────────────────────────────────────────────────
 
 
+def _frame_geometry(frame: dict) -> dict:
+    """MCU grid + per-component block dimensions (padded and true)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+        raise ValueError("sampling factors beyond 2x2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        # true (non-MCU-padded) sample dims → block dims, used by
+        # non-interleaved scans (JPEG A.2.2); padded dims by interleaved ones
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+        c["bx_pad"], c["by_pad"] = mcux * c["h"], mcuy * c["v"]
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position at or after ``pos`` holding a real marker (not a
+    stuffed 0x00, not a fill 0xFF, not an RSTn)."""
+    p = pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG stream (no marker after scan)")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → HxWxC uint8 (C = 1 or 3). Raises ValueError on
-    non-baseline variants or corrupt streams."""
+    """JFIF bytes → HxWxC uint8 (C = 1 or 3). Baseline (SOF0/1) and
+    progressive (SOF2) DCT; raises ValueError on other variants or corrupt
+    streams."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -386,6 +685,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
+    geom = None
+    coef: list[np.ndarray] | None = None
+    progressive = False
+    scans_done = 0
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -397,7 +700,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("EOI before SOS")
+            if progressive and scans_done:
+                return _reconstruct(frame, geom, coef, quant)
+            raise ValueError("EOI before complete image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         (length,) = struct.unpack_from(">H", data, pos)
@@ -421,7 +726,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -430,8 +738,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/extended JPEG unsupported (baseline only)")
+            geom = _frame_geometry(frame)
+            coef = [
+                np.zeros((c["by_pad"], c["bx_pad"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("lossless/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
@@ -441,78 +754,194 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tables = struct.unpack_from(">BB", payload, 1 + 2 * i)
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append({**comp, "td": tables >> 4, "ta": tables & 0x0F})
-            return _decode_scan(
-                data, pos + length, frame, scan, quant, huff_dc, huff_ac, restart_interval
+                ci = next(
+                    i for i, c in enumerate(frame["comps"]) if c["id"] == cs
+                )
+                scan.append(
+                    {**frame["comps"][ci], "ci": ci, "td": tables >> 4, "ta": tables & 0x0F}
+                )
+            ss, se, ahl = struct.unpack_from(">BBB", payload, 1 + 2 * ns)
+            ah, al = ahl >> 4, ahl & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                data, pos + length, frame, geom, scan, coef,
+                huff_dc, huff_ac, restart_interval, ss, se, ah, al, progressive,
             )
+            scans_done += 1
+            if not progressive:
+                return _reconstruct(frame, geom, coef, quant)
+            continue
         pos += length
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interval):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    if hmax > 2 or vmax > 2 or any(c["h"] < 1 or c["v"] < 1 for c in scan):
-        raise ValueError("sampling factors beyond 2x2 unsupported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for c in scan:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        )
+def _decode_scan(
+    data, pos, frame, geom, scan, coef, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al, progressive,
+):
+    """Entropy-decode one scan into the per-component coefficient arrays
+    (zigzag order). Returns the stream position of the next marker.
+
+    Baseline: single interleaved (or single-component) full-band scan.
+    Progressive (ITU T.81 G.2): DC first (Ss=0, Ah=0), DC refinement
+    (Ss=0, Ah>0), AC first (Ss>0, Ah=0, EOB runs) and AC refinement
+    (Ss>0, Ah>0, correction bits) scans, each restricted to the spectral
+    band [Ss, Se] and bit plane Al."""
+    if ss == 0 and se != 0 and progressive:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError("bad spectral selection")
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+    state = {"eobrun": 0}
+    # scan walk: interleaved = MCU grid over every scan component;
+    # non-interleaved (single component) = that component's true block grid
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = geom["mcux"] * geom["mcuy"]
+    else:
+        units = scan[0]["bw"] * scan[0]["bh"]
+
+    def _unit_blocks(u):
+        if interleaved:
+            my, mx = divmod(u, geom["mcux"])
+            for si, c in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield si, my * c["v"] + by, mx * c["h"] + bx
+        else:
+            c = scan[0]
+            by, bx = divmod(u, c["bw"])
+            yield 0, by, bx
+
+    try:
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
                 br.align_and_eat_restart()
                 preds = [0] * len(scan)
-            try:
-                for ci, c in enumerate(scan):
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = np.zeros(64, dtype=np.int64)
-                            sym = huff_dc[c["td"]].decode(br)
-                            diff = _extend(br.read_bits(sym), sym) if sym else 0
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = huff_ac[c["ta"]].decode(br)
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                size = rs & 0x0F
-                                if k > 63:
-                                    raise ValueError("AC index overrun")
-                                zz[k] = _extend(br.read_bits(size), size)
-                                k += 1
-                            coef = np.zeros(64, dtype=np.float64)
-                            coef[ZIGZAG] = zz * quant[c["tq"]][np.arange(64)]
-                            block = _idct2(coef.reshape(8, 8)) + 128.0
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            except _RestartMarker:
-                raise ValueError("unexpected restart marker placement") from None
-            mcu_count += 1
-    # upsample to full resolution and crop
-    full = []
-    for ci, c in enumerate(scan):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
+                state["eobrun"] = 0
+            for si, by, bx in _unit_blocks(u):
+                c = scan[si]
+                zz = coef[c["ci"]][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        sym = huff_dc[c["td"]].decode(br)
+                        diff = _extend(br.read_bits(sym), sym) if sym else 0
+                        preds[si] += diff
+                        zz[0] = preds[si] << al
+                        if not progressive:
+                            _decode_block_ac(br, huff_ac[c["ta"]], zz, 1, 63, 0, state)
+                    else:
+                        if br.read_bit():
+                            zz[0] |= 1 << al
+                else:
+                    if ah == 0:
+                        _decode_block_ac(br, huff_ac[c["ta"]], zz, ss, se, al, state)
+                    else:
+                        _decode_block_ac_refine(
+                            br, huff_ac[c["ta"]], zz, ss, se, al, state
+                        )
+    except _RestartMarker:
+        raise ValueError("unexpected restart marker placement") from None
+    return _next_marker(data, br.pos)
+
+
+def _decode_block_ac(br, ac, zz, ss, se, al, state):
+    """First-pass AC coding for one block over band [ss, se] at bit plane
+    ``al`` (baseline = band [1,63] at plane 0, where EOB-run symbols >0x00
+    do not occur because the encoder never emits them)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_block_ac_refine(br, ac, zz, ss, se, al, state):
+    """AC successive-approximation refinement (T.81 G.2.2 / libjpeg
+    decode_mcu_AC_refine): adds bit ``al`` to already-nonzero coefficients
+    (one correction bit each) and places newly-significant ±1<<al
+    coefficients; EOB runs refine the remainder of the band."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                s_val = p1 if br.read_bit() else m1
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if br.read_bit() and (cur & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("AC refinement index overrun")
+                zz[k] = s_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            cur = int(zz[k])
+            if cur != 0 and br.read_bit() and (cur & p1) == 0:
+                zz[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, geom, coef, quant):
+    """Dequantize + batched IDCT + chroma upsample + colour convert."""
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for c, zz in zip(frame["comps"], coef):
+        if c["tq"] not in quant:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        qt = quant[c["tq"]].astype(np.float64)
+        nat = (zz.astype(np.float64) * qt)[..., UNZIGZAG]
+        blocks = nat.reshape(zz.shape[0], zz.shape[1], 8, 8)
+        # batched IDCT: C.T @ B @ C for every block at once
+        spat = np.einsum("ka,yxkl,lb->yxab", _C, blocks, _C, optimize=True)
+        plane = spat.transpose(0, 2, 1, 3).reshape(zz.shape[0] * 8, zz.shape[1] * 8)
+        plane += 128.0
+        ry, rx = geom["vmax"] // c["v"], geom["hmax"] // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)[..., None]
-    if len(full) == 3:
-        return _ycbcr_to_rgb(np.stack(full, axis=-1))
-    raise ValueError(f"unsupported component count {len(full)}")
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[..., None]
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    raise ValueError(f"unsupported component count {len(planes)}")

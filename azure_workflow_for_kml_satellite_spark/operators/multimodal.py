@@ -3,17 +3,18 @@ opaque binary columns with typed metadata).
 
 PNG payloads are REALLY decoded (the repo's from-scratch decoder,
 functions/png.py — zlib inflate + all five filter types incl. Paeth), and
-baseline JPEG payloads are REALLY decoded too (functions/jpeg.py —
-Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), so
-width/height/channels/mean_luma/phash are true pixel statistics for both.
-WAV (RIFF/PCM) audio is really parsed (``audio_metadata`` — header +
-sample statistics), and MJPEG-in-AVI video is really demuxed + decoded
-(``video_frame_sample`` — RIFF walk → movi JPEG chunks → per-frame pixel
-hash). Remaining codecs (progressive JPEG, compressed audio, mp4/mkv — no
-PIL/ffmpeg in this container) fall back to a deterministic stand-in,
-clearly marked: swapping ``_fake_decode_image`` for a PIL call is a
-one-function change; schemas, Arrow batch shape, partitioning and UDF
-signatures are the real contract.
+JPEG payloads are REALLY decoded too — both baseline (SOF0/1) and
+progressive (SOF2, spectral selection + successive approximation) via
+functions/jpeg.py (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
+markers, EOB runs) — so width/height/channels/mean_luma/phash are true
+pixel statistics for both. WAV (RIFF/PCM) audio is really parsed
+(``audio_metadata`` — header + sample statistics), and MJPEG-in-AVI video
+is really demuxed + decoded (``video_frame_sample`` — RIFF walk → movi
+JPEG chunks → per-frame pixel hash). Remaining codecs (compressed audio,
+mp4/mkv — no PIL/ffmpeg in this container) fall back to a deterministic
+stand-in, clearly marked: swapping ``_fake_decode_image`` for a PIL call
+is a one-function change; schemas, Arrow batch shape, partitioning and
+UDF signatures are the real contract.
 """
 
 from __future__ import annotations
@@ -45,9 +46,9 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def _decode_image(data: bytes) -> np.ndarray:
     """bytes → HxWxC uint8. PNG: real decode via functions/png.py.
-    Baseline JPEG: real decode via functions/jpeg.py (corrupt/progressive →
-    ValueError → per-row quarantine). Other formats: deterministic stand-in
-    (no codecs in this container)."""
+    JPEG (baseline + progressive): real decode via functions/jpeg.py
+    (corrupt/arithmetic/lossless → ValueError → per-row quarantine).
+    Other formats: deterministic stand-in (no codecs in this container)."""
     if data[:8] == _PNG_MAGIC:
         from azure_workflow_for_kml_satellite_spark.functions.png import decode_png
 

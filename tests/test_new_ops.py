@@ -479,7 +479,8 @@ def test_jpeg_codec_roundtrip_all_modes():
     enc = encode_jpeg(flat)
     assert enc == encode_jpeg(flat)
     assert np.abs(decode_jpeg(enc).astype(int) - flat.astype(int)).max() <= 1
-    # progressive marker rejected
+    # SOF marker flipped to SOF2 on a baseline stream → the full-band SOS
+    # header is invalid for a progressive frame → rejected, not garbage
     import pytest
 
     bad = bytearray(enc)
@@ -487,6 +488,76 @@ def test_jpeg_codec_roundtrip_all_modes():
     bad[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_progressive_matches_baseline_bit_for_bit():
+    """The progressive encoder quantizes identically to the baseline one, so
+    decoding its 10-scan stream (DC first/refine, banded AC first scans, AC
+    refinement with EOB runs) must reproduce the baseline decode EXACTLY —
+    this pins every progressive decode path against the sequential codec."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (37, 61, 3), dtype=np.uint8),  # full-range noise
+        np.full((128, 256, 3), 130, dtype=np.uint8),  # long EOB runs
+    ]
+    yy, xx = np.mgrid[0:48, 0:80]
+    cases.append(
+        np.stack([(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1).astype(
+            np.uint8
+        )
+    )
+    hot = cases[1].copy()
+    hot[127, 255] = [255, 0, 0]  # EOB flush forced at the stream tail
+    cases.append(hot)
+    for img in cases:
+        for mode in ("4:4:4", "4:2:2", "4:2:0"):
+            for ri in (0, 5):
+                base = decode_jpeg(encode_jpeg(img, subsample=mode, restart_interval=ri))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, subsample=mode, restart_interval=ri)
+                )
+                assert np.array_equal(base, prog), (img.shape, mode, ri)
+    # grayscale input and odd (non-multiple-of-MCU) dims
+    gray = np.zeros((33, 17), dtype=np.uint8)
+    gray[:, 9:] = 220
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray)), decode_jpeg(encode_jpeg_progressive(gray))
+    )
+    # truncated / bit-flipped progressive streams quarantine, never crash
+    import pytest
+
+    enc = encode_jpeg_progressive(cases[2], subsample="4:2:0")
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_image_metadata_real_progressive_jpeg(spark):
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    img = np.full((20, 30, 3), 90, dtype=np.uint8)
+    good = encode_jpeg_progressive(img, subsample="4:2:0")
+    df = spark.createDataFrame(
+        [("p", bytearray(good))], "asset_id string, payload binary"
+    )
+    row = image_metadata(df).collect()[0]
+    assert row.decode_error is None
+    assert (row.width, row.height, row.channels) == (30, 20, 3)
+    assert abs(row.mean_luma - 90.0) < 2.0
 
 
 def test_image_metadata_real_jpeg_decode(spark):
