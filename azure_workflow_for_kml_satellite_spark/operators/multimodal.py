@@ -8,13 +8,18 @@ progressive (SOF2, spectral selection + successive approximation) via
 functions/jpeg.py (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
 markers, EOB runs) — so width/height/channels/mean_luma/phash are true
 pixel statistics for both. WAV (RIFF/PCM) audio is really parsed
-(``audio_metadata`` — header + sample statistics), and MJPEG-in-AVI video
-is really demuxed + decoded (``video_frame_sample`` — RIFF walk → movi
-JPEG chunks → per-frame pixel hash). Remaining codecs (compressed audio,
-mp4/mkv — no PIL/ffmpeg in this container) fall back to a deterministic
-stand-in, clearly marked: swapping ``_fake_decode_image`` for a PIL call
-is a one-function change; schemas, Arrow batch shape, partitioning and
-UDF signatures are the real contract.
+(``audio_metadata`` — header + sample statistics), MP3 frame headers and
+Ogg (Vorbis/Opus) pages are really walked (true rate/channels/duration;
+compressed samples stay undecoded), MJPEG-in-AVI video is really demuxed
++ decoded (``video_frame_sample`` — RIFF walk → movi JPEG chunks →
+per-frame pixel hash), and MP4/MOV is really demuxed (ISO-BMFF sample
+tables → true frame timing/byte ranges; 'jpeg' sample entries decode to
+true pixel hashes). Only compressed A/V codec payloads themselves
+(h264/aac/vorbis bitstreams — no PIL/ffmpeg in this container) and mkv
+fall back to a per-row decode_error or the clearly-marked deterministic
+stand-in: swapping ``_fake_decode_image`` for a PIL call is a
+one-function change; schemas, Arrow batch shape, partitioning and UDF
+signatures are the real contract.
 """
 
 from __future__ import annotations
@@ -179,6 +184,145 @@ def _parse_mjpeg_avi(data: bytes) -> tuple[int, list[bytes]]:
     return us_per_frame, frames
 
 
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Iterate ISO-BMFF boxes in [pos, end): yields (type, body_start,
+    body_end). Handles 64-bit largesize and size==0 (extends to end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, pos: int, end: int, want: bytes):
+    for btype, s, e in _mp4_boxes(data, pos, end):
+        if btype == want:
+            return s, e
+    return None
+
+
+def _parse_mp4(data: bytes) -> dict:
+    """Real ISO-BMFF (MP4/MOV) demux: box walk → first 'vide' trak →
+    stsd codec fourcc + mdhd timescale + sample tables (stts timing,
+    stsz sizes, stsc sample-to-chunk, stco/co64 chunk offsets) →
+    per-sample (file offset, size, ts_ms). Raises ValueError on non-BMFF
+    or trackless input."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for btype, ts_, te_ in _mp4_boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        info = _parse_mp4_video_trak(data, ts_, te_)
+        if info is not None:
+            return info
+    raise ValueError("MP4 has no video track")
+
+
+def _parse_mp4_video_trak(data: bytes, s: int, e: int) -> dict | None:
+    mdia = _mp4_child(data, s, e, b"mdia")
+    if mdia is None:
+        return None
+    hdlr = _mp4_child(data, *mdia, b"hdlr")
+    if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        return None
+    mdhd = _mp4_child(data, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError("MP4 video track missing mdhd")
+    version = data[mdhd[0]]
+    (timescale,) = struct.unpack_from(">I", data, mdhd[0] + (20 if version == 1 else 12))
+    if timescale <= 0:
+        raise ValueError("MP4 mdhd timescale must be positive")
+    minf = _mp4_child(data, *mdia, b"minf")
+    stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("MP4 video track missing stbl")
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, bs, be in _mp4_boxes(data, *stbl):
+        tables[btype] = (bs, be)
+    for need in (b"stsd", b"stts", b"stsz", b"stsc"):
+        if need not in tables:
+            raise ValueError(f"MP4 stbl missing {need.decode()}")
+    # stsd: first sample-entry fourcc is the codec
+    sp = tables[b"stsd"][0]
+    (n_desc,) = struct.unpack_from(">I", data, sp + 4)
+    if n_desc < 1:
+        raise ValueError("MP4 stsd has no sample descriptions")
+    codec = data[sp + 12 : sp + 16].decode("latin-1")
+    # stsz: sizes
+    sp = tables[b"stsz"][0]
+    fixed, n_samples = struct.unpack_from(">II", data, sp + 4)
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", data, sp + 12))
+    # stts: per-sample decode timestamps
+    sp = tables[b"stts"][0]
+    (n_ent,) = struct.unpack_from(">I", data, sp + 4)
+    ts_units: list[int] = []
+    t = 0
+    for i in range(n_ent):
+        cnt, delta = struct.unpack_from(">II", data, sp + 8 + 8 * i)
+        for _ in range(cnt):
+            ts_units.append(t)
+            t += delta
+    if len(ts_units) < n_samples:
+        raise ValueError("MP4 stts covers fewer samples than stsz")
+    # stsc runs + stco/co64 → per-sample file offsets
+    sp = tables[b"stsc"][0]
+    (n_runs,) = struct.unpack_from(">I", data, sp + 4)
+    runs = [
+        struct.unpack_from(">III", data, sp + 8 + 12 * i)[:2] for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk)
+    if b"stco" in tables:
+        sp = tables[b"stco"][0]
+        (n_chunks,) = struct.unpack_from(">I", data, sp + 4)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}I", data, sp + 8))
+    elif b"co64" in tables:
+        sp = tables[b"co64"][0]
+        (n_chunks,) = struct.unpack_from(">I", data, sp + 4)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", data, sp + 8))
+    else:
+        raise ValueError("MP4 stbl missing stco/co64")
+    samples: list[tuple[int, int, int]] = []
+    si = 0
+    ri = 0
+    for ci in range(1, n_chunks + 1):
+        while ri + 1 < len(runs) and runs[ri + 1][0] <= ci:
+            ri += 1
+        off = chunk_offs[ci - 1]
+        for _ in range(runs[ri][1]):
+            if si >= n_samples:
+                break
+            if off + sizes[si] > len(data):
+                raise ValueError("MP4 sample extends past end of payload")
+            samples.append((off, sizes[si], ts_units[si] * 1000 // timescale))
+            off += sizes[si]
+            si += 1
+    if si < n_samples:
+        raise ValueError("MP4 chunk tables cover fewer samples than stsz")
+    duration_ms = t * 1000 // timescale
+    return {"codec": codec, "samples": samples, "duration_ms": duration_ms}
+
+
+# MP4 sample-entry fourccs whose payloads are plain JPEG streams our codec
+# can really decode; anything else demuxes (true timing/offsets) but the
+# pixel decode is unavailable without ffmpeg and says so per-row
+_MP4_JPEG_CODECS = {"jpeg", "mjpa"}
+
+
 def video_frame_sample(
     df: DataFrame, every_ms: int = 1000, id_col: str = "asset_id", bin_col: str = "payload"
 ) -> DataFrame:
@@ -187,9 +331,14 @@ def video_frame_sample(
     MJPEG-in-AVI payloads are REALLY demuxed and decoded: the RIFF walker
     pulls the movi '..dc' JPEG chunks + avih frame timing, the sampler picks
     the frame at each ``every_ms`` instant, and frame_phash is a true pixel
-    hash via the from-scratch JPEG decoder. Other containers (mp4/mkv — no
-    ffmpeg here) keep the deterministic stand-in; the explode shape
-    (1 asset → N frame rows) is the real UDTF-style contract either way."""
+    hash via the from-scratch JPEG decoder. MP4/MOV payloads are REALLY
+    demuxed too (ISO-BMFF box walk + stts/stsz/stsc/stco sample tables →
+    true per-frame timestamps and byte ranges); 'jpeg'/'mjpa' sample
+    entries decode to true pixel hashes, while compressed codecs (avc1/
+    hvc1/… — no ffmpeg here) emit rows with real timing but a per-row
+    decode_error naming the undecodable codec. Other containers (mkv) keep
+    the deterministic stand-in; the explode shape (1 asset → N frame rows)
+    is the real UDTF-style contract either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
@@ -231,6 +380,56 @@ def video_frame_sample(
                                 "ts_ms": None,
                                 "frame_phash": None,
                                 "decode_error": f"corrupt AVI/MJPEG payload: {exc}",
+                            }
+                        )
+                    continue
+                if len(data) >= 12 and data[4:8] == b"ftyp":
+                    try:
+                        info = _parse_mp4(data)
+                        samples = info["samples"]
+                        duration_ms = max(
+                            info["duration_ms"], samples[-1][2] + 1 if samples else 0
+                        )
+                        if not samples:
+                            raise ValueError("MP4 video track has no samples")
+                        sample_ts = [s[2] for s in samples]
+                        decodable = info["codec"] in _MP4_JPEG_CODECS
+                        n = max(
+                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
+                        )
+                        for i in range(int(n)):
+                            ts = i * every_ms
+                            # last sample whose timestamp is <= the instant
+                            fi = max(0, int(np.searchsorted(sample_ts, ts, "right")) - 1)
+                            off, size, _ = samples[fi]
+                            if decodable:
+                                frame = decode_jpeg(data[off : off + size])
+                                if frame.shape[2] == 1:
+                                    frame = np.repeat(frame, 3, axis=2)
+                                phash, err = _phash(frame), None
+                            else:
+                                phash = None
+                                err = (
+                                    f"codec {info['codec']!r} pixel decode unavailable "
+                                    "(demux real, decoder stubbed)"
+                                )
+                            rows.append(
+                                {
+                                    "asset_id": aid,
+                                    "frame_index": fi,
+                                    "ts_ms": ts,
+                                    "frame_phash": phash,
+                                    "decode_error": err,
+                                }
+                            )
+                    except (ValueError, IndexError, KeyError, struct.error) as exc:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_index": None,
+                                "ts_ms": None,
+                                "frame_phash": None,
+                                "decode_error": f"corrupt MP4 payload: {exc}",
                             }
                         )
                     continue
@@ -315,11 +514,152 @@ def _parse_wav(data: bytes) -> dict:
     }
 
 
+# MPEG audio frame-header tables (ISO 11172-3 / 13818-3). Keyed by the
+# 2-bit version field (3=MPEG1, 2=MPEG2, 0=MPEG2.5) and layer (3=I, 2=II,
+# 1=III); bitrates in kbit/s, index 1..14.
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_BITRATES = {
+    (3, 3): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (3, 1): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 3): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 1): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATES[(0, 3)] = _MP3_BITRATES[(2, 3)]
+_MP3_BITRATES[(0, 2)] = _MP3_BITRATES[(2, 2)]
+_MP3_BITRATES[(0, 1)] = _MP3_BITRATES[(2, 1)]
+
+
+def _parse_mp3(data: bytes) -> dict:
+    """Real MPEG-audio frame-header walk: skips an ID3v2 tag, then steps
+    frame to frame (version/layer/bitrate/samplerate/padding → frame
+    length), accumulating sample counts for the true duration. The PCM
+    samples themselves are not decoded (no codec here), so rms/peak are
+    null — header metadata is real."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        tag_size = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + tag_size
+    n_frames = 0
+    n_samples = 0
+    rate = None
+    channels = None
+    while pos + 4 <= len(data):
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if (
+            data[pos] != 0xFF
+            or (b1 & 0xE0) != 0xE0
+            or version == 1
+            or layer == 0
+            or br_idx in (0, 15)
+            or sr_idx == 3
+        ):
+            if n_frames:
+                break  # trailing junk / ID3v1 'TAG' after the last frame
+            pos += 1  # resync scan before the first frame
+            continue
+        bitrate = _MP3_BITRATES[(version, layer)][br_idx] * 1000
+        sr = _MP3_RATES[version][sr_idx]
+        padding = (b2 >> 1) & 1
+        if layer == 3:  # Layer I
+            frame_len = (12 * bitrate // sr + padding) * 4
+            spf = 384
+        elif layer == 2:  # Layer II
+            frame_len = 144 * bitrate // sr + padding
+            spf = 1152
+        else:  # Layer III
+            if version == 3:
+                frame_len = 144 * bitrate // sr + padding
+                spf = 1152
+            else:
+                frame_len = 72 * bitrate // sr + padding
+                spf = 576
+        if rate is None:
+            rate, channels = sr, (1 if (b3 >> 6) == 3 else 2)
+        n_frames += 1
+        n_samples += spf
+        pos += max(frame_len, 4)
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits_per_sample": None,
+        "n_samples": int(n_samples),
+        "duration_ms": int(round(1000.0 * n_samples / rate)),
+        "rms": None,
+        "peak": None,
+    }
+
+
+def _parse_ogg(data: bytes) -> dict:
+    """Real Ogg page walk: identification header (Vorbis or Opus) for
+    sample rate/channels, final granule position for the true sample count
+    and duration. Samples are not decoded (no codec here) → rms/peak null."""
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    pos = 0
+    rate = None
+    channels = None
+    last_granule = 0
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            break
+        (granule,) = struct.unpack_from("<q", data, pos + 6)
+        nseg = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("truncated Ogg page header")
+        body = pos + 27 + nseg
+        size = sum(lacing)
+        if body + size > len(data):
+            raise ValueError("truncated Ogg page body")
+        if rate is None:
+            packet = data[body : body + size]
+            if packet[:7] == b"\x01vorbis" and size >= 16:
+                channels = packet[11]
+                (rate,) = struct.unpack_from("<I", packet, 12)
+            elif packet[:8] == b"OpusHead" and size >= 10:
+                channels = packet[9]
+                rate = 48000  # Opus always decodes at 48 kHz
+            else:
+                raise ValueError("unsupported Ogg codec (not Vorbis/Opus)")
+            if rate <= 0 or channels <= 0:
+                raise ValueError("invalid Ogg identification header")
+        if granule > 0:
+            last_granule = max(last_granule, granule)
+        pos = body + size
+    if rate is None:
+        raise ValueError("Ogg payload has no complete pages")
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits_per_sample": None,
+        "n_samples": int(last_granule),
+        "duration_ms": int(round(1000.0 * last_granule / rate)),
+        "rms": None,
+        "peak": None,
+    }
+
+
 def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
-    """binary column → typed audio metadata rows. RIFF/WAVE PCM payloads are
-    REALLY parsed (header + per-sample statistics); other containers (mp3/
-    ogg/flac — no codecs here) quarantine per-row with a decode_error, the
-    same contract as image_metadata."""
+    """binary column → typed audio metadata rows. RIFF/WAVE PCM payloads
+    are REALLY parsed (header + per-sample statistics). MP3 and Ogg
+    (Vorbis/Opus) containers are REALLY walked too — frame headers / page
+    granules give true sample_rate, channels, n_samples and duration_ms;
+    their compressed samples aren't decodable here, so rms/peak stay null.
+    Unrecognized or corrupt payloads quarantine per-row with a
+    decode_error, the same contract as image_metadata."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_META_SCHEMA.fields]
@@ -327,9 +667,19 @@ def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    meta = _parse_wav(bytes(data))
+                    raw = bytes(data)
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        meta = _parse_wav(raw)
+                    elif raw[:4] == b"OggS":
+                        meta = _parse_ogg(raw)
+                    elif raw[:3] == b"ID3" or (
+                        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        meta = _parse_mp3(raw)
+                    else:
+                        raise ValueError("unrecognized audio container")
                     rows.append({"asset_id": aid, **meta, "decode_error": None})
-                except ValueError as exc:
+                except (ValueError, IndexError, struct.error) as exc:
                     rows.append(
                         {
                             "asset_id": aid,

@@ -833,3 +833,151 @@ def test_knn_join_cells_antimeridian_wrap(spark):
     # the wrap candidate is rank 1 (≈22 km), 'mid' is rank 2 (≈1089 km)
     by_rank = {r[3]: r[1] for r in exact}
     assert by_rank == {1: "near_wrap", 2: "mid"}
+
+
+def _mp4_bytes(frames, delta_ms=100, codec=b"jpeg", chunk_size=3, timescale=1000):
+    """Minimal valid ISO-BMFF file: ftyp + mdat + moov with one video trak
+    whose stts/stsc/stsz/stco tables describe ``frames`` (multi-chunk, so
+    the stsc run expansion is exercised)."""
+    import struct as s
+
+    def box(t, payload):
+        return s.pack(">I", len(payload) + 8) + t + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8
+    sizes = [len(f) for f in frames]
+    chunks = [sizes[i : i + chunk_size] for i in range(0, len(sizes), chunk_size)]
+    offs, cur = [], base
+    for ch in chunks:
+        offs.append(cur)
+        cur += sum(ch)
+    entry = s.pack(">I4s", 16, codec) + b"\x00" * 6 + s.pack(">H", 1)
+    stsd = box(b"stsd", b"\x00" * 4 + s.pack(">I", 1) + entry)
+    stts = box(b"stts", b"\x00" * 4 + s.pack(">III", 1, len(frames), delta_ms))
+    runs = [(1, chunk_size)]
+    if len(chunks) > 1 and len(chunks[-1]) != chunk_size:
+        runs.append((len(chunks), len(chunks[-1])))
+    stsc = box(
+        b"stsc",
+        b"\x00" * 4
+        + s.pack(">I", len(runs))
+        + b"".join(s.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4
+        + s.pack(">II", 0, len(frames))
+        + b"".join(s.pack(">I", sz) for sz in sizes),
+    )
+    stco = box(
+        b"stco",
+        b"\x00" * 4 + s.pack(">I", len(offs)) + b"".join(s.pack(">I", o) for o in offs),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdhd = box(
+        b"mdhd",
+        b"\x00" * 4 + s.pack(">IIII", 0, 0, timescale, len(frames) * delta_ms) + b"\x00" * 4,
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    return ftyp + mdat + box(b"moov", box(b"trak", mdia))
+
+
+def test_video_frame_sample_real_mp4(spark):
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _phash,
+        video_frame_sample,
+    )
+
+    frames = [
+        encode_jpeg(np.full((16, 16, 3), i * 12, dtype=np.uint8)) for i in range(20)
+    ]
+    mp4 = _mp4_bytes(frames, delta_ms=100)  # 2 s of 10 fps MJPEG-in-MP4
+    avc = _mp4_bytes([b"\x00\x00\x01\x65" + bytes(40)] * 20, delta_ms=100, codec=b"avc1")
+    df = spark.createDataFrame(
+        [
+            ("mj", bytearray(mp4)),
+            ("h264", bytearray(avc)),
+            ("bad", bytearray(b"\x00\x00\x00\x08ftyp" + b"no-moov-here")),
+        ],
+        "asset_id string, payload binary",
+    )
+    out = video_frame_sample(df, every_ms=500).toPandas()
+    mj = out[out.asset_id == "mj"].sort_values("ts_ms")
+    # 2000 ms / 500 ms → 4 instants, frame = last sample at/before instant
+    assert list(mj.ts_ms) == [0, 500, 1000, 1500]
+    assert list(mj.frame_index) == [0, 5, 10, 15]
+    assert mj.decode_error.isna().all()
+    # phash is the TRUE pixel hash of the demuxed sample
+    expected = _phash(np.repeat(decode_jpeg(frames[5]), 1, axis=2))
+    assert int(mj.iloc[1].frame_phash) == expected
+    h264 = out[out.asset_id == "h264"]
+    # real demux timing, honest per-row "codec not decodable" marker
+    assert list(h264.sort_values("ts_ms").ts_ms) == [0, 500, 1000, 1500]
+    assert h264.decode_error.str.contains("avc1").all()
+    bad = out[out.asset_id == "bad"]
+    assert len(bad) == 1 and "MP4" in bad.iloc[0].decode_error
+
+
+def test_audio_metadata_real_mp3_ogg(spark):
+    import struct as s
+
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        audio_metadata,
+    )
+
+    # MPEG1 Layer III, 128 kbit/s @ 44100, stereo, ID3v2 tag + ID3v1 tail
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    flen = 144 * 128000 // 44100
+    mp3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    mp3 += (hdr + b"\x00" * (flen - 4)) * 10 + b"TAG" + b"\x00" * 125
+
+    def ogg_page(granule, packet, seq):
+        lac = [255] * (len(packet) // 255) + [len(packet) % 255]
+        return (
+            b"OggS"
+            + bytes([0, 2 if seq == 0 else 0])
+            + s.pack("<q", granule)
+            + s.pack("<II", 1, seq)
+            + b"\x00" * 4
+            + bytes([len(lac)])
+            + bytes(lac)
+            + packet
+        )
+
+    vorbis_ident = (
+        b"\x01vorbis" + s.pack("<I", 0) + bytes([2]) + s.pack("<I", 44100) + b"\x00" * 8
+    )
+    ogg = ogg_page(0, vorbis_ident, 0) + ogg_page(22050, b"\x05" * 300, 1)
+    opus = ogg_page(0, b"OpusHead" + bytes([1, 2]) + b"\x00" * 9, 0) + ogg_page(
+        48000, b"\x05" * 10, 1
+    )
+    df = spark.createDataFrame(
+        [
+            ("mp3", bytearray(mp3)),
+            ("ogg", bytearray(ogg)),
+            ("opus", bytearray(opus)),
+            ("bad", bytearray(b"fLaC-is-not-parsed-here")),
+        ],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in audio_metadata(df).collect()}
+    m = out["mp3"]
+    assert m.decode_error is None
+    assert (m.sample_rate, m.channels, m.n_samples) == (44100, 2, 10 * 1152)
+    assert m.duration_ms == round(1000 * 10 * 1152 / 44100)
+    assert m.rms is None and m.bits_per_sample is None  # headers real, PCM not decoded
+    v = out["ogg"]
+    assert (v.sample_rate, v.channels, v.n_samples, v.duration_ms) == (44100, 2, 22050, 500)
+    o = out["opus"]
+    assert (o.sample_rate, o.channels, o.n_samples, o.duration_ms) == (48000, 2, 48000, 1000)
+    assert out["bad"].decode_error is not None
