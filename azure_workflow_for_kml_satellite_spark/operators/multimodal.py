@@ -8,18 +8,19 @@ progressive (SOF2, spectral selection + successive approximation) via
 functions/jpeg.py (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
 markers, EOB runs) — so width/height/channels/mean_luma/phash are true
 pixel statistics for both. WAV (RIFF/PCM) audio is really parsed
-(``audio_metadata`` — header + sample statistics), MP3 frame headers and
-Ogg (Vorbis/Opus) pages are really walked (true rate/channels/duration;
-compressed samples stay undecoded), MJPEG-in-AVI video is really demuxed
-+ decoded (``video_frame_sample`` — RIFF walk → movi JPEG chunks →
-per-frame pixel hash), and MP4/MOV is really demuxed (ISO-BMFF sample
-tables → true frame timing/byte ranges; 'jpeg' sample entries decode to
-true pixel hashes). Only compressed A/V codec payloads themselves
-(h264/aac/vorbis bitstreams — no PIL/ffmpeg in this container) and mkv
-fall back to a per-row decode_error or the clearly-marked deterministic
-stand-in: swapping ``_fake_decode_image`` for a PIL call is a
-one-function change; schemas, Arrow batch shape, partitioning and UDF
-signatures are the real contract.
+(``audio_metadata`` — header + sample statistics), MP3 frame headers,
+Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are really walked (true
+rate/channels/duration; compressed samples stay undecoded), MJPEG-in-AVI
+video is really demuxed + decoded (``video_frame_sample`` — RIFF walk →
+movi JPEG chunks → per-frame pixel hash), and MP4/MOV (ISO-BMFF sample
+tables) and Matroska (EBML element walk) are really demuxed too — true
+frame timing/byte ranges, with 'jpeg'/'V_MJPEG' payloads decoding to
+true pixel hashes. Only the compressed A/V codec payloads themselves
+(h264/aac/vorbis bitstreams — no PIL/ffmpeg in this container) emit an
+honest per-row decode_error; unrecognized containers keep the
+clearly-marked deterministic stand-in: swapping ``_fake_decode_image``
+for a PIL call is a one-function change; schemas, Arrow batch shape,
+partitioning and UDF signatures are the real contract.
 """
 
 from __future__ import annotations
@@ -323,6 +324,130 @@ def _parse_mp4_video_trak(data: bytes, s: int, e: int) -> dict | None:
 _MP4_JPEG_CODECS = {"jpeg", "mjpa"}
 
 
+def _ebml_id(data: bytes, pos: int) -> tuple[int, int]:
+    """EBML element ID vint (marker bit kept, per spec)."""
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML ID")
+    length = 9 - b0.bit_length()
+    if length > 4 or pos + length > len(data):
+        raise ValueError("truncated EBML ID")
+    return int.from_bytes(data[pos : pos + length], "big"), pos + length
+
+
+def _ebml_size(data: bytes, pos: int) -> tuple[int | None, int]:
+    """EBML size vint (marker stripped); all-ones means unknown (None)."""
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML size")
+    length = 9 - b0.bit_length()
+    if pos + length > len(data):
+        raise ValueError("truncated EBML size")
+    val = b0 & (0xFF >> length)
+    for b in data[pos + 1 : pos + length]:
+        val = (val << 8) | b
+    unknown = val == (1 << (7 * length)) - 1
+    return (None if unknown else val), pos + length
+
+
+# Matroska container elements the walker descends into:
+# Segment, Info, Tracks, Cluster, BlockGroup
+_MKV_CONTAINERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0x1F43B675, 0xA0}
+
+
+def _parse_mkv(data: bytes) -> dict:
+    """Real Matroska (EBML) demux: element walk → first video TrackEntry
+    (TrackNumber/TrackType/CodecID) + Info TimestampScale, then Cluster
+    Timestamps and SimpleBlocks/Blocks of that track → per-frame
+    (ts_ms, payload). Laced blocks raise (quarantined upstream)."""
+    if data[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/Matroska payload")
+    state = {"timescale": 1_000_000, "track": None, "codec": "", "dur_ticks": None}
+    frames: list[tuple[int, bytes]] = []
+
+    def parse_track_entry(s: int, e: int) -> None:
+        num = ttype = None
+        cid = ""
+        pos = s
+        while pos < e:
+            eid, p = _ebml_id(data, pos)
+            size, p = _ebml_size(data, p)
+            if size is None or p + size > e:
+                raise ValueError("malformed TrackEntry")
+            body = data[p : p + size]
+            if eid == 0xD7:  # TrackNumber
+                num = int.from_bytes(body, "big")
+            elif eid == 0x83:  # TrackType (1 = video)
+                ttype = int.from_bytes(body, "big")
+            elif eid == 0x86:  # CodecID
+                cid = body.decode("latin-1").rstrip("\x00")
+            pos = p + size
+        if ttype == 1 and num is not None and state["track"] is None:
+            state["track"] = num
+            state["codec"] = cid
+
+    def parse_block(body: bytes, cluster_ts: int) -> None:
+        if not body:
+            raise ValueError("empty Matroska block")
+        ln = 9 - body[0].bit_length()
+        if ln + 3 > len(body):
+            raise ValueError("truncated Matroska block header")
+        tnum = body[0] & (0xFF >> ln)
+        for b in body[1:ln]:
+            tnum = (tnum << 8) | b
+        (rel,) = struct.unpack_from(">h", body, ln)
+        flags = body[ln + 2]
+        if state["track"] is not None and tnum == state["track"]:
+            if flags & 0x06:
+                raise ValueError("laced Matroska blocks unsupported")
+            frames.append((cluster_ts + rel, body[ln + 3 :]))
+
+    def walk(s: int, e: int, cluster_ts: int) -> None:
+        pos = s
+        while pos < e:
+            eid, p = _ebml_id(data, pos)
+            size, p = _ebml_size(data, p)
+            end = e if size is None else p + size
+            if end > e:
+                raise ValueError("malformed Matroska element")
+            if eid == 0xAE:  # TrackEntry
+                parse_track_entry(p, end)
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                state["timescale"] = int.from_bytes(data[p:end], "big")
+            elif eid == 0x4489:  # Duration (float, ticks)
+                raw = data[p:end]
+                state["dur_ticks"] = struct.unpack(">f" if len(raw) == 4 else ">d", raw)[0]
+            elif eid == 0xE7:  # Cluster Timestamp
+                cluster_ts = int.from_bytes(data[p:end], "big")
+            elif eid in (0xA3, 0xA1):  # SimpleBlock / Block
+                parse_block(data[p:end], cluster_ts)
+            elif eid in _MKV_CONTAINERS:
+                walk(p, end, cluster_ts)
+            pos = end
+
+    walk(0, len(data), 0)
+    if state["track"] is None:
+        raise ValueError("Matroska has no video track")
+    if not frames:
+        raise ValueError("Matroska video track has no blocks")
+    if state["timescale"] <= 0:
+        raise ValueError("invalid Matroska TimestampScale")
+    to_ms = state["timescale"] / 1e6  # ticks → ms
+    frames.sort(key=lambda f: f[0])
+    samples = [(int(ts * to_ms), payload) for ts, payload in frames]
+    if state["dur_ticks"]:
+        duration_ms = int(state["dur_ticks"] * to_ms)
+    elif len(samples) > 1:
+        duration_ms = samples[-1][0] + (samples[-1][0] - samples[-2][0])
+    else:
+        duration_ms = samples[-1][0] + 1
+    return {"codec": state["codec"], "samples": samples, "duration_ms": duration_ms}
+
+
+# Matroska codec ids that are plain JPEG per-frame payloads
+_MKV_JPEG_CODECS = {"V_MJPEG"}
+
+
 def video_frame_sample(
     df: DataFrame, every_ms: int = 1000, id_col: str = "asset_id", bin_col: str = "payload"
 ) -> DataFrame:
@@ -333,12 +458,14 @@ def video_frame_sample(
     the frame at each ``every_ms`` instant, and frame_phash is a true pixel
     hash via the from-scratch JPEG decoder. MP4/MOV payloads are REALLY
     demuxed too (ISO-BMFF box walk + stts/stsz/stsc/stco sample tables →
-    true per-frame timestamps and byte ranges); 'jpeg'/'mjpa' sample
-    entries decode to true pixel hashes, while compressed codecs (avc1/
-    hvc1/… — no ffmpeg here) emit rows with real timing but a per-row
-    decode_error naming the undecodable codec. Other containers (mkv) keep
-    the deterministic stand-in; the explode shape (1 asset → N frame rows)
-    is the real UDTF-style contract either way."""
+    true per-frame timestamps and byte ranges), as is Matroska (EBML
+    element walk → video TrackEntry + Cluster blocks). 'jpeg'/'mjpa'/
+    'V_MJPEG' payloads decode to true pixel hashes, while compressed
+    codecs (avc1/hvc1/V_MPEG4/… — no ffmpeg here) emit rows with real
+    timing but a per-row decode_error naming the undecodable codec.
+    Unrecognized containers keep the deterministic stand-in; the explode
+    shape (1 asset → N frame rows) is the real UDTF-style contract either
+    way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
@@ -430,6 +557,50 @@ def video_frame_sample(
                                 "ts_ms": None,
                                 "frame_phash": None,
                                 "decode_error": f"corrupt MP4 payload: {exc}",
+                            }
+                        )
+                    continue
+                if data[:4] == b"\x1aE\xdf\xa3":
+                    try:
+                        info = _parse_mkv(data)
+                        samples = info["samples"]
+                        duration_ms = max(info["duration_ms"], samples[-1][0] + 1)
+                        sample_ts = [s[0] for s in samples]
+                        decodable = info["codec"] in _MKV_JPEG_CODECS
+                        n = max(
+                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
+                        )
+                        for i in range(int(n)):
+                            ts = i * every_ms
+                            fi = max(0, int(np.searchsorted(sample_ts, ts, "right")) - 1)
+                            if decodable:
+                                frame = decode_jpeg(samples[fi][1])
+                                if frame.shape[2] == 1:
+                                    frame = np.repeat(frame, 3, axis=2)
+                                phash, err = _phash(frame), None
+                            else:
+                                phash = None
+                                err = (
+                                    f"codec {info['codec']!r} pixel decode unavailable "
+                                    "(demux real, decoder stubbed)"
+                                )
+                            rows.append(
+                                {
+                                    "asset_id": aid,
+                                    "frame_index": fi,
+                                    "ts_ms": ts,
+                                    "frame_phash": phash,
+                                    "decode_error": err,
+                                }
+                            )
+                    except (ValueError, IndexError, KeyError, struct.error) as exc:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_index": None,
+                                "ts_ms": None,
+                                "frame_phash": None,
+                                "decode_error": f"corrupt Matroska payload: {exc}",
                             }
                         )
                     continue
@@ -652,12 +823,50 @@ def _parse_ogg(data: bytes) -> dict:
     }
 
 
+def _parse_flac(data: bytes) -> dict:
+    """Real FLAC STREAMINFO parse (the mandatory first metadata block):
+    sample rate / channels / bits per sample / total samples, hence true
+    duration. Compressed frames aren't decoded → rms/peak null."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    while pos + 4 <= len(data):
+        btype = data[pos] & 0x7F
+        (size,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise ValueError("truncated FLAC STREAMINFO")
+            # bytes 10..17: 20-bit rate, 3-bit channels-1, 5-bit bps-1,
+            # 36-bit total samples — one 64-bit big-endian read
+            (packed,) = struct.unpack_from(">Q", body, 10)
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate <= 0:
+                raise ValueError("invalid FLAC sample rate")
+            return {
+                "sample_rate": int(rate),
+                "channels": int(channels),
+                "bits_per_sample": int(bps),
+                "n_samples": int(total),
+                "duration_ms": int(round(1000.0 * total / rate)),
+                "rms": None,
+                "peak": None,
+            }
+        if data[pos] & 0x80:  # last-metadata-block flag
+            break
+        pos += 4 + size
+    raise ValueError("FLAC missing STREAMINFO block")
+
+
 def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
     """binary column → typed audio metadata rows. RIFF/WAVE PCM payloads
-    are REALLY parsed (header + per-sample statistics). MP3 and Ogg
-    (Vorbis/Opus) containers are REALLY walked too — frame headers / page
-    granules give true sample_rate, channels, n_samples and duration_ms;
-    their compressed samples aren't decodable here, so rms/peak stay null.
+    are REALLY parsed (header + per-sample statistics). MP3 frame headers,
+    Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are REALLY walked too —
+    giving true sample_rate, channels, n_samples and duration_ms; their
+    compressed samples aren't decodable here, so rms/peak stay null.
     Unrecognized or corrupt payloads quarantine per-row with a
     decode_error, the same contract as image_metadata."""
 
@@ -672,6 +881,8 @@ def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                         meta = _parse_wav(raw)
                     elif raw[:4] == b"OggS":
                         meta = _parse_ogg(raw)
+                    elif raw[:4] == b"fLaC":
+                        meta = _parse_flac(raw)
                     elif raw[:3] == b"ID3" or (
                         len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
                     ):

@@ -981,3 +981,102 @@ def test_audio_metadata_real_mp3_ogg(spark):
     o = out["opus"]
     assert (o.sample_rate, o.channels, o.n_samples, o.duration_ms) == (48000, 2, 48000, 1000)
     assert out["bad"].decode_error is not None
+
+
+def _mkv_bytes(frames, delta_ms=100, codec=b"V_MJPEG", timescale=1_000_000):
+    """Minimal valid Matroska file: EBML header + Segment(Info, Tracks,
+    two Clusters of no-lacing SimpleBlocks) — exercises vint sizes,
+    TimestampScale, cluster-relative timestamps."""
+    import struct as s
+
+    def vint_size(v):
+        for ln in range(1, 9):
+            if v < (1 << (7 * ln)) - 1:
+                return (v | (1 << (7 * ln))).to_bytes(ln, "big")
+        raise ValueError(v)
+
+    def elem(eid, payload):
+        return eid + vint_size(len(payload)) + payload
+
+    def uint(v):
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    ebml = elem(b"\x1a\x45\xdf\xa3", elem(b"\x42\x86", b"\x01"))
+    info = elem(
+        b"\x15\x49\xa9\x66",
+        elem(b"\x2a\xd7\xb1", uint(timescale))
+        + elem(b"\x44\x89", s.pack(">d", len(frames) * delta_ms)),
+    )
+    track = elem(
+        b"\xae", elem(b"\xd7", uint(1)) + elem(b"\x83", uint(1)) + elem(b"\x86", codec)
+    )
+    tracks = elem(b"\x16\x54\xae\x6b", track)
+    clusters = b""
+    half = len(frames) // 2
+    for ci, chunk in enumerate((frames[:half], frames[half:])):
+        body = elem(b"\xe7", uint(ci * half * delta_ms))
+        for i, f in enumerate(chunk):
+            body += elem(b"\xa3", b"\x81" + s.pack(">h", i * delta_ms) + b"\x80" + f)
+        clusters += elem(b"\x1f\x43\xb6\x75", body)
+    return ebml + elem(b"\x18\x53\x80\x67", info + tracks + clusters)
+
+
+def test_video_frame_sample_real_mkv(spark):
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _phash,
+        video_frame_sample,
+    )
+
+    frames = [
+        encode_jpeg(np.full((16, 16, 3), i * 12, dtype=np.uint8)) for i in range(20)
+    ]
+    mkv = _mkv_bytes(frames, delta_ms=100)  # 2 s of 10 fps MJPEG-in-Matroska
+    mpeg4 = _mkv_bytes([bytes(40)] * 20, delta_ms=100, codec=b"V_MPEG4/ISO/AVC")
+    df = spark.createDataFrame(
+        [
+            ("mj", bytearray(mkv)),
+            ("avc", bytearray(mpeg4)),
+            ("bad", bytearray(b"\x1a\x45\xdf\xa3" + b"\x00garbage")),
+        ],
+        "asset_id string, payload binary",
+    )
+    out = video_frame_sample(df, every_ms=500).toPandas()
+    mj = out[out.asset_id == "mj"].sort_values("ts_ms")
+    assert list(mj.ts_ms) == [0, 500, 1000, 1500]
+    assert list(mj.frame_index) == [0, 5, 10, 15]
+    assert mj.decode_error.isna().all()
+    assert int(mj.iloc[2].frame_phash) == _phash(decode_jpeg(frames[10]))
+    avc = out[out.asset_id == "avc"]
+    assert list(avc.sort_values("ts_ms").ts_ms) == [0, 500, 1000, 1500]
+    assert avc.decode_error.str.contains("V_MPEG4").all()
+    bad = out[out.asset_id == "bad"]
+    assert len(bad) == 1 and "Matroska" in bad.iloc[0].decode_error
+
+
+def test_audio_metadata_real_flac(spark):
+    import struct as s
+
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        audio_metadata,
+    )
+
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 88200
+    streaminfo = b"\x00" * 10 + s.pack(">Q", packed) + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    df = spark.createDataFrame(
+        [("f", bytearray(flac)), ("bad", bytearray(b"fLaC\x7f\x00\x00\x02xy"))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in audio_metadata(df).collect()}
+    f = out["f"]
+    assert f.decode_error is None
+    assert (f.sample_rate, f.channels, f.bits_per_sample) == (44100, 2, 16)
+    assert (f.n_samples, f.duration_ms) == (88200, 2000)
+    assert f.rms is None  # compressed frames not decoded — stats stay null
+    assert out["bad"].decode_error is not None
