@@ -33,19 +33,24 @@ def get_spark(
     app_name: str = "kmlsat-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> SparkSession:
-    """Build a local SparkSession tuned for this engine.
+    """Build a SparkSession tuned for this engine.
 
-    On a real cluster the same settings apply minus ``master``; deploy with
-    ``spark-submit --py-files`` per the reference's operating model.
+    ``master=None`` (default) runs ``local[cores]``. Pass ``master=""``
+    to leave the master to the launcher — that is what
+    ``scripts/submit_job.py`` does under ``spark-submit --py-files``, so
+    the identical tuning applies on a real multi-executor cluster.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 32)
+    builder = SparkSession.builder.appName(app_name)
+    if master != "":
+        builder = builder.master(master or f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # timestamp<->epoch conversions must not depend on the host TZ/DST
         .config("spark.sql.session.timeZone", "UTC")
