@@ -734,6 +734,12 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_source_stats(spark, sf_dir):
+    from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
 _ANN_QUERY_IDS = list(range(10))
 
 
@@ -902,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": _q_quality_score,
         "q_language_id": _q_language_id,
         "q_fingerprint": _q_fingerprint,
+        "q_source_stats": _q_source_stats,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_ann_topk": _q_ann_topk,
@@ -1288,6 +1295,16 @@ def oracle_sql() -> dict[str, str]:
                     WHEN score_fr = best THEN 'fr'
                     ELSE 'und' END AS predicted_lang
         FROM m
+    """
+    sql["q_source_stats"] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               round(avg(length(text)), 2) AS mean_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+               round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_rate
+        FROM documents GROUP BY source
     """
     sql["q_embed_near_dup"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -112,3 +112,28 @@ def fingerprint(documents: DataFrame, window: int = 4) -> DataFrame:
         F.xxhash64("text").alias("text_hash"),
         rolling.alias("min_window_hash"),
     )
+
+
+def source_stats(documents: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source (host-analog) corpus rollup — the Common-Crawl-style
+    "stats by domain" pass: doc counts, size totals, language spread and
+    exact-duplicate rate per source.
+
+    Scale shape: one hash aggregation on the source key, every measure
+    map-side combinable (count/sum) or a distinct-aggregate Spark rewrites
+    to a two-stage expand+agg; no Python, no second shuffle."""
+    chars = F.length("text")
+    return (
+        documents.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(chars).cast("long").alias("total_chars"),
+            F.round(F.avg(chars), 2).alias("mean_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("text").cast("long").alias("n_unique_texts"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique_texts") / F.col("n_docs"), 4),
+        )
+    )
