@@ -51,18 +51,28 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_image(data: bytes) -> np.ndarray:
-    """bytes → HxWxC uint8. PNG: real decode via functions/png.py.
-    JPEG (baseline + progressive): real decode via functions/jpeg.py
-    (corrupt/arithmetic/lossless → ValueError → per-row quarantine).
-    Other formats: deterministic stand-in (no codecs in this container)."""
+    """bytes → HxWxC uint8. PNG: real decode via functions/png.py
+    (``decode_png_any`` — all colour types, bit depths 1–16, Adam7).
+    JPEG (baseline + progressive): real decode via functions/jpeg.py.
+    GIF: real decode via functions/gif.py (LZW + first composed frame).
+    Corrupt/arithmetic/lossless variants → ValueError → per-row
+    quarantine. Other formats: deterministic stand-in (no codecs in this
+    container)."""
     if data[:8] == _PNG_MAGIC:
-        from azure_workflow_for_kml_satellite_spark.functions.png import decode_png
+        from azure_workflow_for_kml_satellite_spark.functions.png import decode_png_any
 
-        decoded = decode_png(data)
+        decoded = decode_png_any(data)
         if decoded is None:
             raise ValueError("corrupt or unsupported PNG payload")
         img, bpp = decoded
         return img
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from azure_workflow_for_kml_satellite_spark.functions.gif import decode_gif
+
+        try:
+            return decode_gif(data)
+        except (ValueError, IndexError, struct.error) as exc:
+            raise ValueError(f"corrupt GIF payload: {exc}") from exc
     if data[:2] == b"\xff\xd8":
         from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
 
@@ -459,13 +469,14 @@ def video_frame_sample(
     hash via the from-scratch JPEG decoder. MP4/MOV payloads are REALLY
     demuxed too (ISO-BMFF box walk + stts/stsz/stsc/stco sample tables →
     true per-frame timestamps and byte ranges), as is Matroska (EBML
-    element walk → video TrackEntry + Cluster blocks). 'jpeg'/'mjpa'/
-    'V_MJPEG' payloads decode to true pixel hashes, while compressed
-    codecs (avc1/hvc1/V_MPEG4/… — no ffmpeg here) emit rows with real
-    timing but a per-row decode_error naming the undecodable codec.
-    Unrecognized containers keep the deterministic stand-in; the explode
-    shape (1 asset → N frame rows) is the real UDTF-style contract either
-    way."""
+    element walk → video TrackEntry + Cluster blocks). Animated GIFs are
+    fully decoded (functions/gif.py — LZW + disposal compositing, GCE
+    delays as true frame timing). 'jpeg'/'mjpa'/'V_MJPEG' payloads decode
+    to true pixel hashes, while compressed codecs (avc1/hvc1/V_MPEG4/… —
+    no ffmpeg here) emit rows with real timing but a per-row decode_error
+    naming the undecodable codec. Unrecognized containers keep the
+    deterministic stand-in; the explode shape (1 asset → N frame rows) is
+    the real UDTF-style contract either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
@@ -557,6 +568,45 @@ def video_frame_sample(
                                 "ts_ms": None,
                                 "frame_phash": None,
                                 "decode_error": f"corrupt MP4 payload: {exc}",
+                            }
+                        )
+                    continue
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        from azure_workflow_for_kml_satellite_spark.functions.gif import (
+                            decode_gif_frames,
+                        )
+
+                        _, _, gframes = decode_gif_frames(data)
+                        # cumulative delays → per-frame timestamps
+                        ts_list, t_acc = [], 0
+                        for delay, _ in gframes:
+                            ts_list.append(t_acc)
+                            t_acc += delay
+                        duration_ms = max(t_acc, ts_list[-1] + 1)
+                        n = max(
+                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
+                        )
+                        for i in range(int(n)):
+                            ts = i * every_ms
+                            fi = max(0, int(np.searchsorted(ts_list, ts, "right")) - 1)
+                            rows.append(
+                                {
+                                    "asset_id": aid,
+                                    "frame_index": fi,
+                                    "ts_ms": ts,
+                                    "frame_phash": _phash(gframes[fi][1][..., :3]),
+                                    "decode_error": None,
+                                }
+                            )
+                    except (ValueError, IndexError, KeyError, struct.error) as exc:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_index": None,
+                                "ts_ms": None,
+                                "frame_phash": None,
+                                "decode_error": f"corrupt GIF payload: {exc}",
                             }
                         )
                     continue

@@ -1080,3 +1080,78 @@ def test_audio_metadata_real_flac(spark):
     assert (f.n_samples, f.duration_ms) == (88200, 2000)
     assert f.rms is None  # compressed frames not decoded — stats stay null
     assert out["bad"].decode_error is not None
+
+
+def test_image_metadata_real_gif_and_png_variants(spark):
+    import struct as s
+    import zlib
+
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.gif import encode_gif
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (24, 30), dtype=np.uint8)
+    gif = encode_gif([idx], pal)
+
+    def chunk(tag, data):
+        c = tag + data
+        return s.pack(">I", len(data)) + c + s.pack(">I", zlib.crc32(c))
+
+    # grayscale 8-bit PNG — outside decode_png's RGB/RGBA tile envelope,
+    # decoded for real by decode_png_any
+    g = rng.integers(0, 256, (9, 14), dtype=np.uint8)
+    ihdr = s.pack(">IIBBBBB", 14, 9, 8, 0, 0, 0, 0)
+    rows = b"".join(b"\x00" + g[r].tobytes() for r in range(9))
+    gray_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [("gif", bytearray(gif)), ("gray", bytearray(gray_png))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in image_metadata(df).collect()}
+    gr = out["gif"]
+    assert gr.decode_error is None and (gr.width, gr.height, gr.channels) == (30, 24, 3)
+    assert abs(gr.mean_luma - float(pal[idx].mean())) < 0.01  # true pixels
+    assert (out["gray"].width, out["gray"].height, out["gray"].channels) == (14, 9, 1)
+    assert abs(out["gray"].mean_luma - float(g.mean())) < 0.01
+
+
+def test_video_frame_sample_animated_gif(spark):
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _phash,
+        video_frame_sample,
+    )
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    frames = [np.full((12, 12), i % 4, dtype=np.uint8) for i in range(8)]
+    gif = encode_gif(frames, pal, delays_ms=[250] * 8)  # 2 s animation
+    df = spark.createDataFrame(
+        [("anim", bytearray(gif)), ("bad", bytearray(b"GIF89a\x00\x00"))],
+        "asset_id string, payload binary",
+    )
+    out = video_frame_sample(df, every_ms=500).toPandas()
+    anim = out[out.asset_id == "anim"].sort_values("ts_ms")
+    assert list(anim.ts_ms) == [0, 500, 1000, 1500]
+    assert list(anim.frame_index) == [0, 2, 4, 6]
+    assert anim.decode_error.isna().all()
+    _, _, composed = decode_gif_frames(gif)
+    assert int(anim.iloc[1].frame_phash) == _phash(composed[2][1][..., :3])
+    bad = out[out.asset_id == "bad"]
+    assert len(bad) == 1 and "GIF" in bad.iloc[0].decode_error
