@@ -734,6 +734,41 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_cell_density(spark, sf_dir):
+    """AOI density per grid cell — the H3/S2-style polyfill rollup (cells.py
+    id layout (res<<52)|(ix<<26)|iy reproduced arithmetically by the DuckDB
+    oracle). Sum order pinned by (url, feature_index) sorted-array fold so
+    the 2-dp rounding is partition-order-insensitive."""
+    from azure_workflow_for_kml_satellite_spark.constants import DEFAULT_CELL_RES
+    from azure_workflow_for_kml_satellite_spark.functions.cells import cell_size_deg
+
+    size = cell_size_deg(DEFAULT_CELL_RES)
+    aois = build_aois(spark, engine_dir(sf_dir))
+    ix = F.floor((F.col("centroid_lon") + F.lit(180.0)) / F.lit(size)).cast("long")
+    iy = F.floor((F.col("centroid_lat") + F.lit(90.0)) / F.lit(size)).cast("long")
+    cell = (
+        F.lit(DEFAULT_CELL_RES).cast("long") * F.lit(1 << 52)
+        + ix * F.lit(1 << 26)
+        + iy
+    )
+    with_cell = aois.select(
+        cell.alias("cell_id"), "url", "feature_index", "area_ha"
+    )
+    series = F.array_sort(
+        F.collect_list(F.struct("url", "feature_index", "area_ha"))
+    )
+    folded = F.aggregate(
+        series, F.lit(0.0), lambda acc, x: acc + x["area_ha"]
+    )
+    return (
+        with_cell.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_aois"),
+            F.round(folded, 2).alias("total_area_ha"),
+        )
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
 
@@ -909,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_language_id": _q_language_id,
         "q_fingerprint": _q_fingerprint,
         "q_source_stats": _q_source_stats,
+        "q_cell_density": _q_cell_density,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_ann_topk": _q_ann_topk,
@@ -1296,6 +1332,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS predicted_lang
         FROM m
     """
+    sql["q_cell_density"] = (
+        "WITH a AS (SELECT url, feature_index, centroid_lon, centroid_lat, area_ha "
+        f"FROM read_parquet('{_E}/expected/aois.parquet')), "
+        "c AS (SELECT CAST(10 AS BIGINT) * CAST(4503599627370496 AS BIGINT) "
+        "   + CAST(floor((centroid_lon + 180.0) / 0.3515625) AS BIGINT) * 67108864 "
+        "   + CAST(floor((centroid_lat + 90.0) / 0.3515625) AS BIGINT) AS cell_id, "
+        "   url, feature_index, area_ha FROM a) "
+        "SELECT cell_id, CAST(count(*) AS BIGINT) AS n_aois, "
+        "round(sum(area_ha ORDER BY url, feature_index), 2) AS total_area_ha "
+        "FROM c GROUP BY cell_id"
+    )
     sql["q_source_stats"] = """
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,
