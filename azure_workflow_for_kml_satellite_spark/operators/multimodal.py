@@ -7,7 +7,10 @@ JPEG payloads are REALLY decoded too — both baseline (SOF0/1) and
 progressive (SOF2, spectral selection + successive approximation) via
 functions/jpeg.py (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
 markers, EOB runs) — so width/height/channels/mean_luma/phash are true
-pixel statistics for both. WAV (RIFF/PCM) audio is really parsed
+pixel statistics for both. GIFs (incl. animated — functions/gif.py LZW +
+compositing) and BMPs (functions/webimage.py) are really decoded; WebP
+headers are really parsed (dims real, VP8 pixels honestly stubbed).
+WAV (RIFF/PCM) audio is really parsed
 (``audio_metadata`` — header + sample statistics), MP3 frame headers,
 Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are really walked (true
 rate/channels/duration; compressed samples stay undecoded), MJPEG-in-AVI
@@ -80,6 +83,13 @@ def _decode_image(data: bytes) -> np.ndarray:
             return decode_jpeg(data)
         except (ValueError, IndexError, KeyError, struct.error) as exc:
             raise ValueError(f"corrupt or unsupported JPEG payload: {exc}") from exc
+    if data[:2] == b"BM":
+        from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_bmp
+
+        try:
+            return decode_bmp(data)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"corrupt BMP payload: {exc}") from exc
     return _fake_decode_image(data)
 
 
@@ -123,8 +133,45 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(data)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                    # WebP: header dims are really parsed; the VP8/VP8L
+                    # pixel bitstream needs libwebp — honest per-row stub
+                    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+                        webp_dimensions,
+                    )
+
+                    try:
+                        w, h, variant = webp_dimensions(raw)
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "width": int(w),
+                                "height": int(h),
+                                "channels": None,
+                                "mean_luma": None,
+                                "phash": None,
+                                "decode_error": (
+                                    f"{variant} pixel decode unavailable "
+                                    "(header real, codec stubbed)"
+                                ),
+                            }
+                        )
+                    except (ValueError, IndexError, struct.error) as exc:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "width": None,
+                                "height": None,
+                                "channels": None,
+                                "mean_luma": None,
+                                "phash": None,
+                                "decode_error": f"corrupt WebP payload: {exc}",
+                            }
+                        )
+                    continue
                 try:
-                    img = _decode_image(bytes(data))
+                    img = _decode_image(raw)
                     rows.append(
                         {
                             "asset_id": aid,

@@ -158,3 +158,92 @@ def test_gif_rejects_corrupt():
     for bad in (b"notagif", b"GIF89a" + b"\x00" * 5, ok[:20]):
         with pytest.raises((ValueError, IndexError, struct.error)):
             decode_gif(bad)
+
+
+def _bmp_bytes(img, top_down=False):
+    h, w, c = img.shape
+    row_bytes = (w * c + 3) // 4 * 4
+    px = bytearray()
+    for r in img if top_down else img[::-1]:
+        line = r[:, ::-1].tobytes() if c == 3 else r[:, [2, 1, 0, 3]].tobytes()
+        px += line + b"\x00" * (row_bytes - len(line))
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, c * 8, 0, len(px), 0, 0, 0, 0
+    )
+    return hdr + bytes(px)
+
+
+def test_bmp_decode_variants():
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_bmp
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (13, 10, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_bmp_bytes(img)), img)  # bottom-up
+    assert np.array_equal(decode_bmp(_bmp_bytes(img, top_down=True)), img)
+    img4 = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_bmp_bytes(img4)), img4)
+    # 8-bit palette, bottom-up, padded rows
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    row_bytes = (9 + 3) // 4 * 4
+    px = b"".join(bytes(idx[r]) + b"\x00" * (row_bytes - 9) for r in range(5, -1, -1))
+    quads = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 1024 + len(px), 0, 0, 54 + 1024)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 9, 6, 1, 8, 0, len(px), 0, 0, 256, 0)
+    assert np.array_equal(decode_bmp(hdr + quads + px), pal[idx])
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp_bytes(img)[:30])
+
+
+def test_webp_header_parse():
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+        webp_dimensions,
+    )
+
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 " + struct.pack("<I", 20)
+        + b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00" * 4
+    )
+    assert webp_dimensions(vp8) == (320, 240, "VP8")
+    bits = 99 | (149 << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L" + struct.pack("<I", 10)
+        + b"\x2f" + struct.pack("<I", bits)
+    )
+    assert webp_dimensions(vp8l) == (100, 150, "VP8L")
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X" + struct.pack("<I", 10)
+        + b"\x00" * 4 + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert webp_dimensions(vp8x) == (640, 480, "VP8X")
+    with pytest.raises(ValueError):
+        webp_dimensions(b"RIFFxxxxWEBPabcd....")
+
+
+def test_image_metadata_bmp_webp(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    img = np.full((8, 6, 3), 50, dtype=np.uint8)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L" + struct.pack("<I", 10)
+        + b"\x2f" + struct.pack("<I", 99 | (149 << 14))
+    )
+    df = spark.createDataFrame(
+        [("bmp", bytearray(_bmp_bytes(img))), ("webp", bytearray(vp8l))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in image_metadata(df).collect()}
+    b = out["bmp"]
+    assert b.decode_error is None and (b.width, b.height, b.channels) == (6, 8, 3)
+    assert abs(b.mean_luma - 50.0) < 0.01
+    w = out["webp"]
+    # header dims real, pixels honestly not decodable here
+    assert (w.width, w.height) == (100, 150)
+    assert w.phash is None and "VP8L" in w.decode_error
