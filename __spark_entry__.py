@@ -744,8 +744,13 @@ def _q_cell_density(spark, sf_dir):
 
     size = cell_size_deg(DEFAULT_CELL_RES)
     aois = build_aois(spark, engine_dir(sf_dir))
+    nmax = (1 << DEFAULT_CELL_RES) - 1
     ix = F.floor((F.col("centroid_lon") + F.lit(180.0)) / F.lit(size)).cast("long")
     iy = F.floor((F.col("centroid_lat") + F.lit(90.0)) / F.lit(size)).cast("long")
+    # cells.cell_of clamps to the grid so domain-edge points (lon=180,
+    # lat=90) share ids with every other cells.py-based operator
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(nmax))
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(nmax))
     cell = (
         F.lit(DEFAULT_CELL_RES).cast("long") * F.lit(1 << 52)
         + ix * F.lit(1 << 26)
@@ -1336,8 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "WITH a AS (SELECT url, feature_index, centroid_lon, centroid_lat, area_ha "
         f"FROM read_parquet('{_E}/expected/aois.parquet')), "
         "c AS (SELECT CAST(10 AS BIGINT) * CAST(4503599627370496 AS BIGINT) "
-        "   + CAST(floor((centroid_lon + 180.0) / 0.3515625) AS BIGINT) * 67108864 "
-        "   + CAST(floor((centroid_lat + 90.0) / 0.3515625) AS BIGINT) AS cell_id, "
+        "   + least(greatest(CAST(floor((centroid_lon + 180.0) / 0.3515625) AS BIGINT), 0), 1023) * 67108864 "
+        "   + least(greatest(CAST(floor((centroid_lat + 90.0) / 0.3515625) AS BIGINT), 0), 1023) AS cell_id, "
         "   url, feature_index, area_ha FROM a) "
         "SELECT cell_id, CAST(count(*) AS BIGINT) AS n_aois, "
         "round(sum(area_ha ORDER BY url, feature_index), 2) AS total_area_ha "

@@ -69,10 +69,10 @@ def _lzw_decode(mcs: int, data: bytes, max_pixels: int) -> bytes:
                 dict_.append(entry)
             else:
                 raise ValueError("bad LZW code")
-            # "early change": real encoders widen when the NEXT entry they
-            # assign is the first needing more bits; the decoder's dict is
-            # one entry behind, so the boundary lands at 2^cs - 1
-            if len(dict_) == (1 << code_size) - 1 and code_size < _MAX_CODE_BITS:
+            # spec boundary, pinned by the published GIF89a sample vector
+            # (test_gif_decodes_published_spec_vector): widen once the next
+            # entry to assign would not fit in the current width
+            if len(dict_) == (1 << code_size) and code_size < _MAX_CODE_BITS:
                 code_size += 1
             out += entry
             prev = entry
@@ -113,9 +113,11 @@ def _lzw_encode(mcs: int, indices: bytes) -> bytes:
         if next_code < (1 << _MAX_CODE_BITS):
             dict_[wk] = next_code
             next_code += 1
-            # decoder widens after its dict reaches 2^code_size; its dict
-            # size equals next_code, so mirror on the same boundary
-            if next_code == (1 << code_size) and code_size < _MAX_CODE_BITS:
+            # the decoder's dict runs one entry behind the encoder's (its
+            # first post-clear code adds nothing), so it crosses 2^cs one
+            # code later — bump at next_code == 2^cs + 1 to stay in step
+            # (verified against the spec-vector-pinned decoder)
+            if next_code == (1 << code_size) + 1 and code_size < _MAX_CODE_BITS:
                 code_size += 1
         else:
             emit(clear, code_size)

@@ -657,7 +657,10 @@ def _frame_geometry(frame: dict) -> dict:
 
 def _next_marker(data: bytes, pos: int) -> int:
     """First position at or after ``pos`` holding a real marker (not a
-    stuffed 0x00, not a fill 0xFF, not an RSTn)."""
+    stuffed 0x00, not a fill 0xFF, not an RSTn). A stream that simply
+    ends after the entropy data (missing EOI — a common truncation that
+    still carries every MCU) returns len(data); callers treat EOF as an
+    implicit end of image, matching the round-3 baseline decoder."""
     p = pos
     n = len(data)
     while p + 1 < n:
@@ -671,7 +674,7 @@ def _next_marker(data: bytes, pos: int) -> int:
                 continue
             return p
         p += 1
-    raise ValueError("truncated JPEG stream (no marker after scan)")
+    return n
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -773,6 +776,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return _reconstruct(frame, geom, coef, quant)
             continue
         pos += length
+    if progressive and scans_done:
+        # stream ended without EOI after complete scans — implicit end
+        return _reconstruct(frame, geom, coef, quant)
     raise ValueError("no SOS marker found")
 
 

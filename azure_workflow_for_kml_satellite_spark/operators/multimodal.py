@@ -64,7 +64,10 @@ def _decode_image(data: bytes) -> np.ndarray:
     if data[:8] == _PNG_MAGIC:
         from azure_workflow_for_kml_satellite_spark.functions.png import decode_png_any
 
-        decoded = decode_png_any(data)
+        try:
+            decoded = decode_png_any(data)
+        except (IndexError, struct.error) as exc:  # truncated chunk headers
+            raise ValueError(f"corrupt PNG payload: {exc}") from exc
         if decoded is None:
             raise ValueError("corrupt or unsupported PNG payload")
         img, bpp = decoded
@@ -326,16 +329,20 @@ def _parse_mp4_video_trak(data: bytes, s: int, e: int) -> dict | None:
         sizes = [fixed] * n_samples
     else:
         sizes = list(struct.unpack_from(f">{n_samples}I", data, sp + 12))
-    # stts: per-sample decode timestamps
+    # stts: per-sample decode timestamps. Expansion is capped at n_samples
+    # so a corrupt/hostile entry count can never balloon driver memory —
+    # the excess only contributes arithmetically to the total duration.
     sp = tables[b"stts"][0]
     (n_ent,) = struct.unpack_from(">I", data, sp + 4)
     ts_units: list[int] = []
     t = 0
     for i in range(n_ent):
         cnt, delta = struct.unpack_from(">II", data, sp + 8 + 8 * i)
-        for _ in range(cnt):
+        take = min(cnt, n_samples - len(ts_units))
+        for _ in range(take):
             ts_units.append(t)
             t += delta
+        t += (cnt - take) * delta
     if len(ts_units) < n_samples:
         raise ValueError("MP4 stts covers fewer samples than stsz")
     # stsc runs + stco/co64 → per-sample file offsets
@@ -446,6 +453,8 @@ def _parse_mkv(data: bytes) -> dict:
     def parse_block(body: bytes, cluster_ts: int) -> None:
         if not body:
             raise ValueError("empty Matroska block")
+        if body[0] == 0:
+            raise ValueError("invalid Matroska block track vint")
         ln = 9 - body[0].bit_length()
         if ln + 3 > len(body):
             raise ValueError("truncated Matroska block header")
@@ -528,33 +537,115 @@ def video_frame_sample(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from azure_workflow_for_kml_satellite_spark.functions.jpeg import decode_jpeg
 
+        def jpeg_phash(payload: bytes) -> int:
+            frame = decode_jpeg(payload)
+            if frame.shape[2] == 1:
+                frame = np.repeat(frame, 3, axis=2)
+            return _phash(frame)
+
+        def searchsorted_pick(ts_list):
+            # last sample whose timestamp is <= the instant
+            return lambda ts: max(0, int(np.searchsorted(ts_list, ts, "right")) - 1)
+
+        def stub_fn(codec: str):
+            err = (
+                f"codec {codec!r} pixel decode unavailable "
+                "(demux real, decoder stubbed)"
+            )
+            return lambda fi: (None, err)
+
+        def sample_container(data: bytes):
+            """Demux one container → (duration_ms, pick_fn, frame_fn).
+            Raises on corrupt input; the caller quarantines the whole
+            asset, so a mid-sampling decode failure can never leave
+            partial success rows beside an error row."""
+            if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                us_pf, frames = _parse_mjpeg_avi(data)
+                return (
+                    len(frames) * us_pf / 1000.0,
+                    lambda ts: min(int(ts * 1000 // us_pf), len(frames) - 1),
+                    lambda fi: (jpeg_phash(frames[fi]), None),
+                )
+            if len(data) >= 12 and data[4:8] == b"ftyp":
+                info = _parse_mp4(data)
+                samples = info["samples"]
+                if not samples:
+                    raise ValueError("MP4 video track has no samples")
+                ts_list = [s[2] for s in samples]
+                if info["codec"] in _MP4_JPEG_CODECS:
+                    frame_fn = lambda fi: (
+                        jpeg_phash(data[samples[fi][0] : samples[fi][0] + samples[fi][1]]),
+                        None,
+                    )
+                else:
+                    frame_fn = stub_fn(info["codec"])
+                return (
+                    max(info["duration_ms"], ts_list[-1] + 1),
+                    searchsorted_pick(ts_list),
+                    frame_fn,
+                )
+            if data[:6] in (b"GIF87a", b"GIF89a"):
+                from azure_workflow_for_kml_satellite_spark.functions.gif import (
+                    decode_gif_frames,
+                )
+
+                _, _, gframes = decode_gif_frames(data)
+                ts_list, t_acc = [], 0
+                for delay, _ in gframes:  # cumulative delays → timestamps
+                    ts_list.append(t_acc)
+                    t_acc += delay
+                return (
+                    max(t_acc, ts_list[-1] + 1),
+                    searchsorted_pick(ts_list),
+                    lambda fi: (_phash(gframes[fi][1][..., :3]), None),
+                )
+            # Matroska (caller dispatched on the EBML magic)
+            info = _parse_mkv(data)
+            samples = info["samples"]
+            ts_list = [s[0] for s in samples]
+            if info["codec"] in _MKV_JPEG_CODECS:
+                frame_fn = lambda fi: (jpeg_phash(samples[fi][1]), None)
+            else:
+                frame_fn = stub_fn(info["codec"])
+            return (
+                max(info["duration_ms"], ts_list[-1] + 1),
+                searchsorted_pick(ts_list),
+                frame_fn,
+            )
+
+        container_labels = (
+            (lambda d: d[:4] == b"RIFF" and d[8:12] == b"AVI ", "AVI/MJPEG"),
+            (lambda d: len(d) >= 12 and d[4:8] == b"ftyp", "MP4"),
+            (lambda d: d[:6] in (b"GIF87a", b"GIF89a"), "GIF"),
+            (lambda d: d[:4] == b"\x1aE\xdf\xa3", "Matroska"),
+        )
         cols = [f.name for f in FRAME_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data)
-                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                label = next((lb for m, lb in container_labels if m(data)), None)
+                if label is not None:
                     try:
-                        us_pf, frames = _parse_mjpeg_avi(data)
-                        duration_ms = len(frames) * us_pf / 1000.0
+                        duration_ms, pick, frame_fn = sample_container(data)
                         n = max(
                             1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
                         )
+                        asset_rows = []
                         for i in range(int(n)):
                             ts = i * every_ms
-                            fi = min(int(ts * 1000 // us_pf), len(frames) - 1)
-                            frame = decode_jpeg(frames[fi])
-                            if frame.shape[2] == 1:
-                                frame = np.repeat(frame, 3, axis=2)
-                            rows.append(
+                            fi = pick(ts)
+                            phash, err = frame_fn(fi)
+                            asset_rows.append(
                                 {
                                     "asset_id": aid,
                                     "frame_index": fi,
                                     "ts_ms": ts,
-                                    "frame_phash": _phash(frame),
-                                    "decode_error": None,
+                                    "frame_phash": phash,
+                                    "decode_error": err,
                                 }
                             )
+                        rows.extend(asset_rows)
                     except (ValueError, IndexError, KeyError, struct.error) as exc:
                         # corrupt container/frame quarantines the ASSET, not
                         # the task (mirrors image_metadata's per-row contract)
@@ -564,140 +655,7 @@ def video_frame_sample(
                                 "frame_index": None,
                                 "ts_ms": None,
                                 "frame_phash": None,
-                                "decode_error": f"corrupt AVI/MJPEG payload: {exc}",
-                            }
-                        )
-                    continue
-                if len(data) >= 12 and data[4:8] == b"ftyp":
-                    try:
-                        info = _parse_mp4(data)
-                        samples = info["samples"]
-                        duration_ms = max(
-                            info["duration_ms"], samples[-1][2] + 1 if samples else 0
-                        )
-                        if not samples:
-                            raise ValueError("MP4 video track has no samples")
-                        sample_ts = [s[2] for s in samples]
-                        decodable = info["codec"] in _MP4_JPEG_CODECS
-                        n = max(
-                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
-                        )
-                        for i in range(int(n)):
-                            ts = i * every_ms
-                            # last sample whose timestamp is <= the instant
-                            fi = max(0, int(np.searchsorted(sample_ts, ts, "right")) - 1)
-                            off, size, _ = samples[fi]
-                            if decodable:
-                                frame = decode_jpeg(data[off : off + size])
-                                if frame.shape[2] == 1:
-                                    frame = np.repeat(frame, 3, axis=2)
-                                phash, err = _phash(frame), None
-                            else:
-                                phash = None
-                                err = (
-                                    f"codec {info['codec']!r} pixel decode unavailable "
-                                    "(demux real, decoder stubbed)"
-                                )
-                            rows.append(
-                                {
-                                    "asset_id": aid,
-                                    "frame_index": fi,
-                                    "ts_ms": ts,
-                                    "frame_phash": phash,
-                                    "decode_error": err,
-                                }
-                            )
-                    except (ValueError, IndexError, KeyError, struct.error) as exc:
-                        rows.append(
-                            {
-                                "asset_id": aid,
-                                "frame_index": None,
-                                "ts_ms": None,
-                                "frame_phash": None,
-                                "decode_error": f"corrupt MP4 payload: {exc}",
-                            }
-                        )
-                    continue
-                if data[:6] in (b"GIF87a", b"GIF89a"):
-                    try:
-                        from azure_workflow_for_kml_satellite_spark.functions.gif import (
-                            decode_gif_frames,
-                        )
-
-                        _, _, gframes = decode_gif_frames(data)
-                        # cumulative delays → per-frame timestamps
-                        ts_list, t_acc = [], 0
-                        for delay, _ in gframes:
-                            ts_list.append(t_acc)
-                            t_acc += delay
-                        duration_ms = max(t_acc, ts_list[-1] + 1)
-                        n = max(
-                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
-                        )
-                        for i in range(int(n)):
-                            ts = i * every_ms
-                            fi = max(0, int(np.searchsorted(ts_list, ts, "right")) - 1)
-                            rows.append(
-                                {
-                                    "asset_id": aid,
-                                    "frame_index": fi,
-                                    "ts_ms": ts,
-                                    "frame_phash": _phash(gframes[fi][1][..., :3]),
-                                    "decode_error": None,
-                                }
-                            )
-                    except (ValueError, IndexError, KeyError, struct.error) as exc:
-                        rows.append(
-                            {
-                                "asset_id": aid,
-                                "frame_index": None,
-                                "ts_ms": None,
-                                "frame_phash": None,
-                                "decode_error": f"corrupt GIF payload: {exc}",
-                            }
-                        )
-                    continue
-                if data[:4] == b"\x1aE\xdf\xa3":
-                    try:
-                        info = _parse_mkv(data)
-                        samples = info["samples"]
-                        duration_ms = max(info["duration_ms"], samples[-1][0] + 1)
-                        sample_ts = [s[0] for s in samples]
-                        decodable = info["codec"] in _MKV_JPEG_CODECS
-                        n = max(
-                            1, int(duration_ms // every_ms) + (duration_ms % every_ms > 0)
-                        )
-                        for i in range(int(n)):
-                            ts = i * every_ms
-                            fi = max(0, int(np.searchsorted(sample_ts, ts, "right")) - 1)
-                            if decodable:
-                                frame = decode_jpeg(samples[fi][1])
-                                if frame.shape[2] == 1:
-                                    frame = np.repeat(frame, 3, axis=2)
-                                phash, err = _phash(frame), None
-                            else:
-                                phash = None
-                                err = (
-                                    f"codec {info['codec']!r} pixel decode unavailable "
-                                    "(demux real, decoder stubbed)"
-                                )
-                            rows.append(
-                                {
-                                    "asset_id": aid,
-                                    "frame_index": fi,
-                                    "ts_ms": ts,
-                                    "frame_phash": phash,
-                                    "decode_error": err,
-                                }
-                            )
-                    except (ValueError, IndexError, KeyError, struct.error) as exc:
-                        rows.append(
-                            {
-                                "asset_id": aid,
-                                "frame_index": None,
-                                "ts_ms": None,
-                                "frame_phash": None,
-                                "decode_error": f"corrupt Matroska payload: {exc}",
+                                "decode_error": f"corrupt {label} payload: {exc}",
                             }
                         )
                     continue

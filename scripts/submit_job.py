@@ -53,14 +53,17 @@ def build_archive(out_path: str) -> str:
 
 
 def make_session(app_name: str):
-    """Under spark-submit the launcher supplies spark.master; otherwise
-    fall back to the tuned local session (same configs either way)."""
-    from pyspark import SparkConf
-
+    """Under spark-submit the launcher supplies spark.master through the
+    session builder's conf, so first try WITHOUT setting a master (a
+    pre-JVM SparkConf() cannot see launcher properties — don't probe it);
+    if no launcher master exists, getOrCreate raises and we fall back to
+    the tuned local session. Same engine configs either way."""
     from azure_workflow_for_kml_satellite_spark import get_spark
 
-    launcher_master = SparkConf().get("spark.master", None)
-    return get_spark(app_name, master="" if launcher_master else None)
+    try:
+        return get_spark(app_name, master="")
+    except Exception:  # "A master URL must be set" → plain-python run
+        return get_spark(app_name)
 
 
 def run_full(spark, ed: str, args, cm) -> dict:

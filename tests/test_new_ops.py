@@ -1,5 +1,6 @@
 """Coordinate parsers, gates, exports, multimodal stubs, streaming, EUDR."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -1155,3 +1156,28 @@ def test_video_frame_sample_animated_gif(spark):
     assert int(anim.iloc[1].frame_phash) == _phash(composed[2][1][..., :3])
     bad = out[out.asset_id == "bad"]
     assert len(bad) == 1 and "GIF" in bad.iloc[0].decode_error
+
+
+def test_video_frame_sample_no_partial_rows_on_mid_decode_failure(spark):
+    """A container whose LATER frame is corrupt must yield exactly one
+    quarantine row — never partial success rows beside an error row."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import encode_jpeg
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    good = [encode_jpeg(np.full((8, 8, 3), i * 20, dtype=np.uint8)) for i in range(3)]
+    frames = good[:2] + [b"\xff\xd8corrupt-jpeg"]  # last sampled frame broken
+    mp4 = _mp4_bytes(frames, delta_ms=500)  # instants 0/500/1000 hit frame 2
+    out = video_frame_sample(
+        spark.createDataFrame(
+            [("a", bytearray(mp4))], "asset_id string, payload binary"
+        ),
+        every_ms=500,
+    ).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].frame_index is None or pd.isna(out.iloc[0].frame_index)
+    assert "corrupt MP4 payload" in out.iloc[0].decode_error
+

@@ -247,3 +247,39 @@ def test_image_metadata_bmp_webp(spark):
     # header dims real, pixels honestly not decodable here
     assert (w.width, w.height) == (100, 150)
     assert w.phash is None and "VP8L" in w.decode_error
+
+
+def test_gif_decodes_published_spec_vector():
+    """Ground truth against a REAL third-party encoder: the 10x10 sample
+    from the GIF89a 'What's in a GIF' walkthrough (decodable by giflib/
+    PIL/browsers). Pins the LZW code-width boundary to the spec — a
+    self-round-tripping codec pair with a shared off-by-one would fail
+    this."""
+    from azure_workflow_for_kml_satellite_spark.functions.gif import (
+        _lzw_decode,
+        decode_gif,
+    )
+
+    stream = bytes.fromhex("8c2d99872a1cdc33a00275ec95faa8de608c04914c01")
+    expected = (
+        "1111122222" "1111122222" "1111122222" "1110000222" "1110000222"
+        "2220000111" "2220000111" "2222211111" "2222211111" "2222211111"
+    )
+    got = _lzw_decode(2, stream, 100)
+    assert list(got) == [int(c) for c in expected]
+    # full container: header + GCT (white/red/blue/black) + image block
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 10, 10)
+        + bytes([0x91, 0, 0])
+        + bytes([255, 255, 255, 255, 0, 0, 0, 0, 255, 0, 0, 0])
+        + bytes([0x2C])
+        + struct.pack("<HHHH", 0, 0, 10, 10)
+        + bytes([0x00, 0x02, len(stream)])
+        + stream
+        + bytes([0x00, 0x3B])
+    )
+    img = decode_gif(gif)
+    pal = np.array([[255, 255, 255], [255, 0, 0], [0, 0, 255]], np.uint8)
+    exp_img = pal[np.array([int(c) for c in expected]).reshape(10, 10)]
+    assert np.array_equal(img, exp_img)
