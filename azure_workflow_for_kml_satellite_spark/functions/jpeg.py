@@ -757,9 +757,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tables = struct.unpack_from(">BB", payload, 1 + 2 * i)
-                ci = next(
-                    i for i, c in enumerate(frame["comps"]) if c["id"] == cs
-                )
+                matches = [
+                    ci for ci, c in enumerate(frame["comps"]) if c["id"] == cs
+                ]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                ci = matches[0]
                 scan.append(
                     {**frame["comps"][ci], "ci": ci, "td": tables >> 4, "ta": tables & 0x0F}
                 )
@@ -835,9 +838,14 @@ def _decode_scan(
                 if ss == 0:
                     if ah == 0:
                         sym = huff_dc[c["td"]].decode(br)
+                        if sym > 15:
+                            raise ValueError("invalid DC category")
                         diff = _extend(br.read_bits(sym), sym) if sym else 0
                         preds[si] += diff
-                        zz[0] = preds[si] << al
+                        val = preds[si] << al
+                        if not -(1 << 31) <= val < (1 << 31):
+                            raise ValueError("DC coefficient overflow (corrupt stream)")
+                        zz[0] = val
                         if not progressive:
                             _decode_block_ac(br, huff_ac[c["ta"]], zz, 1, 63, 0, state)
                     else:

@@ -87,3 +87,110 @@ def test_authalic_patch_area_matches_quadrature(lon0, lat0, dlon, dlat):
     band = float(np.sum(w * integrand) * math.radians(dlat) / 2.0)
     exp = band * math.radians(dlon)
     assert abs(got - exp) < max(1e-9 * exp, 1e-4)
+
+
+# ── codec robustness: dirty-web-data never crashes or hangs a task ─────────
+#
+# The multimodal operators run these decoders inside mapInPandas over
+# arbitrary crawled bytes; the contract is decode-or-ValueError (plus the
+# narrow IndexError/struct.error families the operators translate), never
+# an unbounded loop or an uncaught exception type.
+
+import struct as _struct
+
+import numpy as np
+
+_DECODE_OK = (ValueError, IndexError, KeyError, _struct.error)
+
+
+def _fuzz_roundtrip(decode, blob, n_mutations, rng):
+    for _ in range(n_mutations):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            decode(bytes(b))
+        except _DECODE_OK:
+            pass
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_gif_decoder_never_crashes(_):
+    from azure_workflow_for_kml_satellite_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (20, 20), dtype=np.uint8)
+    blob = encode_gif([idx, idx], pal, delays_ms=[100, 100], interlace=True)
+    _fuzz_roundtrip(decode_gif, blob, 300, rng)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_jpeg_decoder_never_crashes(_):
+    from azure_workflow_for_kml_satellite_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    _fuzz_roundtrip(decode_jpeg, encode_jpeg(img, subsample="4:2:0"), 150, rng)
+    _fuzz_roundtrip(decode_jpeg, encode_jpeg_progressive(img), 150, rng)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_png_any_decoder_never_crashes(_):
+    from azure_workflow_for_kml_satellite_spark.functions.png import (
+        decode_png_any,
+        encode_png_rgba,
+    )
+
+    rng = np.random.default_rng(44)
+    img = rng.integers(0, 256, (20, 20, 4), dtype=np.uint8)
+    _fuzz_roundtrip(decode_png_any, encode_png_rgba(img), 300, rng)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_container_parsers_never_crash(_):
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+        decode_bmp,
+        webp_dimensions,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _parse_flac,
+        _parse_mjpeg_avi,
+        _parse_mkv,
+        _parse_mp3,
+        _parse_mp4,
+        _parse_ogg,
+        _parse_wav,
+    )
+
+    rng = np.random.default_rng(45)
+    parsers = (
+        _parse_mp4, _parse_mkv, _parse_mjpeg_avi, _parse_wav,
+        _parse_mp3, _parse_ogg, _parse_flac, decode_bmp, webp_dimensions,
+    )
+    # random garbage with plausible magics spliced in
+    magics = (
+        b"\x00\x00\x00\x18ftyp", b"\x1aE\xdf\xa3", b"RIFF1234AVI ",
+        b"RIFF1234WAVE", b"RIFF1234WEBP", b"ID3", b"\xff\xfb", b"OggS",
+        b"fLaC", b"BM",
+    )
+    for _ in range(200):
+        blob = bytearray(rng.integers(0, 256, int(rng.integers(10, 400)), dtype=np.uint8).tobytes())
+        m = magics[int(rng.integers(0, len(magics)))]
+        blob[: len(m)] = m
+        for parse in parsers:
+            try:
+                parse(bytes(blob))
+            except _DECODE_OK:
+                pass
