@@ -774,6 +774,38 @@ def _q_cell_density(spark, sf_dir):
     )
 
 
+def _q_page_text(spark, sf_dir):
+    """North-rule byte-identity gate (BASELINE.json input_hint): re-extract
+    visible text from each page's html with the engine pipeline
+    (functions/kml.extract_text in an Arrow-batched pandas UDF) and md5 it;
+    the oracle holds md5 of the INDEPENDENT find()-scanner extraction
+    (oracle/kernels.visible_text) — the two agree only if both implement
+    the public rule correctly, byte for byte, per url."""
+    from azure_workflow_for_kml_satellite_spark.functions.kml import extract_text
+
+    pages = spark.read.parquet(f"{engine_dir(sf_dir)}/pages.parquet")
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "text_md5": [
+                        hashlib.md5(
+                            extract_text(bytes(h)).encode("utf-8")
+                        ).hexdigest()
+                        for h in pdf["html"]
+                    ],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(run, "url string, text_md5 string")
+
+
 def _q_source_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
 
@@ -949,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_language_id": _q_language_id,
         "q_fingerprint": _q_fingerprint,
         "q_source_stats": _q_source_stats,
+        "q_page_text": _q_page_text,
         "q_cell_density": _q_cell_density,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -1337,6 +1370,9 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS predicted_lang
         FROM m
     """
+    sql["q_page_text"] = (
+        f"SELECT url, text_md5 FROM read_parquet('{_E}/expected/page_text.parquet')"
+    )
     sql["q_cell_density"] = (
         "WITH a AS (SELECT url, feature_index, centroid_lon, centroid_lat, area_ha "
         f"FROM read_parquet('{_E}/expected/aois.parquet')), "

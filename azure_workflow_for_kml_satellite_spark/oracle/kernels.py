@@ -705,3 +705,73 @@ def rollup_changes(mean_deltas, loss_has, gain_has) -> dict:
         out["avg_mean_delta"] = None
         out["trajectory"] = "Insufficient data"
     return out
+
+
+# ── independent visible-text extraction ─────────────────────────────────────
+#
+# Second implementation of the public extraction rule (drop script/style/kml
+# subtrees, strip tags, collapse whitespace) for the per-url byte-identity
+# gate. Deliberately a find()-based scanner, NOT the regex pipeline the
+# engine and page generator share (functions/kml.extract_text) — so the two
+# sides only agree if both implement the rule correctly.
+
+_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+def _drop_regions(s: str, tag: str) -> str:
+    """Remove every '<tag\\b ... </tag>' region (lazy close, case-sensitive,
+    unclosed openers left alone) — the semantics of the documented rule."""
+    out = []
+    i = 0
+    open_pat = "<" + tag
+    close_pat = "</" + tag + ">"
+    while True:
+        j = s.find(open_pat, i)
+        while j != -1:
+            after = s[j + len(open_pat) : j + len(open_pat) + 1]
+            if after and after in _WORD_CHARS:  # not a word boundary
+                j = s.find(open_pat, j + 1)
+                continue
+            k = s.find(close_pat, j + len(open_pat))
+            if k == -1:  # unclosed: this opener can never match
+                j = s.find(open_pat, j + 1)
+                continue
+            break
+        if j == -1:
+            out.append(s[i:])
+            break
+        out.append(s[i:j])
+        out.append(" ")
+        i = k + len(close_pat)
+    return "".join(out)
+
+
+def _strip_tags(s: str) -> str:
+    """Replace every '<' + one-or-more-non-'>' + '>' span with a space
+    ('<>' and unclosed '<' stay literal)."""
+    out = []
+    i = 0
+    while True:
+        j = s.find("<", i)
+        if j == -1:
+            out.append(s[i:])
+            break
+        k = s.find(">", j + 1)
+        if k == -1:  # no closing '>' anywhere ahead: nothing more can match
+            out.append(s[i:])
+            break
+        if k == j + 1:  # '<>' has no inner chars — not a tag
+            out.append(s[i : j + 1])
+            i = j + 1
+            continue
+        out.append(s[i:j])
+        out.append(" ")
+        i = k + 1
+    return "".join(out)
+
+
+def visible_text(html: bytes) -> str:
+    s = html.decode("utf-8", errors="replace")
+    for tag in ("script", "style", "kml"):
+        s = _drop_regions(s, tag)
+    return " ".join(_strip_tags(s).split())

@@ -265,6 +265,24 @@ def build_expected(sf_dir: str | Path) -> Path:
     out_dir = sf_dir / "expected"
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    # per-url visible-text bytes (north-rule invariant): md5 of the
+    # INDEPENDENT scanner extraction (kernels.visible_text), compared by the
+    # driver against the engine's regex-pipeline re-extraction
+    import hashlib
+
+    pages_t = pq.read_table(sf_dir / "pages.parquet", columns=["url", "html"])
+    _write(
+        out_dir,
+        "page_text",
+        {
+            "url": pages_t["url"].to_pylist(),
+            "text_md5": [
+                hashlib.md5(K.visible_text(h).encode("utf-8")).hexdigest()
+                for h in pages_t["html"].to_pylist()
+            ],
+        },
+    )
+
     features = compute_features(sf_dir / "pages.parquet")
     ok = [f for f in features if f.get("error") is None]
     _write(

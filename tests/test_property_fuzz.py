@@ -194,3 +194,17 @@ def test_fuzz_container_parsers_never_crash(_):
                 parse(bytes(blob))
             except _DECODE_OK:
                 pass
+
+
+@settings(max_examples=2000, deadline=None)
+@given(st.text(alphabet="<>/scriptkmlstyle abX\n\t", max_size=80))
+def test_visible_text_scanner_matches_engine_regex(s):
+    """The oracle's find()-scanner extraction and the engine's regex
+    pipeline are independent implementations of the same public rule —
+    they must agree byte-for-byte on arbitrary tag soup (the per-url
+    text invariant gate, q_page_text, rests on this)."""
+    from azure_workflow_for_kml_satellite_spark.functions.kml import extract_text
+    from azure_workflow_for_kml_satellite_spark.oracle.kernels import visible_text
+
+    b = s.encode()
+    assert extract_text(b) == visible_text(b)
