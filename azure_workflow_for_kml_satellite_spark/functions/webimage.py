@@ -85,3 +85,144 @@ def webp_dimensions(data: bytes) -> tuple[int, int, str]:
         h = int.from_bytes(data[27:30], "little") + 1
         return (w, h, "VP8X")
     raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
+def _packbits(data: bytes) -> bytes:
+    """TIFF PackBits RLE decode."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline stripped TIFF → HxWxC uint8. 8-bit grayscale (photometric
+    0/1), RGB(A) and palette (ColorMap) images, chunky planar layout,
+    compression none/deflate/PackBits, horizontal predictor, both byte
+    orders. LZW/JPEG-in-TIFF/tiled/deep variants raise ValueError
+    (quarantined upstream). Distinct from functions/geotiff.py, which
+    round-trips the engine's own float32 NDVI export profile."""
+    import zlib
+
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (magic,) = struct.unpack_from(e + "H", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (n_tags,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_tags):
+        base = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, base)
+        tags[tag] = (typ, cnt, data[base + 8 : base + 12])
+
+    def values(tag: int, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, cnt, raw = tags[tag]
+        size = _TIFF_TYPE_SIZE.get(typ)
+        fmt = _TIFF_TYPE_FMT.get(typ)
+        if size is None or fmt is None:
+            raise ValueError(f"unsupported TIFF value type {typ} (tag {tag})")
+        total = size * cnt
+        if total <= 4:
+            buf = raw[:total]
+        else:
+            (off,) = struct.unpack(e + "I", raw)
+            buf = data[off : off + total]
+            if len(buf) < total:
+                raise ValueError("truncated TIFF value")
+        return list(struct.unpack(e + fmt * cnt, buf))
+
+    w, h = values(256)[0], values(257)[0]
+    if w <= 0 or h <= 0 or w > (1 << 20) or h > (1 << 20) or w * h > (1 << 28):
+        # the upper bounds stop hostile headers from ballooning executor
+        # memory before any strip data is even validated
+        raise ValueError("invalid or implausible TIFF dimensions")
+    spp = values(277, [1])[0]
+    bps = values(258, [8] * spp)
+    comp = values(259, [1])[0]
+    photo = values(262)[0]
+    planar = values(284, [1])[0]
+    pred = values(317, [1])[0]
+    rps = values(278, [h])[0] or h
+    offs = values(273)
+    cnts = values(279)
+    if any(b != 8 for b in bps) or not 1 <= spp <= 4:
+        raise ValueError(f"unsupported TIFF sample layout bps={bps} spp={spp}")
+    if planar != 1:
+        raise ValueError("planar (non-chunky) TIFF unsupported")
+    if comp not in (1, 8, 32946, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {pred}")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if len(offs) != len(cnts):
+        raise ValueError("TIFF strip tables disagree")
+    row_bytes = w * spp
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    row = 0
+    for off, cnt in zip(offs, cnts):
+        if row >= h:
+            break
+        chunk = data[off : off + cnt]
+        if len(chunk) < cnt:
+            raise ValueError("truncated TIFF strip")
+        if comp in (8, 32946):
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
+        elif comp == 32773:
+            chunk = _packbits(chunk)
+        nrows = min(rps, h - row)
+        need = nrows * row_bytes
+        if len(chunk) < need:
+            raise ValueError("short TIFF strip")
+        img[row : row + nrows] = np.frombuffer(chunk, np.uint8, need).reshape(
+            nrows, row_bytes
+        )
+        row += nrows
+    if row < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    px = img.reshape(h, w, spp)
+    if pred == 2:  # horizontal differencing, per sample lane, mod 256
+        px = np.add.accumulate(px, axis=1, dtype=np.uint8)
+    if photo == 3:  # palette: ColorMap holds 16-bit triples, keep high byte
+        cmap = values(320)
+        n_ent = 1 << bps[0]
+        if spp != 1 or len(cmap) < 3 * n_ent:
+            raise ValueError("malformed TIFF palette")
+        lut = (
+            np.array(cmap[: 3 * n_ent], dtype=np.uint16).reshape(3, n_ent).T >> 8
+        ).astype(np.uint8)
+        return np.ascontiguousarray(lut[px[..., 0]])
+    if photo == 0:  # white-is-zero grayscale
+        px = 255 - px
+    return np.ascontiguousarray(px)

@@ -8,9 +8,11 @@ progressive (SOF2, spectral selection + successive approximation) via
 functions/jpeg.py (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
 markers, EOB runs) — so width/height/channels/mean_luma/phash are true
 pixel statistics for both. GIFs (incl. animated — functions/gif.py LZW +
-compositing) and BMPs (functions/webimage.py) are really decoded; WebP
-headers are really parsed (dims real, VP8 pixels honestly stubbed).
-WAV (RIFF/PCM) audio is really parsed
+compositing), BMPs and baseline stripped TIFFs (functions/webimage.py —
+none/deflate/PackBits, predictor, palette, both byte orders) are really
+decoded; WebP headers are really parsed (dims real, VP8 pixels honestly
+stubbed). WAV (RIFF/PCM) and AIFF (big-endian PCM incl. the 80-bit
+extended sample rate) audio are really parsed
 (``audio_metadata`` — header + sample statistics), MP3 frame headers,
 Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are really walked (true
 rate/channels/duration; compressed samples stay undecoded), MJPEG-in-AVI
@@ -58,6 +60,7 @@ def _decode_image(data: bytes) -> np.ndarray:
     (``decode_png_any`` — all colour types, bit depths 1–16, Adam7).
     JPEG (baseline + progressive): real decode via functions/jpeg.py.
     GIF: real decode via functions/gif.py (LZW + first composed frame).
+    BMP/baseline TIFF: real decode via functions/webimage.py.
     Corrupt/arithmetic/lossless variants → ValueError → per-row
     quarantine. Other formats: deterministic stand-in (no codecs in this
     container)."""
@@ -93,6 +96,13 @@ def _decode_image(data: bytes) -> np.ndarray:
             return decode_bmp(data)
         except (IndexError, struct.error) as exc:
             raise ValueError(f"corrupt BMP payload: {exc}") from exc
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_tiff
+
+        try:
+            return decode_tiff(data)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"corrupt TIFF payload: {exc}") from exc
     return _fake_decode_image(data)
 
 
@@ -712,6 +722,8 @@ def _parse_wav(data: bytes) -> dict:
             bits = _s.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1:
                 raise ValueError(f"non-PCM WAVE format {audio_fmt} unsupported")
+            if not 0 < rate <= 10_000_000:  # u32 field; int32 schema column
+                raise ValueError(f"implausible WAVE sample rate {rate}")
             if bits not in (8, 16, 32):
                 raise ValueError(f"unsupported PCM bit depth {bits}")
             fmt = {"channels": channels, "rate": rate, "bits": bits}
@@ -860,7 +872,7 @@ def _parse_ogg(data: bytes) -> dict:
                 rate = 48000  # Opus always decodes at 48 kHz
             else:
                 raise ValueError("unsupported Ogg codec (not Vorbis/Opus)")
-            if rate <= 0 or channels <= 0:
+            if channels <= 0 or not 0 < rate <= 10_000_000:
                 raise ValueError("invalid Ogg identification header")
         if granule > 0:
             last_granule = max(last_granule, granule)
@@ -875,6 +887,73 @@ def _parse_ogg(data: bytes) -> dict:
         "duration_ms": int(round(1000.0 * last_granule / rate)),
         "rms": None,
         "peak": None,
+    }
+
+
+def _read_extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sampleRate field)."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp >= 16383 + 64 or exp <= 16383 - 64:  # |value| outside (2^-64, 2^64)
+        raise ValueError("implausible AIFF sample rate exponent")
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return -val if se >> 15 else val
+
+
+def _parse_aiff(data: bytes) -> dict:
+    """Real AIFF/AIFF-C parse: COMM header (incl. the 80-bit extended
+    sample rate) + big-endian signed-PCM sample statistics (8/16/32-bit).
+    Compressed AIFF-C variants raise (quarantined per-row)."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("truncated AIFF COMM chunk")
+            channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            rate = _read_extended80(body[8:18])
+            if is_aifc:
+                ctype = body[18:22]
+                if ctype not in (b"NONE", b""):
+                    raise ValueError(
+                        f"compressed AIFF-C ({ctype!r}) unsupported"
+                    )
+            comm = {"channels": channels, "n_frames": n_frames, "bits": bits, "rate": rate}
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("truncated AIFF SSND chunk")
+            (offset,) = struct.unpack_from(">I", body, 0)
+            samples = body[8 + offset :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or samples is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if comm["channels"] <= 0 or not 0 < comm["rate"] <= 10_000_000:
+        raise ValueError("invalid AIFF COMM header")
+    if comm["bits"] not in (8, 16, 32):
+        raise ValueError(f"unsupported AIFF bit depth {comm['bits']}")
+    dt = {8: ">i1", 16: ">i2", 32: ">i4"}[comm["bits"]]
+    arr = np.frombuffer(samples, dtype=dt)
+    arr = arr[: len(arr) - len(arr) % comm["channels"]]
+    x = arr.astype(np.float64) / float(2 ** (comm["bits"] - 1))
+    n_frames = len(arr) // comm["channels"]
+    return {
+        "sample_rate": int(round(comm["rate"])),
+        "channels": int(comm["channels"]),
+        "bits_per_sample": int(comm["bits"]),
+        "n_samples": int(n_frames),
+        "duration_ms": int(round(1000.0 * n_frames / comm["rate"])),
+        "rms": round(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, 6),
+        "peak": round(float(np.max(np.abs(x))) if len(x) else 0.0, 6),
     }
 
 
@@ -934,6 +1013,8 @@ def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                     raw = bytes(data)
                     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                         meta = _parse_wav(raw)
+                    elif raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+                        meta = _parse_aiff(raw)
                     elif raw[:4] == b"OggS":
                         meta = _parse_ogg(raw)
                     elif raw[:4] == b"fLaC":

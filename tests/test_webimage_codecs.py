@@ -283,3 +283,162 @@ def test_gif_decodes_published_spec_vector():
     pal = np.array([[255, 255, 255], [255, 0, 0], [0, 0, 255]], np.uint8)
     exp_img = pal[np.array([int(c) for c in expected]).reshape(10, 10)]
     assert np.array_equal(img, exp_img)
+
+
+def _make_tiff(img, endian="<", comp=1, rps=None, pred=1, photo=None):
+    """Minimal stripped-TIFF writer for decoder vectors (both byte orders,
+    none/deflate compression, horizontal predictor, multi-strip)."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w, spp)
+    if photo is None:
+        photo = 1 if spp == 1 else 2
+    rps = rps or h
+    strips = []
+    for r0 in range(0, h, rps):
+        block = px[r0 : r0 + rps]
+        if pred == 2:
+            d = block.astype(np.int16)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            block = (d % 256).astype(np.uint8)
+        raw = block.tobytes()
+        if comp in (8, 32946):
+            raw = zlib.compress(raw)
+        strips.append(raw)
+    e = endian
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, spp, [8] * spp),
+        (259, 3, 1, [comp]), (262, 3, 1, [photo]), (277, 3, 1, [spp]),
+        (278, 4, 1, [rps]), (284, 3, 1, [1]),
+    ]
+    if pred == 2:
+        entries.append((317, 3, 1, [2]))
+    fmts, sizes = {3: "H", 4: "I"}, {3: 2, 4: 4}
+    n = len(entries) + 2
+    ifd_off = 8
+    ext_base = ifd_off + 2 + n * 12 + 4
+    ext_len = sum(
+        sizes[t] * len(v) for _, t, _, v in entries if sizes[t] * len(v) > 4
+    )
+    if len(strips) > 1:
+        ext_len += 8 * len(strips)
+    strip_start = ext_base + ext_len
+    offs, cur = [], strip_start
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    cnts = [len(s) for s in strips]
+    ext = bytearray()
+    ext_pos = ext_base
+    final = []
+    for tag, typ, cnt, vals in entries:
+        total = sizes[typ] * cnt
+        if total <= 4:
+            final.append((tag, typ, cnt, struct.pack(e + fmts[typ] * cnt, *vals).ljust(4, b"\x00")))
+        else:
+            final.append((tag, typ, cnt, struct.pack(e + "I", ext_pos)))
+            ext += struct.pack(e + fmts[typ] * cnt, *vals)
+            ext_pos += total
+    for tag, vals in ((273, offs), (279, cnts)):
+        if len(vals) == 1:
+            final.append((tag, 4, 1, struct.pack(e + "I", vals[0])))
+        else:
+            final.append((tag, 4, len(vals), struct.pack(e + "I", ext_pos)))
+            ext += struct.pack(e + "I" * len(vals), *vals)
+            ext_pos += 4 * len(vals)
+    final.sort(key=lambda x: x[0])
+    ifd = struct.pack(e + "H", len(final))
+    for tag, typ, cnt, raw in final:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + raw
+    ifd += struct.pack(e + "I", 0)
+    hdr = (b"II" if e == "<" else b"MM") + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    return hdr + ifd + bytes(ext) + b"".join(strips)
+
+
+def test_tiff_decode_variants():
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_tiff
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (7, 20), dtype=np.uint8)
+    for e in ("<", ">"):
+        assert np.array_equal(decode_tiff(_make_tiff(rgb, e)), rgb)
+        assert np.array_equal(decode_tiff(_make_tiff(gray, e))[..., 0], gray)
+        # deflate + horizontal predictor + multi-strip
+        assert np.array_equal(decode_tiff(_make_tiff(rgb, e, comp=8, rps=4, pred=2)), rgb)
+        assert np.array_equal(decode_tiff(_make_tiff(rgb, e, rps=5)), rgb)
+    # white-is-zero grayscale inverts
+    assert np.array_equal(decode_tiff(_make_tiff(gray, photo=0))[..., 0], 255 - gray)
+    for bad in (b"II\x2b\x00xxxx", _make_tiff(rgb)[:40], b"XX"):
+        with pytest.raises((ValueError, struct.error, IndexError)):
+            decode_tiff(bad)
+
+
+def test_tiff_packbits_roundtrip():
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import _packbits
+
+    # literal + repeat runs + no-op byte
+    enc = bytes([2, 10, 20, 30]) + bytes([257 - 5, 7]) + bytes([128]) + bytes([0, 9])
+    assert _packbits(enc) == bytes([10, 20, 30]) + bytes([7] * 5) + bytes([9])
+
+
+def test_image_metadata_real_tiff(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    img = np.full((11, 5, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("t", bytearray(_make_tiff(img, comp=8, pred=2)))],
+        "asset_id string, payload binary",
+    )
+    r = image_metadata(df).collect()[0]
+    assert r.decode_error is None and (r.width, r.height, r.channels) == (5, 11, 3)
+    assert abs(r.mean_luma - 77.0) < 0.01
+
+
+def _ext80(rate):
+    import math
+
+    if rate == 0:
+        return b"\x00" * 10
+    m, e = math.frexp(rate)
+    return struct.pack(">HQ", e - 1 + 16383, int(m * (1 << 64)))
+
+
+def test_audio_metadata_real_aiff(spark):
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        audio_metadata,
+    )
+
+    n = 2000
+    t = np.arange(n) / 8000.0
+    pcm = (np.sin(2 * np.pi * 440 * t) * 32767).astype(">i2").tobytes()
+    comm = struct.pack(">hIh", 1, n, 16) + _ext80(8000.0)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    aiff = b"FORM" + struct.pack(">I", len(body)) + body
+    commc = struct.pack(">hIh", 1, n, 16) + _ext80(8000.0) + b"ima4\x00"
+    bodyc = (
+        b"AIFC"
+        + b"COMM" + struct.pack(">I", len(commc)) + commc
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    aifc = b"FORM" + struct.pack(">I", len(bodyc)) + bodyc
+    df = spark.createDataFrame(
+        [("a", bytearray(aiff)), ("c", bytearray(aifc))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in audio_metadata(df).collect()}
+    a = out["a"]
+    assert a.decode_error is None
+    assert (a.sample_rate, a.channels, a.bits_per_sample, a.n_samples) == (8000, 1, 16, n)
+    assert a.duration_ms == 250
+    assert abs(a.rms - 0.7071) < 0.01 and 0.98 <= a.peak <= 1.0
+    assert "ima4" in out["c"].decode_error  # compressed AIFF-C quarantines
