@@ -226,3 +226,116 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if photo == 0:  # white-is-zero grayscale
         px = 255 - px
     return np.ascontiguousarray(px)
+
+
+def _decode_ico_dib(dib: bytes) -> np.ndarray:
+    """ICO-embedded DIB: BITMAPINFOHEADER with DOUBLED height (XOR pixel
+    image + 1-bit AND transparency mask), no BITMAPFILEHEADER."""
+    if len(dib) < 40:
+        raise ValueError("truncated ICO DIB")
+    (hdr_size,) = struct.unpack_from("<I", dib, 0)
+    width, height2 = struct.unpack_from("<ii", dib, 4)
+    planes, bpp = struct.unpack_from("<HH", dib, 12)
+    (compression,) = struct.unpack_from("<I", dib, 16)
+    if hdr_size < 40 or compression != 0 or planes != 1:
+        raise ValueError("unsupported ICO DIB layout")
+    if width <= 0 or height2 <= 0 or height2 % 2:
+        raise ValueError("invalid ICO DIB dimensions")
+    height = height2 // 2
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported ICO bit depth {bpp}")
+    pos = hdr_size
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", dib, 32)
+        n_colors = n_colors or 256
+        pal = np.frombuffer(dib, np.uint8, n_colors * 4, pos).reshape(-1, 4)
+        palette = pal[:, 2::-1]
+        pos += n_colors * 4
+    row_bytes = (width * bpp // 8 + 3) // 4 * 4
+    need = row_bytes * height
+    if len(dib) < pos + need:
+        raise ValueError("truncated ICO pixel data")
+    rows = np.frombuffer(dib, np.uint8, need, pos).reshape(height, row_bytes)[::-1]
+    pos += need
+    if bpp == 8:
+        if int(rows[:, :width].max()) >= len(palette):
+            raise ValueError("ICO index outside palette")
+        rgb = palette[rows[:, :width]]
+        alpha = None
+    elif bpp == 24:
+        rgb = rows[:, : width * 3].reshape(height, width, 3)[..., ::-1]
+        alpha = None
+    else:  # 32-bit BGRA carries its own alpha
+        px = rows[:, : width * 4].reshape(height, width, 4)
+        return np.ascontiguousarray(px[..., [2, 1, 0, 3]])
+    # 1-bit AND mask rows (also 4-byte aligned, bottom-up): 1 = transparent
+    mask_row_bytes = ((width + 7) // 8 + 3) // 4 * 4
+    mneed = mask_row_bytes * height
+    if len(dib) >= pos + mneed:
+        mrows = np.frombuffer(dib, np.uint8, mneed, pos).reshape(height, mask_row_bytes)[::-1]
+        bits = np.unpackbits(mrows, axis=1)[:, :width]
+        a = np.where(bits == 1, 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.dstack([rgb, a]))
+    return np.ascontiguousarray(rgb)
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """ICO container → largest image decoded (PNG-compressed entries via
+    decode_png_any, classic DIB entries via the doubled-height BMP path)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO payload")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if count == 0:
+        raise ValueError("ICO has no images")
+    best = None
+    for i in range(count):
+        base = 6 + 16 * i
+        if base + 16 > len(data):
+            raise ValueError("truncated ICO directory")
+        w, h = data[base], data[base + 1]
+        w, h = w or 256, h or 256
+        size, off = struct.unpack_from("<II", data, base + 8)
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _, off, size = best
+    body = data[off : off + size]
+    if len(body) < size:
+        raise ValueError("truncated ICO image data")
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        from azure_workflow_for_kml_satellite_spark.functions.png import decode_png_any
+
+        decoded = decode_png_any(body)
+        if decoded is None:
+            raise ValueError("corrupt PNG inside ICO")
+        return decoded[0]
+    return _decode_ico_dib(body)
+
+
+_SVG_NUM = r"([0-9]*\.?[0-9]+)"
+
+
+def svg_dimensions(data: bytes) -> tuple[int, int]:
+    """Real SVG root-element dimension parse (width/height attributes in
+    px/unitless, else viewBox). Rasterization needs a renderer this
+    container lacks — callers stub pixels honestly, like WebP."""
+    import re
+
+    s = data[:4096].decode("utf-8", errors="replace")
+    m = re.search(r"<svg\b[^>]*>", s, re.DOTALL)
+    if not m:
+        raise ValueError("no <svg> root element")
+    tag = m.group(0)
+    dims = []
+    for attr in ("width", "height"):
+        am = re.search(rf'{attr}\s*=\s*["\']{_SVG_NUM}(px)?["\']', tag)
+        dims.append(float(am.group(1)) if am else None)
+    if dims[0] and dims[1]:
+        return int(round(dims[0])), int(round(dims[1]))
+    vb = re.search(
+        rf'viewBox\s*=\s*["\']\s*{_SVG_NUM}[ ,]+{_SVG_NUM}[ ,]+{_SVG_NUM}[ ,]+{_SVG_NUM}',
+        tag,
+    )
+    if vb:
+        return int(round(float(vb.group(3)))), int(round(float(vb.group(4))))
+    raise ValueError("SVG has no parseable dimensions")

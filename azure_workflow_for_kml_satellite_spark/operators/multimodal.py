@@ -10,8 +10,9 @@ markers, EOB runs) — so width/height/channels/mean_luma/phash are true
 pixel statistics for both. GIFs (incl. animated — functions/gif.py LZW +
 compositing), BMPs and baseline stripped TIFFs (functions/webimage.py —
 none/deflate/PackBits, predictor, palette, both byte orders) are really
-decoded; WebP headers are really parsed (dims real, VP8 pixels honestly
-stubbed). WAV (RIFF/PCM) and AIFF (big-endian PCM incl. the 80-bit
+decoded, as are ICO containers (PNG or doubled-height DIB entries); WebP
+headers and SVG root dimensions are really parsed (dims real, pixels/
+rasterization honestly stubbed). WAV (RIFF/PCM) and AIFF (big-endian PCM incl. the 80-bit
 extended sample rate) audio are really parsed
 (``audio_metadata`` — header + sample statistics), MP3 frame headers,
 Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are really walked (true
@@ -103,6 +104,13 @@ def _decode_image(data: bytes) -> np.ndarray:
             return decode_tiff(data)
         except (IndexError, struct.error) as exc:
             raise ValueError(f"corrupt TIFF payload: {exc}") from exc
+    if data[:4] == b"\x00\x00\x01\x00":
+        from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_ico
+
+        try:
+            return decode_ico(data)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"corrupt ICO payload: {exc}") from exc
     return _fake_decode_image(data)
 
 
@@ -147,6 +155,45 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(data)
+                head = raw[:256].lstrip()
+                if head.startswith(b"<svg") or (
+                    head.startswith(b"<?xml") and b"<svg" in raw[:4096]
+                ):
+                    # SVG: root dimensions really parsed; rasterization
+                    # needs a renderer — honest per-row stub like WebP
+                    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+                        svg_dimensions,
+                    )
+
+                    try:
+                        w, h = svg_dimensions(raw)
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "width": int(w),
+                                "height": int(h),
+                                "channels": None,
+                                "mean_luma": None,
+                                "phash": None,
+                                "decode_error": (
+                                    "SVG rasterization unavailable "
+                                    "(dimensions real, renderer stubbed)"
+                                ),
+                            }
+                        )
+                    except (ValueError, IndexError) as exc:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "width": None,
+                                "height": None,
+                                "channels": None,
+                                "mean_luma": None,
+                                "phash": None,
+                                "decode_error": f"corrupt SVG payload: {exc}",
+                            }
+                        )
+                    continue
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
                     # WebP: header dims are really parsed; the VP8/VP8L
                     # pixel bitstream needs libwebp — honest per-row stub

@@ -162,7 +162,9 @@ def test_fuzz_png_any_decoder_never_crashes(_):
 def test_fuzz_container_parsers_never_crash(_):
     from azure_workflow_for_kml_satellite_spark.functions.webimage import (
         decode_bmp,
+        decode_ico,
         decode_tiff,
+        svg_dimensions,
         webp_dimensions,
     )
     from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
@@ -179,14 +181,15 @@ def test_fuzz_container_parsers_never_crash(_):
     rng = np.random.default_rng(45)
     parsers = (
         _parse_mp4, _parse_mkv, _parse_mjpeg_avi, _parse_wav, _parse_aiff,
-        _parse_mp3, _parse_ogg, _parse_flac, decode_bmp, decode_tiff,
-        webp_dimensions,
+        _parse_mp3, _parse_ogg, _parse_flac, decode_bmp, decode_ico,
+        decode_tiff, svg_dimensions, webp_dimensions,
     )
     # random garbage with plausible magics spliced in
     magics = (
         b"\x00\x00\x00\x18ftyp", b"\x1aE\xdf\xa3", b"RIFF1234AVI ",
         b"RIFF1234WAVE", b"RIFF1234WEBP", b"ID3", b"\xff\xfb", b"OggS",
         b"fLaC", b"BM", b"II\x2a\x00", b"MM\x00\x2a", b"FORM1234AIFF",
+        b"\x00\x00\x01\x00\x02\x00", b"<svg ",
     )
     for _ in range(200):
         blob = bytearray(rng.integers(0, 256, int(rng.integers(10, 400)), dtype=np.uint8).tobytes())

@@ -442,3 +442,72 @@ def test_audio_metadata_real_aiff(spark):
     assert a.duration_ms == 250
     assert abs(a.rms - 0.7071) < 0.01 and 0.98 <= a.peak <= 1.0
     assert "ima4" in out["c"].decode_error  # compressed AIFF-C quarantines
+
+
+def _ico_bytes(entries):
+    out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", len(entries)))
+    off = 6 + 16 * len(entries)
+    for w, h, p in entries:
+        out += bytes([w % 256, h % 256, 0, 0]) + struct.pack("<HH", 1, 32)
+        out += struct.pack("<II", len(p), off)
+        off += len(p)
+    for _, _, p in entries:
+        out += p
+    return bytes(out)
+
+
+def test_ico_decode_png_and_dib_entries():
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.functions.png import encode_png_rgba
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_ico
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)
+    assert np.array_equal(decode_ico(_ico_bytes([(32, 32, encode_png_rgba(img))])), img)
+    # classic 32-bit DIB entry: doubled height, bottom-up BGRA
+    bgra = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    dib = struct.pack("<IiiHHIIiiII", 40, 16, 32, 1, 32, 0, 0, 0, 0, 0, 0)
+    px = bgra[::-1][..., [2, 1, 0, 3]].tobytes()
+    assert np.array_equal(decode_ico(_ico_bytes([(16, 16, dib + px)])), bgra)
+    # largest entry wins
+    both = _ico_bytes([(16, 16, dib + px), (32, 32, encode_png_rgba(img))])
+    assert decode_ico(both).shape == (32, 32, 4)
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00")
+
+
+def test_svg_dimensions_parse():
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+        svg_dimensions,
+    )
+
+    assert svg_dimensions(b'<svg width="640" height="480px" xmlns="x">') == (640, 480)
+    assert svg_dimensions(b'<?xml version="1.0"?>\n<svg viewBox="0 0 120.5 80">') == (120, 80)
+    with pytest.raises(ValueError):
+        svg_dimensions(b"<svg >")
+    with pytest.raises(ValueError):
+        svg_dimensions(b"just text")
+
+
+def test_image_metadata_ico_svg(spark):
+    from azure_workflow_for_kml_satellite_spark.functions.png import encode_png_rgba
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    img = np.full((24, 24, 4), 120, dtype=np.uint8)
+    ico = _ico_bytes([(24, 24, encode_png_rgba(img))])
+    svg = b'<svg width="300" height="150" xmlns="http://www.w3.org/2000/svg"></svg>'
+    df = spark.createDataFrame(
+        [("ico", bytearray(ico)), ("svg", bytearray(svg))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in image_metadata(df).collect()}
+    i = out["ico"]
+    assert i.decode_error is None and (i.width, i.height, i.channels) == (24, 24, 4)
+    s = out["svg"]
+    assert (s.width, s.height) == (300, 150)
+    assert s.phash is None and "renderer stubbed" in s.decode_error
