@@ -806,6 +806,30 @@ def _q_page_text(spark, sf_dir):
     return pages.select("url", "html").mapInPandas(run, "url string, text_md5 string")
 
 
+def _q_coord_text(spark, sf_dir):
+    """S5 pasted-coordinates gate: the engine's regex parser + buffer-circle
+    construction (operators/coords.py) over the coord_requests table vs the
+    oracle's independent tokenizer + its own circle math
+    (oracle/kernels.parse_coordinate_request; 120k-case differential fuzz in
+    test_property_fuzz). Ring values are compared via vertex count + an
+    order-pinned left-fold sum."""
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        coordinate_text_features,
+    )
+
+    reqs = spark.read.parquet(f"{engine_dir(sf_dir)}/coord_requests.parquet")
+    feats = coordinate_text_features(reqs)
+    ring_sum = F.aggregate("exterior", F.lit(0.0), lambda acc, x: acc + x)
+    return feats.select(
+        "source",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "name",
+        (F.size("exterior") / 2).cast("long").alias("vertex_count"),
+        F.round(ring_sum, 6).alias("ring_sum"),
+        "error",
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
 
@@ -982,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q_fingerprint,
         "q_source_stats": _q_source_stats,
         "q_page_text": _q_page_text,
+        "q_coord_text": _q_coord_text,
         "q_cell_density": _q_cell_density,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -1370,6 +1395,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS predicted_lang
         FROM m
     """
+    sql["q_coord_text"] = (
+        "SELECT source, CAST(feature_index AS BIGINT) AS feature_index, name, "
+        "CAST(vertex_count AS BIGINT) AS vertex_count, ring_sum, error "
+        f"FROM read_parquet('{_E}/expected/coord_features.parquet')"
+    )
     sql["q_page_text"] = (
         f"SELECT url, text_md5 FROM read_parquet('{_E}/expected/page_text.parquet')"
     )

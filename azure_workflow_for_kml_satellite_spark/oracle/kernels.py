@@ -775,3 +775,148 @@ def visible_text(html: bytes) -> str:
     for tag in ("script", "style", "kml"):
         s = _drop_regions(s, tag)
     return " ".join(_strip_tags(s).split())
+
+
+# ── independent coordinate-text parser (S5 oracle) ──────────────────────────
+#
+# Second implementation of the pasted-coordinates rule for the q_coord_text
+# gate: a hand tokenizer instead of the engine's single regex, and its own
+# circle construction. Error strings, circle math and ring layout are the
+# public reference semantics (coordinate_parser.py), so both sides must
+# reproduce them exactly to agree.
+
+_COORD_MAX_ROWS = 500
+_METRES_PER_DEG_LAT = 111_320.0
+
+
+def _scan_number(line: str, i: int) -> tuple[float, int] | None:
+    """Parse [+-]?digits(.digits)? starting at i; None if not that shape."""
+    n = len(line)
+    j = i
+    if j < n and line[j] in "+-":
+        j += 1
+    d0 = j
+    while j < n and line[j].isdigit():
+        j += 1
+    if j == d0:
+        return None
+    if j < n and line[j] == ".":
+        j += 1
+        f0 = j
+        while j < n and line[j].isdigit():
+            j += 1
+        if j == f0:
+            return None
+    return float(line[i:j]), j
+
+
+def _parse_pair_line(line: str) -> tuple[float, float] | None:
+    """One 'lat SEP lon' line. The documented shape: optional whitespace,
+    number, a separator gap (whitespace-padded single ',' or ';', or
+    whitespace containing at least one space/tab), number, optional
+    whitespace. Returns None when the line doesn't have that shape."""
+    n = len(line)
+    i = 0
+    while i < n and line[i].isspace():
+        i += 1
+    first = _scan_number(line, i)
+    if first is None:
+        return None
+    lat, i = first
+
+    def gap_ok(gap: str) -> bool:
+        seps = [p for p, ch in enumerate(gap) if ch in ",;"]
+        if len(seps) > 1:
+            return False
+        if len(seps) == 1:
+            p = seps[0]
+            rest = gap[:p] + gap[p + 1 :]
+        else:
+            # no ',' or ';': a space or tab must act as the separator
+            if not any(ch in " \t" for ch in gap):
+                return False
+            rest = gap
+        return all(ch.isspace() for ch in rest)
+
+    # try every viable lon start (the regex backtracks the same way)
+    for k in range(i, n + 1):
+        second = _scan_number(line, k)
+        if second is None:
+            continue
+        lon, j = second
+        if all(ch.isspace() for ch in line[j:]) and gap_ok(line[i:k]):
+            return lat, lon
+    return None
+
+
+def _circle_ring(lat: float, lon: float, buffer_m: float = 500.0) -> list[float]:
+    """32-segment buffer circle, flattened [lon0, lat0, lon1, lat1, ...]
+    with closure — the reference construction (coordinate_parser.py:53-72)."""
+    lat_off = buffer_m / _METRES_PER_DEG_LAT
+    lon_off = buffer_m / (_METRES_PER_DEG_LAT * max(math.cos(math.radians(lat)), 1e-10))
+    flat: list[float] = []
+    for i in range(32):
+        ang = 2.0 * math.pi * i / 32
+        flat.append(round(lon + lon_off * math.cos(ang), 8))
+        flat.append(round(lat + lat_off * math.sin(ang), 8))
+    flat.append(flat[0])
+    flat.append(flat[1])
+    return flat
+
+
+def parse_coordinate_request(source: str, text: str) -> list[dict]:
+    """(source, pasted text) → feature dicts or a single error dict, the
+    oracle side of q_coord_text."""
+    pairs: list[tuple[float, float]] = []
+    err = None
+    for line in text.strip().splitlines():
+        line = line.strip()
+        if not line or line[0] == "#":
+            continue
+        got = _parse_pair_line(line)
+        if got is None:
+            err = f"Cannot parse coordinate line: {line!r}"
+            break
+        lat, lon = got
+        if not -90.0 <= lat <= 90.0:
+            err = f"Latitude {lat} out of range [-90, 90]"
+            break
+        if not -180.0 <= lon <= 180.0:
+            err = f"Longitude {lon} out of range [-180, 180]"
+            break
+        pairs.append((lat, lon))
+    if err is None and not pairs:
+        err = "No coordinates found in input"
+    if err is None and len(pairs) > _COORD_MAX_ROWS:
+        err = f"Too many coordinates ({len(pairs)}); maximum is {_COORD_MAX_ROWS}"
+    if err is not None:
+        return [{"source": source, "feature_index": None, "name": None,
+                 "exterior": None, "error": err}]
+    out = []
+    if len(pairs) <= 2:
+        for i, (lat, lon) in enumerate(pairs):
+            out.append(
+                {
+                    "source": source,
+                    "feature_index": i,
+                    "name": f"Point ({lat:.6f}, {lon:.6f})",
+                    "exterior": _circle_ring(lat, lon),
+                    "error": None,
+                }
+            )
+    else:
+        flat: list[float] = []
+        for lat, lon in pairs:
+            flat.extend((lon, lat))
+        if flat[:2] != flat[-2:]:
+            flat.extend(flat[:2])
+        out.append(
+            {
+                "source": source,
+                "feature_index": 0,
+                "name": "Coordinate polygon",
+                "exterior": flat,
+                "error": None,
+            }
+        )
+    return out

@@ -283,6 +283,31 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
+    # pasted-coordinate requests (S5): independent tokenizer + circle math
+    creq = pq.read_table(sf_dir / "coord_requests.parquet")
+    cfeats: list[dict] = []
+    for src, text in zip(creq["source"].to_pylist(), creq["coords_text"].to_pylist()):
+        cfeats.extend(K.parse_coordinate_request(src, text))
+    _write(
+        out_dir,
+        "coord_features",
+        {
+            "source": [f["source"] for f in cfeats],
+            "feature_index": [f["feature_index"] for f in cfeats],
+            "name": [f["name"] for f in cfeats],
+            "vertex_count": [
+                None if f["exterior"] is None else len(f["exterior"]) // 2
+                for f in cfeats
+            ],
+            # left-to-right fold to mirror the Spark-side F.aggregate order
+            "ring_sum": [
+                None if f["exterior"] is None else round(sum(f["exterior"]), 6)
+                for f in cfeats
+            ],
+            "error": [f["error"] for f in cfeats],
+        },
+    )
+
     features = compute_features(sf_dir / "pages.parquet")
     ok = [f for f in features if f.get("error") is None]
     _write(

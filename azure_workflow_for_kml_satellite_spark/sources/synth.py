@@ -625,6 +625,45 @@ def write_flood_gauges(out_dir: str | Path) -> Path:
     return out
 
 
+def write_coord_requests(out_dir: str | Path) -> Path:
+    """Pasted-coordinate requests (reference EP2 input shape,
+    coordinate_parser.py): single points, point pairs, polygons, and the
+    parser's documented error classes — deterministic, no rng."""
+    rows = []
+    for i in range(40):
+        h = _mix(97, i, 11)
+        lat = round(-80.0 + (h % 160000) / 1000.0, 6)
+        lon = round(-179.0 + ((h >> 13) % 358000) / 1000.0, 6)
+        kind = i % 8
+        if kind in (0, 1, 2):  # single point
+            text = f"{lat}, {lon}"
+        elif kind == 3:  # two points, mixed separators
+            text = f"{lat};{lon}\n{round(lat + 0.01, 6)}\t{round(lon + 0.02, 6)}"
+        elif kind == 4:  # polygon with comments + blank lines
+            pts = [
+                (round(lat + dy, 6), round(lon + dx, 6))
+                for dy, dx in ((0, 0), (0.03, 0.0), (0.03, 0.04), (0.0, 0.04))
+            ]
+            text = "# boundary\n" + "\n".join(f"{a}, {b}" for a, b in pts) + "\n"
+        elif kind == 5:  # latitude out of range
+            text = f"{91.0 + i}, {lon}"
+        elif kind == 6:  # unparseable line
+            text = f"{lat}, {lon}\nnot coordinates at all"
+        else:  # longitude out of range
+            text = f"{lat}, {181.5}"
+        rows.append({"source": f"req{i:03d}", "coords_text": text})
+    rows.append({"source": "req_empty", "coords_text": "   \n# only comments\n"})
+    rows.append(
+        {
+            "source": "req_too_many",
+            "coords_text": "\n".join("1.0, 2.0" for _ in range(501)),
+        }
+    )
+    out = Path(out_dir) / "coord_requests.parquet"
+    pq.write_table(pa.table({k: [r[k] for r in rows] for k in rows[0]}), out)
+    return out
+
+
 # ── top-level ───────────────────────────────────────────────────────────────
 
 SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000, "sf1": 300000, "sf10": 3000000}
@@ -641,4 +680,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_protected_areas(out_dir)
     write_fire_events(out_dir)
     write_flood_gauges(out_dir)
+    write_coord_requests(out_dir)
     return out_dir

@@ -214,3 +214,30 @@ def test_visible_text_scanner_matches_engine_regex(s):
 
     b = s.encode()
     assert extract_text(b) == visible_text(b)
+
+
+@settings(max_examples=3000, deadline=None)
+@given(st.text(alphabet="0123456789.,;+- \t\r\x0b\x0c\n#e", max_size=40))
+def test_coord_parser_oracle_matches_engine(text):
+    """The oracle's hand tokenizer + own circle math and the engine's
+    regex parser (operators/coords.py) are independent implementations of
+    the pasted-coordinates rule — byte-identical feature lists on
+    arbitrary input (the q_coord_text gate rests on this)."""
+    from azure_workflow_for_kml_satellite_spark.functions.geometry import flatten_ring
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        parse_coordinate_text,
+    )
+    from azure_workflow_for_kml_satellite_spark.oracle.kernels import (
+        parse_coordinate_request,
+    )
+
+    engine = [
+        (f["source"], f.get("feature_index"), f.get("name"),
+         flatten_ring(f["exterior"]) if "exterior" in f else None, f.get("error"))
+        for f in parse_coordinate_text(text, "s")
+    ]
+    oracle = [
+        (f["source"], f["feature_index"], f["name"], f["exterior"], f["error"])
+        for f in parse_coordinate_request("s", text)
+    ]
+    assert engine == oracle
