@@ -830,6 +830,29 @@ def _q_coord_text(spark, sf_dir):
     )
 
 
+def _q_coord_csv(spark, sf_dir):
+    """S6 CSV-points gate: the engine's fuzzy-column parser
+    (operators/coords.py::csv_point_features) over the csv_points table vs
+    the oracle's independent matcher + circle math
+    (oracle/kernels.parse_csv_points; 60k-case matcher fuzz in
+    test_property_fuzz)."""
+    from azure_workflow_for_kml_satellite_spark.operators.coords import (
+        csv_point_features,
+    )
+
+    pts = spark.read.parquet(f"{engine_dir(sf_dir)}/csv_points.parquet").coalesce(1)
+    feats = csv_point_features(pts)
+    ring_sum = F.aggregate("exterior", F.lit(0.0), lambda acc, x: acc + x)
+    return feats.select(
+        "source",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "name",
+        (F.size("exterior") / 2).cast("long").alias("vertex_count"),
+        F.round(ring_sum, 6).alias("ring_sum"),
+        "error",
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
 
@@ -1007,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_stats": _q_source_stats,
         "q_page_text": _q_page_text,
         "q_coord_text": _q_coord_text,
+        "q_coord_csv": _q_coord_csv,
         "q_cell_density": _q_cell_density,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -1395,6 +1419,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS predicted_lang
         FROM m
     """
+    sql["q_coord_csv"] = (
+        "SELECT source, CAST(feature_index AS BIGINT) AS feature_index, name, "
+        "CAST(vertex_count AS BIGINT) AS vertex_count, ring_sum, error "
+        f"FROM read_parquet('{_E}/expected/csv_features.parquet')"
+    )
     sql["q_coord_text"] = (
         "SELECT source, CAST(feature_index AS BIGINT) AS feature_index, name, "
         "CAST(vertex_count AS BIGINT) AS vertex_count, ring_sum, error "

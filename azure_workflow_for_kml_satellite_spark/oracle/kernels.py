@@ -920,3 +920,66 @@ def parse_coordinate_request(source: str, text: str) -> list[dict]:
             }
         )
     return out
+
+
+# ── independent CSV point parser (S6 oracle) ────────────────────────────────
+
+_CSV_LAT_CANDS = ("lat", "latitude", "y")
+_CSV_LON_CANDS = ("lon", "lng", "long", "longitude", "x")
+_CSV_NAME_CANDS = ("name", "label", "id", "title")
+
+
+def _match_csv_column(columns: list[str], cands: tuple[str, ...]) -> str | None:
+    """Fuzzy header match: exact (case/space-insensitive) first in
+    candidate-priority order, then prefix in column order. Columns whose
+    lowered names collide keep the LAST original (the documented
+    keyed-lookup semantics), with first-seen key order."""
+    lowered: dict[str, str] = {}
+    for c in columns:
+        lowered[c.lower().strip()] = c
+    for cand in cands:
+        if cand in lowered:
+            return lowered[cand]
+    for low, orig in lowered.items():
+        if any(low.startswith(cand) for cand in cands):
+            return orig
+    return None
+
+
+def parse_csv_points(columns: list[str], records: list[dict], source: str = "csv") -> list[dict]:
+    """Independent S6 semantics: fuzzy lat/lon/name columns, per-row float
+    parse + range validation, buffer-circle features with name fallback."""
+    lat_c = _match_csv_column(columns, _CSV_LAT_CANDS)
+    lon_c = _match_csv_column(columns, _CSV_LON_CANDS)
+    name_c = _match_csv_column(columns, _CSV_NAME_CANDS)
+    if not lat_c or not lon_c:
+        raise ValueError(f"CSV must contain lat/lon columns; got {columns}")
+    out: list[dict] = []
+    for i, rec in enumerate(records):
+        try:
+            # a null in a floating-point column surfaces as NaN on the
+            # engine's Arrow→pandas path, and NaN fails the range check
+            lat_raw, lon_raw = rec[lat_c], rec[lon_c]
+            lat = float("nan") if lat_raw is None else float(lat_raw)
+            lon = float("nan") if lon_raw is None else float(lon_raw)
+            if not (-90 <= lat <= 90 and -180 <= lon <= 180):
+                raise ValueError(f"coordinates out of range: {lat},{lon}")
+        except (TypeError, ValueError) as exc:
+            out.append({"source": source, "feature_index": None, "name": None,
+                        "exterior": None, "error": str(exc)})
+            continue
+        nm = (
+            str(rec[name_c])
+            if name_c and rec.get(name_c) is not None
+            else f"Point ({lat:.6f}, {lon:.6f})"
+        )
+        out.append(
+            {
+                "source": source,
+                "feature_index": i,
+                "name": nm,
+                "exterior": _circle_ring(lat, lon),
+                "error": None,
+            }
+        )
+    return out

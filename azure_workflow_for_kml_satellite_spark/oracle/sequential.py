@@ -308,6 +308,28 @@ def build_expected(sf_dir: str | Path) -> Path:
         },
     )
 
+    # CSV points (S6): independent fuzzy-column matcher + circle math
+    csvt = pq.read_table(sf_dir / "csv_points.parquet")
+    csv_feats = K.parse_csv_points(csvt.schema.names, csvt.to_pylist())
+    _write(
+        out_dir,
+        "csv_features",
+        {
+            "source": [f["source"] for f in csv_feats],
+            "feature_index": [f["feature_index"] for f in csv_feats],
+            "name": [f["name"] for f in csv_feats],
+            "vertex_count": [
+                None if f["exterior"] is None else len(f["exterior"]) // 2
+                for f in csv_feats
+            ],
+            "ring_sum": [
+                None if f["exterior"] is None else round(sum(f["exterior"]), 6)
+                for f in csv_feats
+            ],
+            "error": [f["error"] for f in csv_feats],
+        },
+    )
+
     features = compute_features(sf_dir / "pages.parquet")
     ok = [f for f in features if f.get("error") is None]
     _write(

@@ -664,6 +664,34 @@ def write_coord_requests(out_dir: str | Path) -> Path:
     return out
 
 
+def write_csv_points(out_dir: str | Path) -> Path:
+    """CSV-shaped point rows for the S6 fuzzy-column parser: headers that
+    exercise case-insensitive + prefix matching ('Label'/'LATITUDE'/'lng'),
+    nulls (name fallback + unparseable coordinate), and range errors."""
+    rows = []
+    for i in range(25):
+        h = _mix(131, i, 7)
+        lat = round(-80.0 + (h % 160000) / 1000.0, 6)
+        lon = round(-179.0 + ((h >> 13) % 358000) / 1000.0, 6)
+        label = f"site-{i:02d}" if i % 5 else None  # null name → fallback
+        if i % 9 == 4:
+            lat = 95.0 + i  # out of range → per-row error
+        rows.append({"Label": label, "LATITUDE": lat, "lng": lon})
+    rows.append({"Label": "null-lat", "LATITUDE": None, "lng": 10.0})
+    out = Path(out_dir) / "csv_points.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "Label": pa.array([r["Label"] for r in rows], pa.string()),
+                "LATITUDE": pa.array([r["LATITUDE"] for r in rows], pa.float64()),
+                "lng": pa.array([r["lng"] for r in rows], pa.float64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 # ── top-level ───────────────────────────────────────────────────────────────
 
 SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000, "sf1": 300000, "sf10": 3000000}
@@ -681,4 +709,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_fire_events(out_dir)
     write_flood_gauges(out_dir)
     write_coord_requests(out_dir)
+    write_csv_points(out_dir)
     return out_dir

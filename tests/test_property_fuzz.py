@@ -241,3 +241,32 @@ def test_coord_parser_oracle_matches_engine(text):
         for f in parse_coordinate_request("s", text)
     ]
     assert engine == oracle
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["lat", "LAT", "Latitude ", "y", "Y", "lng", "Longitude", "x",
+             "name", "Label", "id", "TITLE", "zzz", "lat_deg", "longit",
+             "idx", "latch", "xylo", ""]
+        ),
+        min_size=1, max_size=7, unique=True,
+    )
+)
+def test_csv_column_matcher_oracle_matches_engine(cols):
+    """The oracle's fuzzy-header matcher mirrors the engine's exactly —
+    incl. the keyed-lookup last-wins collision semantics (q_coord_csv)."""
+    from azure_workflow_for_kml_satellite_spark.operators.coords import match_columns
+    from azure_workflow_for_kml_satellite_spark.oracle.kernels import (
+        _CSV_LAT_CANDS,
+        _CSV_LON_CANDS,
+        _CSV_NAME_CANDS,
+        _match_csv_column,
+    )
+
+    assert match_columns(cols) == (
+        _match_csv_column(cols, _CSV_LAT_CANDS),
+        _match_csv_column(cols, _CSV_LON_CANDS),
+        _match_csv_column(cols, _CSV_NAME_CANDS),
+    )
