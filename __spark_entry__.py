@@ -853,6 +853,50 @@ def _q_coord_csv(spark, sf_dir):
     )
 
 
+def _q_geojson(spark, sf_dir):
+    """S17 GeoJSON-export gate: the engine assembles the per-AOI
+    FeatureCollection (operators/exports.py::geojson_per_aoi, JVM to_json),
+    the query parses it BACK with from_json and exposes structural +
+    content fields; the oracle recomputes those fields from its
+    independently-built expected tables (frame counts/order via
+    best_scenes, first-frame label/NDVI, summary change fields). The raw
+    string is not hashed — Jackson vs Python float formatting differs —
+    but every extracted value round-trips the real export."""
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.exports import geojson_per_aoi
+    from azure_workflow_for_kml_satellite_spark.pipeline import build_aois, build_ndvi
+
+    ed = engine_dir(sf_dir)
+    nd = build_ndvi(spark, ed)
+    aois = build_aois(spark, ed)
+    gj = geojson_per_aoi(aois, nd, change_summary_per_aoi(season_changes(nd)))
+    schema = (
+        "STRUCT<type: STRING, features: ARRAY<STRUCT<type: STRING, "
+        "geometry: STRUCT<type: STRING>, "
+        "properties: STRUCT<label: STRING, ndvi_mean: DOUBLE, type: STRING, "
+        "change_detection_summary: STRUCT<comparisons: INT, trajectory: STRING>>>>>"
+    )
+    doc = F.from_json("geojson", schema)
+    feats = doc["features"]
+    first = F.element_at(feats, 1)
+    last = F.element_at(feats, -1)
+    return gj.select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.size(feats).cast("long").alias("n_features"),
+        last["geometry"]["type"].alias("last_geom_type"),
+        first["properties"]["label"].alias("first_label"),
+        first["properties"]["ndvi_mean"].alias("first_ndvi"),
+        last["properties"]["change_detection_summary"]["comparisons"]
+        .cast("long")
+        .alias("comparisons"),
+        last["properties"]["change_detection_summary"]["trajectory"].alias("trajectory"),
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
 
@@ -1031,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_text": _q_page_text,
         "q_coord_text": _q_coord_text,
         "q_coord_csv": _q_coord_csv,
+        "q_geojson": _q_geojson,
         "q_cell_density": _q_cell_density,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -1418,6 +1463,41 @@ def oracle_sql() -> dict[str, str]:
                     WHEN score_fr = best THEN 'fr'
                     ELSE 'und' END AS predicted_lang
         FROM m
+    """
+    sql["q_geojson"] = f"""
+        WITH bs AS (
+          SELECT url, feature_index, frame_id, year, season, scene_id
+          FROM read_parquet('{_E}/expected/best_scenes.parquet')
+        ),
+        agg AS (
+          SELECT url, feature_index, count(*) AS n_frames, min(frame_id) AS f0
+          FROM bs GROUP BY url, feature_index
+        ),
+        -- frame features exist for EVERY best scene; stats are null when the
+        -- NDVI kernel masked the frame out (engine emits the frame anyway)
+        first AS (
+          SELECT bs.url, bs.feature_index,
+                 concat(upper(substr(bs.season, 1, 1)), substr(bs.season, 2),
+                        ' ', CAST(bs.year AS VARCHAR)) AS first_label,
+                 n.ndvi_mean AS first_ndvi
+          FROM bs
+          JOIN agg ON bs.url = agg.url AND bs.feature_index = agg.feature_index
+                  AND bs.frame_id = agg.f0
+          LEFT JOIN read_parquet('{_E}/expected/ndvi_stats.parquet') n
+            ON n.url = bs.url AND n.feature_index = bs.feature_index
+           AND n.year = bs.year AND n.season = bs.season
+           AND n.scene_id = bs.scene_id
+        )
+        SELECT a.url, CAST(a.feature_index AS BIGINT) AS feature_index,
+               CAST(coalesce(agg.n_frames, 0) + 1 AS BIGINT) AS n_features,
+               'Point' AS last_geom_type,
+               first.first_label, first.first_ndvi,
+               CAST(cs.comparisons AS BIGINT) AS comparisons, cs.trajectory
+        FROM read_parquet('{_E}/expected/aois.parquet') a
+        LEFT JOIN agg USING (url, feature_index)
+        LEFT JOIN first USING (url, feature_index)
+        LEFT JOIN read_parquet('{_E}/expected/change_summary.parquet') cs
+               USING (url, feature_index)
     """
     sql["q_coord_csv"] = (
         "SELECT source, CAST(feature_index AS BIGINT) AS feature_index, name, "
