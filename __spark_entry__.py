@@ -897,6 +897,109 @@ def _q_geojson(spark, sf_dir):
     )
 
 
+def _q_frame_csv(spark, sf_dir):
+    """S18 per-frame CSV gate: the engine's export rows (NDVI stats +
+    (season, year_to) change-delta lookup + weather range-joined into the
+    frame window with an order-pinned fold) vs an oracle that re-derives
+    every column in DuckDB from the independently built expected tables +
+    raw dimension parquet (frames/scenes/regions/weather)."""
+    from azure_workflow_for_kml_satellite_spark.operators.change import season_changes
+    from azure_workflow_for_kml_satellite_spark.operators.exports import frame_csv_rows
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import aoi_region
+    from azure_workflow_for_kml_satellite_spark.pipeline import (
+        build_aois,
+        build_ndvi,
+        load_tables,
+    )
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    nd = build_ndvi(spark, ed)
+    aois = aoi_region(build_aois(spark, ed), t["regions"])
+    rows = frame_csv_rows(nd, season_changes(nd), aois, t["weather_daily"])
+    return rows.select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "label",
+        F.col("year").cast("long").alias("year"),
+        "season",
+        "start_date",
+        "end_date",
+        "collection",
+        "is_naip",
+        "ndvi_scene_id",
+        F.col("resolution_m").cast("double").alias("resolution_m"),
+        F.col("cloud_cover_pct").cast("double").alias("cloud_cover_pct"),
+        "ndvi_mean",
+        "ndvi_min",
+        "ndvi_max",
+        "ndvi_std",
+        "ndvi_change_from_previous",
+        "mean_temp_c",
+        "total_precip_mm",
+    )
+
+
+def _q_aoi_csv(spark, sf_dir):
+    """S19 per-AOI bulk CSV gate: the engine's metrics-join export
+    (geometry block + NDVI trend + change summary + weather summary) vs an
+    oracle assembling the same columns from expected tables + DuckDB
+    weather/geometry SQL."""
+    from azure_workflow_for_kml_satellite_spark.operators.change import (
+        change_summary_per_aoi,
+        season_changes,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.exports import aoi_csv_rows
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        aoi_region,
+        geometry_metrics,
+        ndvi_trend_per_aoi,
+        weather_summary_per_aoi,
+    )
+    from azure_workflow_for_kml_satellite_spark.pipeline import (
+        build_aois,
+        build_ndvi,
+        load_tables,
+    )
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    nd = build_ndvi(spark, ed)
+    aois = build_aois(spark, ed)
+    rows = aoi_csv_rows(
+        geometry_metrics(aois),
+        ndvi_trend_per_aoi(nd),
+        change_summary_per_aoi(season_changes(nd)),
+        weather_summary_per_aoi(
+            aoi_region(aois, t["regions"]), t["weather_daily"],
+            RUN_DATE_START, RUN_DATE_END,
+        ),
+    )
+    return rows.select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        "name",
+        "area_ha",
+        "area_km2",
+        "perimeter_km",
+        "compactness",
+        "centroid_lon",
+        "centroid_lat",
+        "bbox_width_km",
+        "bbox_height_km",
+        "direction",
+        "latest_mean",
+        "health_class",
+        F.col("comparisons").cast("long").alias("comparisons"),
+        "total_loss_ha",
+        "total_gain_ha",
+        "trajectory",
+        "temp_mean_c",
+        "precip_total_mm",
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.text import source_stats
 
@@ -1076,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coord_text": _q_coord_text,
         "q_coord_csv": _q_coord_csv,
         "q_geojson": _q_geojson,
+        "q_frame_csv": _q_frame_csv,
+        "q_aoi_csv": _q_aoi_csv,
         "q_cell_density": _q_cell_density,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -1463,6 +1568,111 @@ def oracle_sql() -> dict[str, str]:
                     WHEN score_fr = best THEN 'fr'
                     ELSE 'und' END AS predicted_lang
         FROM m
+    """
+    sql["q_aoi_csv"] = f"""
+        WITH a AS (
+          SELECT url, feature_index, name, area_ha, perimeter_km,
+                 centroid_lon, centroid_lat, min_lon, min_lat, max_lon, max_lat
+          FROM read_parquet('{_E}/expected/aois.parquet')
+        ),
+        geo AS (
+          SELECT url, feature_index, name, area_ha,
+                 round(area_ha / 100, 4) AS area_km2, perimeter_km,
+                 CASE WHEN perimeter_km > 0 AND area_ha > 0
+                      THEN round(4 * pi() * (area_ha / 100) / (perimeter_km * perimeter_km), 3)
+                      ELSE 0.0 END AS compactness,
+                 round(centroid_lon, 6) AS centroid_lon,
+                 round(centroid_lat, 6) AS centroid_lat,
+                 round(abs(max_lon - min_lon) * 111.32
+                       * cos(radians((min_lat + max_lat) / 2)), 2) AS bbox_width_km,
+                 round(abs(max_lat - min_lat) * 111.32, 2) AS bbox_height_km
+          FROM a
+        ),
+        ar AS (
+          SELECT a.url, a.feature_index, r.region
+          FROM a LEFT JOIN read_parquet('{_E}/regions.parquet') r
+            ON a.centroid_lon >= r.min_lon AND a.centroid_lon <= r.max_lon
+           AND a.centroid_lat >= r.min_lat AND a.centroid_lat <= r.max_lat
+        ),
+        w AS (SELECT * FROM read_parquet('{_E}/weather_daily.parquet')
+              WHERE date >= DATE '{RUN_DATE_START}' AND date <= DATE '{RUN_DATE_END}'),
+        wsum AS (
+          SELECT ar.url, ar.feature_index,
+                 round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1) AS temp_mean_c,
+                 round(sum(w.precip_mm ORDER BY w.date), 1) AS precip_total_mm
+          FROM ar LEFT JOIN w USING (region)
+          GROUP BY ar.url, ar.feature_index
+        )
+        SELECT geo.url, CAST(geo.feature_index AS BIGINT) AS feature_index,
+               geo.name, geo.area_ha, geo.area_km2, geo.perimeter_km,
+               geo.compactness, geo.centroid_lon, geo.centroid_lat,
+               geo.bbox_width_km, geo.bbox_height_km,
+               tr.direction, tr.latest_mean, tr.health_class,
+               CAST(cs.comparisons AS BIGINT) AS comparisons,
+               cs.total_loss_ha, cs.total_gain_ha, cs.trajectory,
+               wsum.temp_mean_c, wsum.precip_total_mm
+        FROM geo
+        LEFT JOIN read_parquet('{_E}/expected/ndvi_trend.parquet') tr
+               USING (url, feature_index)
+        LEFT JOIN read_parquet('{_E}/expected/change_summary.parquet') cs
+               USING (url, feature_index)
+        LEFT JOIN wsum USING (url, feature_index)
+    """
+    sql["q_frame_csv"] = f"""
+        WITH bs AS (
+          SELECT * FROM read_parquet('{_E}/expected/best_scenes.parquet')
+        ),
+        fr AS (
+          SELECT frame_id, naip_variant, start, "end", collection, is_naip
+          FROM read_parquet('{_E}/frames.parquet')
+        ),
+        ar AS (
+          SELECT a.url, a.feature_index, r.region
+          FROM read_parquet('{_E}/expected/aois.parquet') a
+          LEFT JOIN read_parquet('{_E}/regions.parquet') r
+            ON a.centroid_lon >= r.min_lon AND a.centroid_lon <= r.max_lon
+           AND a.centroid_lat >= r.min_lat AND a.centroid_lat <= r.max_lat
+        ),
+        wagg AS (
+          SELECT bs.url, bs.feature_index, bs.frame_id,
+                 round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1)
+                   AS mean_temp_c,
+                 CASE WHEN count(w.precip_mm) > 0
+                      THEN round(sum(w.precip_mm ORDER BY w.date), 1) END
+                   AS total_precip_mm
+          FROM bs
+          JOIN fr ON fr.frame_id = bs.frame_id
+                 AND fr.naip_variant = bs.naip_variant
+          JOIN ar ON ar.url = bs.url AND ar.feature_index = bs.feature_index
+          LEFT JOIN read_parquet('{_E}/weather_daily.parquet') w
+            ON w.region = ar.region
+           AND w.date >= CAST(fr.start AS DATE) AND w.date <= CAST(fr."end" AS DATE)
+          GROUP BY bs.url, bs.feature_index, bs.frame_id
+        )
+        SELECT bs.url, CAST(bs.feature_index AS BIGINT) AS feature_index,
+               CAST(bs.frame_id AS BIGINT) AS frame_index,
+               concat(upper(substr(bs.season, 1, 1)), substr(bs.season, 2),
+                      ' ', CAST(bs.year AS VARCHAR)) AS label,
+               CAST(bs.year AS BIGINT) AS year, bs.season,
+               fr.start AS start_date, fr."end" AS end_date,
+               fr.collection, fr.is_naip,
+               bs.scene_id AS ndvi_scene_id,
+               CAST(sc.resolution_m AS DOUBLE) AS resolution_m,
+               CAST(bs.cloud_cover AS DOUBLE) AS cloud_cover_pct,
+               n.ndvi_mean, n.ndvi_min, n.ndvi_max, n.ndvi_std,
+               ch.mean_delta AS ndvi_change_from_previous,
+               wagg.mean_temp_c, wagg.total_precip_mm
+        FROM bs
+        JOIN fr ON fr.frame_id = bs.frame_id AND fr.naip_variant = bs.naip_variant
+        JOIN read_parquet('{_E}/scenes.parquet') sc ON sc.scene_id = bs.scene_id
+        LEFT JOIN read_parquet('{_E}/expected/ndvi_stats.parquet') n
+          ON n.url = bs.url AND n.feature_index = bs.feature_index
+         AND n.year = bs.year AND n.season = bs.season AND n.scene_id = bs.scene_id
+        LEFT JOIN read_parquet('{_E}/expected/season_changes.parquet') ch
+          ON ch.url = bs.url AND ch.feature_index = bs.feature_index
+         AND ch.season = bs.season AND ch.year_to = bs.year
+        LEFT JOIN wagg ON wagg.url = bs.url AND wagg.feature_index = bs.feature_index
+                      AND wagg.frame_id = bs.frame_id
     """
     sql["q_geojson"] = f"""
         WITH bs AS (

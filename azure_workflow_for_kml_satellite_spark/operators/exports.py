@@ -36,17 +36,42 @@ def frame_csv_rows(
         "url", "feature_index", F.col("region").alias("aoi_region")
     )
     nd = ndvi_df.join(w, ["url", "feature_index"], "left")
-    wx = nd.select(
-        "url", "feature_index", "frame_id", "aoi_region", "start", "end"
-    ).join(
-        weather,
-        (F.col("aoi_region") == weather["region"])
-        & (weather["date"] >= F.to_date("start"))
-        & (weather["date"] <= F.to_date("end")),
-        "left",
-    ).groupBy("url", "feature_index", "frame_id").agg(
-        F.round(F.avg("temp_c"), 1).alias("mean_temp_c"),
-        F.round(F.sum("precip_mm"), 1).alias("total_precip_mm"),
+    # 1-dp rounded float aggregates must be partition-order-insensitive
+    # (deterministic exports regardless of shuffle layout): fold the values
+    # in date order with a sequential JVM lambda, the same discipline as
+    # operators/metrics.py's weather summary
+    series = F.array_sort(
+        F.collect_list(F.struct(weather["date"].alias("d"), "temp_c", "precip_mm"))
+    )
+    valid = F.filter(F.col("series"), lambda x: x["d"].isNotNull())
+    # null-safe like avg/sum: skip null observations, null result only
+    # when nothing remains
+    t_cnt = F.size(F.filter(valid, lambda x: x["temp_c"].isNotNull()))
+    p_cnt = F.size(F.filter(valid, lambda x: x["precip_mm"].isNotNull()))
+    t_sum = F.aggregate(
+        valid, F.lit(0.0), lambda a, x: a + F.coalesce(x["temp_c"], F.lit(0.0))
+    )
+    p_sum = F.aggregate(
+        valid, F.lit(0.0), lambda a, x: a + F.coalesce(x["precip_mm"], F.lit(0.0))
+    )
+    wx = (
+        nd.select("url", "feature_index", "frame_id", "aoi_region", "start", "end")
+        .join(
+            weather,
+            (F.col("aoi_region") == weather["region"])
+            & (weather["date"] >= F.to_date("start"))
+            & (weather["date"] <= F.to_date("end")),
+            "left",
+        )
+        .groupBy("url", "feature_index", "frame_id")
+        .agg(series.alias("series"))
+        .select(
+            "url",
+            "feature_index",
+            "frame_id",
+            F.when(t_cnt > 0, F.round(t_sum / t_cnt, 1)).alias("mean_temp_c"),
+            F.when(p_cnt > 0, F.round(p_sum, 1)).alias("total_precip_mm"),
+        )
     )
     out = (
         nd.join(ch, ["url", "feature_index", "season", "year"], "left")
