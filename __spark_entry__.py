@@ -1336,7 +1336,8 @@ def oracle_sql() -> dict[str, str]:
                round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1) AS temp_mean_c,
                round(min(w.temp_c), 1) AS temp_min_c,
                round(max(w.temp_c), 1) AS temp_max_c,
-               round(sum(w.precip_mm ORDER BY w.date), 1) AS precip_total_mm,
+               CASE WHEN count(w.temp_c) > 0
+                    THEN round(sum(w.precip_mm ORDER BY w.date), 1) END AS precip_total_mm,
                CAST(coalesce(sum(CASE WHEN w.precip_mm > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS precip_days
         FROM ar LEFT JOIN w USING (region)
         GROUP BY ar.url, ar.feature_index
@@ -1599,7 +1600,8 @@ def oracle_sql() -> dict[str, str]:
         wsum AS (
           SELECT ar.url, ar.feature_index,
                  round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1) AS temp_mean_c,
-                 round(sum(w.precip_mm ORDER BY w.date), 1) AS precip_total_mm
+                 CASE WHEN count(w.temp_c) > 0
+                      THEN round(sum(w.precip_mm ORDER BY w.date), 1) END AS precip_total_mm
           FROM ar LEFT JOIN w USING (region)
           GROUP BY ar.url, ar.feature_index
         )

@@ -87,12 +87,15 @@ def webp_dimensions(data: bytes) -> tuple[int, int, str]:
     raise ValueError(f"unknown WebP chunk {fourcc!r}")
 
 
-def _packbits(data: bytes) -> bytes:
-    """TIFF PackBits RLE decode."""
+def _packbits(data: bytes, max_out: int | None = None) -> bytes:
+    """TIFF PackBits RLE decode (output capped at ``max_out`` so RLE bombs
+    cannot balloon memory past the declared strip size)."""
     out = bytearray()
     i = 0
     n = len(data)
     while i < n:
+        if max_out is not None and len(out) >= max_out:
+            break
         c = data[i]
         i += 1
         if c < 128:  # literal run of c+1 bytes
@@ -194,15 +197,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
         chunk = data[off : off + cnt]
         if len(chunk) < cnt:
             raise ValueError("truncated TIFF strip")
+        nrows = min(rps, h - row)
+        need = nrows * row_bytes
         if comp in (8, 32946):
             try:
-                chunk = zlib.decompress(chunk)
+                # bound the inflate so a deflate-bomb strip cannot balloon
+                # executor memory past the declared strip size
+                chunk = zlib.decompressobj().decompress(chunk, need)
             except zlib.error as exc:
                 raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
         elif comp == 32773:
-            chunk = _packbits(chunk)
-        nrows = min(rps, h - row)
-        need = nrows * row_bytes
+            chunk = _packbits(chunk, need)
         if len(chunk) < need:
             raise ValueError("short TIFF strip")
         img[row : row + nrows] = np.frombuffer(chunk, np.uint8, need).reshape(
@@ -332,8 +337,10 @@ def svg_dimensions(data: bytes) -> tuple[int, int]:
         dims.append(float(am.group(1)) if am else None)
     if dims[0] and dims[1]:
         return int(round(dims[0])), int(round(dims[1]))
+    # min-x/min-y may be negative (common in icon viewBoxes); width/height
+    # are non-negative per spec
     vb = re.search(
-        rf'viewBox\s*=\s*["\']\s*{_SVG_NUM}[ ,]+{_SVG_NUM}[ ,]+{_SVG_NUM}[ ,]+{_SVG_NUM}',
+        rf'viewBox\s*=\s*["\']\s*[+-]?{_SVG_NUM}[ ,]+[+-]?{_SVG_NUM}[ ,]+{_SVG_NUM}[ ,]+{_SVG_NUM}',
         tag,
     )
     if vb:

@@ -14,6 +14,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from azure_workflow_for_kml_satellite_spark.constants import MAX_COORDINATE_ROWS
@@ -153,11 +154,22 @@ def csv_point_features(
     if not lat_c or not lon_c:
         raise ValueError(f"CSV must contain lat/lon columns; got {csv_df.columns}")
 
+    # global row index in input order (feature_index must be stable across
+    # Arrow batches AND partitions — a per-batch enumerate restarts at each
+    # 4096-row batch and collides dedup keys at scale)
+    from pyspark.sql import Window
+
+    csv_df = csv_df.withColumn(
+        "_row_idx",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in COORD_FEATURES_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for i, rec in enumerate(pdf.to_dict("records")):
+            for rec in pdf.to_dict("records"):
+                i = int(rec["_row_idx"])
                 try:
                     lat, lon = float(rec[lat_c]), float(rec[lon_c])
                     if not (-90 <= lat <= 90 and -180 <= lon <= 180):

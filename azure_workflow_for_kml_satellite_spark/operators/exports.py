@@ -36,24 +36,21 @@ def frame_csv_rows(
         "url", "feature_index", F.col("region").alias("aoi_region")
     )
     nd = ndvi_df.join(w, ["url", "feature_index"], "left")
-    # 1-dp rounded float aggregates must be partition-order-insensitive
-    # (deterministic exports regardless of shuffle layout): fold the values
-    # in date order with a sequential JVM lambda, the same discipline as
-    # operators/metrics.py's weather summary
-    series = F.array_sort(
-        F.collect_list(F.struct(weather["date"].alias("d"), "temp_c", "precip_mm"))
+    # deterministic-exports discipline: date-ordered sequential folds
+    # (shared helpers in operators/metrics.py); left-join misses surface as
+    # null-d structs and are dropped before counting
+    from azure_workflow_for_kml_satellite_spark.operators.metrics import (
+        weather_series_agg,
+        weather_series_fold,
     )
+
     valid = F.filter(F.col("series"), lambda x: x["d"].isNotNull())
     # null-safe like avg/sum: skip null observations, null result only
     # when nothing remains
     t_cnt = F.size(F.filter(valid, lambda x: x["temp_c"].isNotNull()))
     p_cnt = F.size(F.filter(valid, lambda x: x["precip_mm"].isNotNull()))
-    t_sum = F.aggregate(
-        valid, F.lit(0.0), lambda a, x: a + F.coalesce(x["temp_c"], F.lit(0.0))
-    )
-    p_sum = F.aggregate(
-        valid, F.lit(0.0), lambda a, x: a + F.coalesce(x["precip_mm"], F.lit(0.0))
-    )
+    t_sum = weather_series_fold(valid, "temp_c")
+    p_sum = weather_series_fold(valid, "precip_mm")
     wx = (
         nd.select("url", "feature_index", "frame_id", "aoi_region", "start", "end")
         .join(
@@ -64,7 +61,7 @@ def frame_csv_rows(
             "left",
         )
         .groupBy("url", "feature_index", "frame_id")
-        .agg(series.alias("series"))
+        .agg(weather_series_agg().alias("series"))
         .select(
             "url",
             "feature_index",

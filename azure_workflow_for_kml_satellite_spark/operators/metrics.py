@@ -132,6 +132,25 @@ def aoi_region(aois: DataFrame, regions: DataFrame) -> DataFrame:
     ).drop("r_min_lon", "r_min_lat", "r_max_lon", "r_max_lat")
 
 
+def weather_series_agg():
+    """Date-sorted (d, temp_c, precip_mm) series aggregate — the shared
+    front half of every order-pinned weather fold (per-AOI summary here,
+    per-frame CSV export in operators/exports.py): 1-dp rounded float
+    aggregates must not depend on shuffle layout."""
+    return F.array_sort(
+        F.collect_list(F.struct(F.col("date").alias("d"), "temp_c", "precip_mm"))
+    )
+
+
+def weather_series_fold(series, field: str):
+    """Sequential left fold of one series field. Null-safe: NULL
+    observations add 0.0 (an IEEE no-op for finite sums); callers gate the
+    result on their own non-null count."""
+    return F.aggregate(
+        series, F.lit(0.0), lambda acc, x: acc + F.coalesce(x[field], F.lit(0.0))
+    )
+
+
 def weather_summary_per_aoi(
     aois_with_region: DataFrame,
     weather: DataFrame,
@@ -151,16 +170,9 @@ def weather_summary_per_aoi(
     # a sorted array) instead of a distributed F.sum, so the accumulation
     # order is pinned regardless of shuffle layout. The DuckDB oracle pins
     # the same order with `sum(x ORDER BY date)`.
-    series = F.array_sort(
-        F.collect_list(F.struct(F.col("date").alias("d"), "temp_c", "precip_mm"))
-    )
-    # null-safe: sum skips NULLs, and x + 0.0 is an IEEE no-op for finite x
-    seq_temp_sum = F.aggregate(
-        F.col("series"), F.lit(0.0), lambda acc, x: acc + F.coalesce(x["temp_c"], F.lit(0.0))
-    )
-    seq_precip_sum = F.aggregate(
-        F.col("series"), F.lit(0.0), lambda acc, x: acc + F.coalesce(x["precip_mm"], F.lit(0.0))
-    )
+    series = weather_series_agg()
+    seq_temp_sum = weather_series_fold(F.col("series"), "temp_c")
+    seq_precip_sum = weather_series_fold(F.col("series"), "precip_mm")
     return (
         joined.groupBy("url", "feature_index")
         .agg(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import base64
 import math
+import re
 import zipfile
 from io import BytesIO
 from xml.etree import ElementTree as ET
@@ -715,7 +716,13 @@ def rollup_changes(mean_deltas, loss_has, gain_has) -> dict:
 # engine and page generator share (functions/kml.extract_text) — so the two
 # sides only agree if both implement the rule correctly.
 
-_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+_RE_WORD = re.compile(r"\w")
+
+
+def _is_word_char(ch: str) -> bool:
+    """Exactly the regex \\w class (Unicode word chars), so the scanner's
+    '<tag\\b' boundary matches the engine regex on non-ASCII input too."""
+    return _RE_WORD.fullmatch(ch) is not None
 
 
 def _drop_regions(s: str, tag: str) -> str:
@@ -729,7 +736,7 @@ def _drop_regions(s: str, tag: str) -> str:
         j = s.find(open_pat, i)
         while j != -1:
             after = s[j + len(open_pat) : j + len(open_pat) + 1]
-            if after and after in _WORD_CHARS:  # not a word boundary
+            if after and _is_word_char(after):  # not a word boundary
                 j = s.find(open_pat, j + 1)
                 continue
             k = s.find(close_pat, j + len(open_pat))
@@ -787,6 +794,13 @@ def visible_text(html: bytes) -> str:
 
 _COORD_MAX_ROWS = 500
 _METRES_PER_DEG_LAT = 111_320.0
+_RE_DIGIT = re.compile(r"\d")
+
+
+def _is_re_digit(ch: str) -> bool:
+    """Exactly the regex \\d class (Unicode Nd) — str.isdigit() is wider
+    (it also accepts No characters like '\u00b2' that float() rejects)."""
+    return _RE_DIGIT.fullmatch(ch) is not None
 
 
 def _scan_number(line: str, i: int) -> tuple[float, int] | None:
@@ -796,14 +810,14 @@ def _scan_number(line: str, i: int) -> tuple[float, int] | None:
     if j < n and line[j] in "+-":
         j += 1
     d0 = j
-    while j < n and line[j].isdigit():
+    while j < n and _is_re_digit(line[j]):
         j += 1
     if j == d0:
         return None
     if j < n and line[j] == ".":
         j += 1
         f0 = j
-        while j < n and line[j].isdigit():
+        while j < n and _is_re_digit(line[j]):
             j += 1
         if j == f0:
             return None

@@ -32,6 +32,17 @@ def engine_dir(sf_dir: str) -> str:
         from azure_workflow_for_kml_satellite_spark.sources.synth import generate_sf
 
         generate_sf(ENGINE_DATA_ROOT, name)
+    # tables added after a dir was first generated backfill individually
+    # (each writer is deterministic and standalone)
+    aux = {
+        "coord_requests.parquet": "write_coord_requests",
+        "csv_points.parquet": "write_csv_points",
+    }
+    for fname, writer in aux.items():
+        if not (out / fname).exists():
+            from azure_workflow_for_kml_satellite_spark.sources import synth
+
+            getattr(synth, writer)(out)
     return str(out)
 
 

@@ -142,12 +142,13 @@ def main() -> None:
     # same total runtime, adaptive to the band. SPARK_GRAFT_FORCE_CPUS pins
     # a single level.
     force = os.environ.get("SPARK_GRAFT_FORCE_CPUS")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     if force:
-        core_plan = [int(force)] * int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        core_plan = [int(force)] * repeats
     elif cpus > 16:
-        core_plan = [16, cpus]
+        core_plan = ([16, cpus] * ((repeats + 1) // 2))[:max(2, repeats)]
     else:
-        core_plan = [cpus] * 2
+        core_plan = [cpus] * max(2, repeats)
     runs = [run_bench(sf_dir, c) for c in core_plan]
     best = min(runs, key=lambda r: r["value"])
     best["all_run_totals_sec"] = [r["value"] for r in runs]

@@ -203,7 +203,7 @@ def test_fuzz_container_parsers_never_crash(_):
 
 
 @settings(max_examples=2000, deadline=None)
-@given(st.text(alphabet="<>/scriptkmlstyle abX\n\t", max_size=80))
+@given(st.text(alphabet="<>/scriptkmlstyle abX\n\t\u00e9\u00b2", max_size=80))
 def test_visible_text_scanner_matches_engine_regex(s):
     """The oracle's find()-scanner extraction and the engine's regex
     pipeline are independent implementations of the same public rule —
@@ -217,7 +217,7 @@ def test_visible_text_scanner_matches_engine_regex(s):
 
 
 @settings(max_examples=3000, deadline=None)
-@given(st.text(alphabet="0123456789.,;+- \t\r\x0b\x0c\n#e", max_size=40))
+@given(st.text(alphabet="0123456789.,;+- \t\r\x0b\x0c\n#e\u00b2\u0661", max_size=40))
 def test_coord_parser_oracle_matches_engine(text):
     """The oracle's hand tokenizer + own circle math and the engine's
     regex parser (operators/coords.py) are independent implementations of
