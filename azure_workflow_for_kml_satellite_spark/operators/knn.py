@@ -102,9 +102,15 @@ def _ring_guarantee_km(plat, r: int, size_deg: float, n_lon: int, n_lat: int):
       at latitudes ≤ |plat| + (r+1)·size, and for φ1,φ2 within ±φmax the
       haversine is minimized with both points AT φmax and Δφ = 0:
       d ≥ 2R·asin(cos(φmax)·sin(Δλ/2)) (impossible once the ring spans
-      every lon cell → +inf).
+      every lon cell → +inf).  When φmax would reach the pole
+      (|plat| + (r+1)·size ≥ 90°) the bound collapses to 0: candidates in
+      wrapped-x cells beyond the ring can sit arbitrarily close to the
+      pole-side point, so NO positive longitude guarantee exists — such
+      points must keep expanding until the ring wraps (lon_bound → +inf)
+      or fall through to the exact broadcast fallback.
     Settling requires the k-th distance STRICTLY below the min of the two,
-    so outside ties can never alter the top-k.
+    so outside ties can never alter the top-k (and a 0 guarantee can never
+    settle anything).
     """
     inf = F.lit(float("inf"))
     if 2 * r + 1 >= n_lat:
@@ -114,10 +120,11 @@ def _ring_guarantee_km(plat, r: int, size_deg: float, n_lon: int, n_lat: int):
     if 2 * r + 1 >= n_lon:
         lon_bound = inf
     else:
-        phi_max = F.least(F.lit(89.99), F.abs(plat) + F.lit((r + 1) * size_deg))
+        phi_max = F.abs(plat) + F.lit((r + 1) * size_deg)
         dlam = F.lit(math.radians(min(r * size_deg, 180.0)))
-        lon_bound = F.lit(2 * _R_KM) * F.asin(
-            F.cos(F.radians(phi_max)) * F.sin(dlam / F.lit(2.0))
+        lon_bound = F.when(phi_max >= F.lit(90.0), F.lit(0.0)).otherwise(
+            F.lit(2 * _R_KM)
+            * F.asin(F.cos(F.radians(phi_max)) * F.sin(dlam / F.lit(2.0)))
         )
     return F.least(lat_bound, lon_bound)
 

@@ -143,12 +143,15 @@ def main() -> None:
     # a single level.
     force = os.environ.get("SPARK_GRAFT_FORCE_CPUS")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = max(1, repeats)
     if force:
         core_plan = [int(force)] * repeats
     elif cpus > 16:
-        core_plan = ([16, cpus] * ((repeats + 1) // 2))[:max(2, repeats)]
+        # repeats=1 probes only the requested level (no hidden second run);
+        # repeats>=2 alternates [16, cpus] as before
+        core_plan = [cpus] if repeats == 1 else ([16, cpus] * ((repeats + 1) // 2))[:repeats]
     else:
-        core_plan = [cpus] * max(2, repeats)
+        core_plan = [cpus] * repeats
     runs = [run_bench(sf_dir, c) for c in core_plan]
     best = min(runs, key=lambda r: r["value"])
     best["all_run_totals_sec"] = [r["value"] for r in runs]

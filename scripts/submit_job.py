@@ -62,7 +62,13 @@ def make_session(app_name: str):
 
     try:
         return get_spark(app_name, master="")
-    except Exception:  # "A master URL must be set" → plain-python run
+    except Exception as e:
+        # Fall back ONLY for the no-launcher case ("A master URL must be
+        # set in your configuration"); any other getOrCreate failure (bad
+        # conf, cluster connect error) must surface, not silently degrade
+        # the job to local mode on the driver.
+        if "master url must be set" not in str(e).lower():
+            raise
         return get_spark(app_name)
 
 

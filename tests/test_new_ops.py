@@ -836,6 +836,34 @@ def test_knn_join_cells_antimeridian_wrap(spark):
     assert by_rank == {1: "near_wrap", 2: "mid"}
 
 
+def test_knn_join_cells_near_pole_no_false_settle(spark):
+    """When |plat| + (r+1)·size reaches the pole, NO positive longitude
+    escape bound exists: a candidate in a wrapped-x cell far outside the
+    ring ('overpole', 180° away in longitude) sits a mere ~22 m across the
+    pole — closer than the in-ring candidate at ~100 m.  A clamped
+    phi_max bound (~0.109 km at res=6) would settle on the in-ring
+    candidate at r=1 and return the wrong top-1; the sound bound (0 in the
+    pole-touching regime) must keep expanding until the ring wraps and
+    find 'overpole'."""
+    from azure_workflow_for_kml_satellite_spark.operators.knn import (
+        knn_join_broadcast,
+        knn_join_cells,
+    )
+
+    pdf = spark.createDataFrame(
+        [(0, 0.0, 89.9999)], "pid long, centroid_lon double, centroid_lat double"
+    )
+    cdf = spark.createDataFrame(
+        [("inring", 0.0, 89.999), ("overpole", 180.0, 89.9999)],
+        "station_id string, longitude double, latitude double",
+    )
+    kwargs = dict(point_keys=("pid",))
+    exact = sorted(map(tuple, knn_join_broadcast(pdf, cdf, k=1, **kwargs).collect()))
+    grid = sorted(map(tuple, knn_join_cells(pdf, cdf, k=1, res=6, **kwargs).collect()))
+    assert exact == grid
+    assert exact[0][1] == "overpole" and exact[0][2] < 0.1
+
+
 def _mp4_bytes(frames, delta_ms=100, codec=b"jpeg", chunk_size=3, timescale=1000):
     """Minimal valid ISO-BMFF file: ftyp + mdat + moov with one video trak
     whose stts/stsc/stsz/stco tables describe ``frames`` (multi-chunk, so
