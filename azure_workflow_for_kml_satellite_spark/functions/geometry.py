@@ -214,22 +214,27 @@ def point_in_polygon(lon: float, lat: float, exterior: Ring, holes: list[Ring] |
 
 
 def transform_bbox(bbox: list[float], src_crs: str, dst_crs: str) -> tuple[float, float, float, float]:
-    """G4: bbox CRS reprojection (reference: geo.py:85-104). Same-CRS is the
-    identity short-circuit (all synthetic scenes are EPSG:4326); a real
-    transform uses pyproj when importable, mirroring the reference, and
-    raises otherwise."""
+    """G4: bbox CRS reprojection (reference: geo.py:85-104 — two corner
+    transforms, then re-min/maxed). Same-CRS is the identity short-circuit;
+    a real transform uses pyproj when importable (mirroring the reference),
+    falling back to the vendored Karney transverse-Mercator for the
+    geographic↔UTM family (functions/tmerc.py) — the path exercised in this
+    sandbox. Other CRS families raise NotImplementedError."""
     if src_crs == dst_crs:
         return (bbox[0], bbox[1], bbox[2], bbox[3])
     try:
         from pyproj import Transformer
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"CRS transform {src_crs}->{dst_crs} requires pyproj (unavailable); "
-            "synthetic scenes are EPSG:4326 so only the identity path is exercised"
-        ) from exc
-    tr = Transformer.from_crs(src_crs, dst_crs, always_xy=True)
-    x_min, y_min = tr.transform(bbox[0], bbox[1])
-    x_max, y_max = tr.transform(bbox[2], bbox[3])
+
+        tr = Transformer.from_crs(src_crs, dst_crs, always_xy=True)
+        x_min, y_min = tr.transform(bbox[0], bbox[1])
+        x_max, y_max = tr.transform(bbox[2], bbox[3])
+    except ImportError:
+        from azure_workflow_for_kml_satellite_spark.functions.tmerc import (
+            transform_point,
+        )
+
+        x_min, y_min = transform_point(bbox[0], bbox[1], src_crs, dst_crs)
+        x_max, y_max = transform_point(bbox[2], bbox[3], src_crs, dst_crs)
     return (min(x_min, x_max), min(y_min, y_max), max(x_min, x_max), max(y_min, y_max))
 
 

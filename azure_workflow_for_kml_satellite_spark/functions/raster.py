@@ -464,10 +464,12 @@ def reproject_bilinear(
     source coverage — and pixels whose 2×2 support touches NaN nodata —
     come out NaN, matching rasterio's nodata handling for float rasters.
 
-    Same-CRS grids map affinely; differing CRSs require pyproj (importable →
-    the destination centres are transformed into src_crs first, mirroring
-    the reference; absent → NotImplementedError, same upgrade rule as
-    functions.geometry.transform_bbox)."""
+    Same-CRS grids map affinely; differing CRSs transform the destination
+    pixel centres into src_crs first, mirroring the reference — via pyproj
+    when importable, else the vendored Karney transverse-Mercator
+    (functions/tmerc.py, geographic↔UTM; the sandbox path). Other CRS
+    families raise NotImplementedError — same upgrade rule as
+    functions.geometry.transform_bbox."""
     sh, sw = src.shape
     dh, dw = dst_shape
     dpx = (dst_bbox[2] - dst_bbox[0]) / dw
@@ -475,15 +477,18 @@ def reproject_bilinear(
     xs = dst_bbox[0] + (np.arange(dw) + 0.5) * dpx
     ys = dst_bbox[3] - (np.arange(dh) + 0.5) * dpy
     if src_crs != dst_crs:
+        gx, gy = np.meshgrid(xs, ys)
         try:
             from pyproj import Transformer
-        except ImportError as exc:
-            raise NotImplementedError(
-                f"reprojection {dst_crs}->{src_crs} requires pyproj (unavailable)"
-            ) from exc
-        tr = Transformer.from_crs(dst_crs, src_crs, always_xy=True)
-        gx, gy = np.meshgrid(xs, ys)
-        gx, gy = tr.transform(gx, gy)
+
+            tr = Transformer.from_crs(dst_crs, src_crs, always_xy=True)
+            gx, gy = tr.transform(gx, gy)
+        except ImportError:
+            from azure_workflow_for_kml_satellite_spark.functions.tmerc import (
+                transform_grid_np,
+            )
+
+            gx, gy = transform_grid_np(gx, gy, dst_crs, src_crs)
     else:
         gx, gy = np.meshgrid(xs, ys)
     spx = (src_bbox[2] - src_bbox[0]) / sw

@@ -997,3 +997,118 @@ def parse_csv_points(columns: list[str], records: list[dict], source: str = "csv
             }
         )
     return out
+
+
+# ═══════════════════════ transverse Mercator (UTM) ══════════════════════════
+# Contract: functions/tmerc.py (vendored Karney 2011 Krüger series, order 6;
+# the reference reaches the same transform through pyproj, geo.py:85-104).
+# This is a fresh straight-line transcription of the same published series —
+# same term order as the publication, zero code sharing with the engine.
+
+_TM_A = 6378137.0
+_TM_F = 1.0 / 298.257223563
+_TM_E = math.sqrt(_TM_F * (2.0 - _TM_F))
+_tm_n = _TM_F / (2.0 - _TM_F)
+_tm_n2 = _tm_n * _tm_n
+_tm_n3 = _tm_n2 * _tm_n
+_tm_n4 = _tm_n3 * _tm_n
+_tm_n5 = _tm_n4 * _tm_n
+_tm_n6 = _tm_n5 * _tm_n
+
+_TM_RADIUS = (_TM_A / (1.0 + _tm_n)) * (
+    1.0 + _tm_n2 / 4.0 + _tm_n4 / 64.0 + _tm_n6 / 256.0
+)
+
+_TM_ALPHA = [
+    _tm_n / 2.0 - 2.0 * _tm_n2 / 3.0 + 5.0 * _tm_n3 / 16.0 + 41.0 * _tm_n4 / 180.0
+    - 127.0 * _tm_n5 / 288.0 + 7891.0 * _tm_n6 / 37800.0,
+    13.0 * _tm_n2 / 48.0 - 3.0 * _tm_n3 / 5.0 + 557.0 * _tm_n4 / 1440.0
+    + 281.0 * _tm_n5 / 630.0 - 1983433.0 * _tm_n6 / 1935360.0,
+    61.0 * _tm_n3 / 240.0 - 103.0 * _tm_n4 / 140.0 + 15061.0 * _tm_n5 / 26880.0
+    + 167603.0 * _tm_n6 / 181440.0,
+    49561.0 * _tm_n4 / 161280.0 - 179.0 * _tm_n5 / 168.0
+    + 6601661.0 * _tm_n6 / 7257600.0,
+    34729.0 * _tm_n5 / 80640.0 - 3418889.0 * _tm_n6 / 1995840.0,
+    212378941.0 * _tm_n6 / 319334400.0,
+]
+
+_TM_BETA = [
+    _tm_n / 2.0 - 2.0 * _tm_n2 / 3.0 + 37.0 * _tm_n3 / 96.0 - _tm_n4 / 360.0
+    - 81.0 * _tm_n5 / 512.0 + 96199.0 * _tm_n6 / 604800.0,
+    _tm_n2 / 48.0 + _tm_n3 / 15.0 - 437.0 * _tm_n4 / 1440.0 + 46.0 * _tm_n5 / 105.0
+    - 1118711.0 * _tm_n6 / 3870720.0,
+    17.0 * _tm_n3 / 480.0 - 37.0 * _tm_n4 / 840.0 - 209.0 * _tm_n5 / 4480.0
+    + 5569.0 * _tm_n6 / 90720.0,
+    4397.0 * _tm_n4 / 161280.0 - 11.0 * _tm_n5 / 504.0 - 830251.0 * _tm_n6 / 7257600.0,
+    4583.0 * _tm_n5 / 161280.0 - 108847.0 * _tm_n6 / 3991680.0,
+    20648693.0 * _tm_n6 / 638668800.0,
+]
+
+_TM_DELTA = [
+    2.0 * _tm_n - 2.0 * _tm_n2 / 3.0 - 2.0 * _tm_n3 + 116.0 * _tm_n4 / 45.0
+    + 26.0 * _tm_n5 / 45.0 - 2854.0 * _tm_n6 / 675.0,
+    7.0 * _tm_n2 / 3.0 - 8.0 * _tm_n3 / 5.0 - 227.0 * _tm_n4 / 45.0
+    + 2704.0 * _tm_n5 / 315.0 + 2323.0 * _tm_n6 / 945.0,
+    56.0 * _tm_n3 / 15.0 - 136.0 * _tm_n4 / 35.0 - 1262.0 * _tm_n5 / 105.0
+    + 73814.0 * _tm_n6 / 2835.0,
+    4279.0 * _tm_n4 / 630.0 - 332.0 * _tm_n5 / 35.0 - 399572.0 * _tm_n6 / 14175.0,
+    4174.0 * _tm_n5 / 315.0 - 144838.0 * _tm_n6 / 6237.0,
+    601676.0 * _tm_n6 / 22275.0,
+]
+
+
+def tm_forward(lon, lat, zone, north):
+    """Geographic degrees → UTM metres (Karney 2011 eqs. 7-11)."""
+    lon0 = zone * 6.0 - 183.0
+    lam = math.radians(lon - lon0)
+    if lam > math.pi:
+        lam = lam - 2.0 * math.pi
+    elif lam <= -math.pi:
+        lam = lam + 2.0 * math.pi
+    phi = math.radians(lat)
+    s = math.sin(phi)
+    tau_prime = math.sinh(math.atanh(s) - _TM_E * math.atanh(_TM_E * s))
+    cos_lam = math.cos(lam)
+    xi0 = math.atan2(tau_prime, cos_lam)
+    eta0 = math.asinh(math.sin(lam) / math.hypot(tau_prime, cos_lam))
+    xi = xi0
+    eta = eta0
+    for k in range(6):
+        two_j = 2.0 * (k + 1)
+        xi = xi + _TM_ALPHA[k] * math.sin(two_j * xi0) * math.cosh(two_j * eta0)
+        eta = eta + _TM_ALPHA[k] * math.cos(two_j * xi0) * math.sinh(two_j * eta0)
+    east = 500000.0 + 0.9996 * _TM_RADIUS * eta
+    nrth = 0.9996 * _TM_RADIUS * xi
+    if not north:
+        nrth = nrth + 10000000.0
+    return east, nrth
+
+
+def tm_inverse(east, nrth, zone, north):
+    """UTM metres → geographic degrees (Karney 2011 eqs. 20-26)."""
+    y = nrth if north else nrth - 10000000.0
+    xi = y / (0.9996 * _TM_RADIUS)
+    eta = (east - 500000.0) / (0.9996 * _TM_RADIUS)
+    xi0 = xi
+    eta0 = eta
+    for k in range(6):
+        two_j = 2.0 * (k + 1)
+        xi0 = xi0 - _TM_BETA[k] * math.sin(two_j * xi) * math.cosh(two_j * eta)
+        eta0 = eta0 - _TM_BETA[k] * math.cos(two_j * xi) * math.sinh(two_j * eta)
+    chi = math.asin(math.sin(xi0) / math.cosh(eta0))
+    phi = chi
+    for k in range(6):
+        two_j = 2.0 * (k + 1)
+        phi = phi + _TM_DELTA[k] * math.sin(two_j * chi)
+    lam = math.atan2(math.sinh(eta0), math.cos(xi0))
+    return zone * 6.0 - 183.0 + math.degrees(lam), math.degrees(phi)
+
+
+def tm_bbox_to_utm(bbox, zone, north):
+    """Two-corner bbox transform, re-min/maxed (geometry.transform_bbox
+    contract, reference geo.py:85-104)."""
+    x0, y0 = tm_forward(bbox[0], bbox[1], zone, north)
+    x1, y1 = tm_forward(bbox[2], bbox[3], zone, north)
+    lo_x, hi_x = (x0, x1) if x0 <= x1 else (x1, x0)
+    lo_y, hi_y = (y0, y1) if y0 <= y1 else (y1, y0)
+    return (lo_x, lo_y, hi_x, hi_y)
