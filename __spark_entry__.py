@@ -185,6 +185,51 @@ def _q_ndvi_stats(spark, sf_dir):
     )
 
 
+def _q_ndvi_utm(spark, sf_dir):
+    """Cross-CRS NDVI (G4 + R5, the reference's native read path:
+    fulfilment.py:264-271 transforms the 4326 AOI bbox into the scene's UTM
+    CRS before every windowed read; 321-354 warps results back): summer
+    sentinel frames joined to the UTM-scene dimension, windowed on the
+    metric grid via the vendored Karney transform, masked NDVI warped back
+    onto the AOI's geographic bbox. Oracle: sequential pipeline with the
+    independent straight-line transcription of the same published series
+    (oracle/kernels.tm_*, warp_utm_to_geographic)."""
+    from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats_utm
+    from azure_workflow_for_kml_satellite_spark.operators.spatial_join import (
+        spatial_join_best_scene,
+    )
+
+    ed = engine_dir(sf_dir)
+    t = load_tables(spark, ed)
+    aois = build_aois(spark, ed)
+    best = spatial_join_best_scene(
+        aois, t["scenes"], t["frames"], RUN_DATE_START, RUN_DATE_END
+    ).filter(
+        (F.col("season") == "summer")
+        & (F.col("ndvi_collection") == "sentinel-2-l2a")
+    )
+    utm = spark.read.parquet(f"{ed}/utm_scenes.parquet")
+    nd = ndvi_stats_utm(best.join(F.broadcast(utm), "scene_id"))
+    return nd.select(
+        "url",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("year").cast("long").alias("year"),
+        "scene_id",
+        "epsg",
+        F.col("win_row0").cast("long").alias("win_row0"),
+        F.col("win_row1").cast("long").alias("win_row1"),
+        F.col("win_col0").cast("long").alias("win_col0"),
+        F.col("win_col1").cast("long").alias("win_col1"),
+        "ndvi_mean",
+        "ndvi_median",
+        F.col("valid_pixels").cast("long").alias("valid_pixels"),
+        F.col("total_pixels").cast("long").alias("total_pixels"),
+        F.col("masked_pixels").cast("long").alias("masked_pixels"),
+        F.col("reproj_valid_pixels").cast("long").alias("reproj_valid_pixels"),
+        "reproj_mean",
+    )
+
+
 def _q_season_changes(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.change import season_changes
 
@@ -550,10 +595,11 @@ def _q_eudr_report(spark, sf_dir):
     """S20: per-document due-diligence report. The query exposes the
     report's full logical CONTENT (report_text — every header, summary
     counter, NDVI-trend histogram line, vegetation-table row, and per-parcel
-    evidence line) plus the parcel count, both hash-checked against the
-    sequential oracle's independent text assembly; the deterministic PDF 1.4
-    byte stream is a pure rendering of that content and stays
-    structure-tested in tests/test_pdf_report.py."""
+    evidence line), the parcel count, AND the md5 of the deterministic PDF
+    1.4 byte stream — all hash-checked against the sequential oracle, whose
+    report text and PDF are assembled by independent transcriptions
+    (oracle/sequential.py report loop + oracle/pdfdoc.py renderer), so the
+    rendering layout (reference export.py:512-1533) is oracled too."""
     from azure_workflow_for_kml_satellite_spark.operators.change import (
         change_summary_per_aoi,
         season_changes,
@@ -576,7 +622,10 @@ def _q_eudr_report(spark, sf_dir):
         det,
     )
     return pdfs.select(
-        "url", F.col("n_parcels").cast("long").alias("n_parcels"), "report_text"
+        "url",
+        F.col("n_parcels").cast("long").alias("n_parcels"),
+        "report_text",
+        F.md5("report_pdf").alias("pdf_md5"),
     )
 
 
@@ -898,8 +947,10 @@ def _q_geojson(spark, sf_dir):
     content fields; the oracle recomputes those fields from its
     independently-built expected tables (frame counts/order via
     best_scenes, first-frame label/NDVI, summary change fields). The raw
-    string is not hashed — Jackson vs Python float formatting differs —
-    but every extracted value round-trips the real export."""
+    string IS hashed too (geojson_md5): numeric properties are fixed-scale
+    decimals so the Jackson rendering is deterministic, and the oracle
+    re-assembles the whole FeatureCollection independently
+    (oracle/sequential.py geojson section)."""
     from azure_workflow_for_kml_satellite_spark.operators.change import (
         change_summary_per_aoi,
         season_changes,
@@ -932,6 +983,7 @@ def _q_geojson(spark, sf_dir):
         .cast("long")
         .alias("comparisons"),
         last["properties"]["change_detection_summary"]["trajectory"].alias("trajectory"),
+        F.md5("geojson").alias("geojson_md5"),
     )
 
 
@@ -1192,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_assignment": _q_tile_assignment,
         "q_display_scene": _q_display_scene,
         "q_ndvi_stats": _q_ndvi_stats,
+        "q_ndvi_utm": _q_ndvi_utm,
         "q_season_changes": _q_season_changes,
         "q_change_summary": _q_change_summary,
         "q_ndvi_trend": _q_ndvi_trend,
@@ -1215,7 +1268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
-        "q_sample_stratified": _q_sample_stratified,
         "q_token_stats": _q_token_stats,
         "q_language_id": _q_language_id,
         "q_source_stats": _q_source_stats,
@@ -1234,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "q_dedup_clusters_star": _q_dedup_clusters_star,
         "q_dedup_exact": _q_dedup_exact,
+        "q_sample_stratified": _q_sample_stratified,
         "q_quality_score": _q_quality_score,
         "q_simhash": _q_simhash,
         "q_sample_hash": _q_sample_hash,
@@ -1289,6 +1342,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT url, feature_index, year, season, scene_id, ndvi_mean, ndvi_min, "
         "ndvi_max, ndvi_std, ndvi_median, valid_pixels, total_pixels, masked_pixels "
         f"FROM read_parquet('{_E}/expected/ndvi_stats.parquet')"
+    )
+    sql["q_ndvi_utm"] = (
+        "SELECT url, feature_index, year, scene_id, epsg, "
+        "win_row0, win_row1, win_col0, win_col1, ndvi_mean, ndvi_median, "
+        "valid_pixels, total_pixels, masked_pixels, reproj_valid_pixels, reproj_mean "
+        f"FROM read_parquet('{_E}/expected/ndvi_utm.parquet')"
     )
     sql["q_season_changes"] = (
         "SELECT url, feature_index, season, year_from, year_to, label, mean_delta, "
@@ -1354,7 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{_E}/expected/determination.parquet')"
     )
     sql["q_eudr_report"] = (
-        "SELECT url, n_parcels, report_text "
+        "SELECT url, n_parcels, report_text, pdf_md5 "
         f"FROM read_parquet('{_E}/expected/eudr_report.parquet')"
     )
 
@@ -1755,11 +1814,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(agg.n_frames, 0) + 1 AS BIGINT) AS n_features,
                'Point' AS last_geom_type,
                first.first_label, first.first_ndvi,
-               CAST(cs.comparisons AS BIGINT) AS comparisons, cs.trajectory
+               CAST(cs.comparisons AS BIGINT) AS comparisons, cs.trajectory,
+               gm.geojson_md5
         FROM read_parquet('{_E}/expected/aois.parquet') a
         LEFT JOIN agg USING (url, feature_index)
         LEFT JOIN first USING (url, feature_index)
         LEFT JOIN read_parquet('{_E}/expected/change_summary.parquet') cs
+               USING (url, feature_index)
+        LEFT JOIN read_parquet('{_E}/expected/geojson_md5.parquet') gm
                USING (url, feature_index)
     """
     sql["q_coord_csv"] = (

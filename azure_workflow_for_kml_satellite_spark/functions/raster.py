@@ -126,6 +126,35 @@ def window_from_bounds(
     return row0, row1, col0, col1
 
 
+def grid_shape_m(bbox_m: list[float], resolution_m: float) -> tuple[int, int]:
+    """(height, width) of a PROJECTED-CRS scene raster (bbox in metres,
+    pixel size = resolution_m in CRS units — the UTM-scene grid)."""
+    h = max(1, int(round((bbox_m[3] - bbox_m[1]) / resolution_m)))
+    w = max(1, int(round((bbox_m[2] - bbox_m[0]) / resolution_m)))
+    return h, w
+
+
+def window_from_bounds_m(
+    scene_bbox_m: list[float],
+    resolution_m: float,
+    read_bbox_m: list[float],
+) -> tuple[int, int, int, int] | None:
+    """Metric-grid variant of ``window_from_bounds`` for projected (UTM)
+    scenes: identical floor/ceil + clamp semantics, pixel size in metres."""
+    import math
+
+    px = resolution_m
+    h, w = grid_shape_m(scene_bbox_m, resolution_m)
+    x0, y1 = scene_bbox_m[0], scene_bbox_m[3]
+    col0 = max(0, min(w, int(math.floor((read_bbox_m[0] - x0) / px))))
+    col1 = max(0, min(w, int(math.ceil((read_bbox_m[2] - x0) / px))))
+    row0 = max(0, min(h, int(math.floor((y1 - read_bbox_m[3]) / px))))
+    row1 = max(0, min(h, int(math.ceil((y1 - read_bbox_m[1]) / px))))
+    if col1 <= col0 or row1 <= row0:
+        return None
+    return row0, row1, col0, col1
+
+
 # uint8-indexed validity table for the SCL mask (see ndvi_s2): one gather
 # replaces np.isin's sort/search on every window
 _SCL_VALID_LUT = np.zeros(256, dtype=np.bool_)
@@ -229,6 +258,31 @@ def read_window_bands(
             out["scl"] = gen_band(seed, BAND_SCL, scl_win)
     elif collection == "landsat-c2-l2":
         out["qa"] = gen_band(seed, BAND_QA, win)
+    return out
+
+
+def read_window_bands_utm(
+    scene_id: str,
+    scene_bbox_m: list[float],
+    resolution_m: float,
+    read_bbox_m: list[float],
+) -> dict[str, np.ndarray] | None:
+    """Windowed read of the UTM-gridded sentinel variant of a scene (the
+    reference reads every COG on its native UTM grid after transforming the
+    AOI bbox into the scene CRS, fulfilment.py:264-271). Distinct raster
+    content from the geographic variant (seed is salted with ':utm');
+    red/nir at resolution_m, SCL at 2x pixel size, all in CRS metres."""
+    seed = scene_seed(scene_id + ":utm")
+    win = window_from_bounds_m(scene_bbox_m, resolution_m, read_bbox_m)
+    if win is None:
+        return None
+    out = {
+        "red": gen_band(seed, BAND_RED, win),
+        "nir": gen_band(seed, BAND_NIR, win),
+    }
+    scl_win = window_from_bounds_m(scene_bbox_m, resolution_m * 2, read_bbox_m)
+    if scl_win is not None:
+        out["scl"] = gen_band(seed, BAND_SCL, scl_win)
     return out
 
 

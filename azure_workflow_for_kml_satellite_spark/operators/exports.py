@@ -143,6 +143,11 @@ def geojson_per_aoi(aois: DataFrame, ndvi_df: DataFrame, change_sum: DataFrame) 
     Feature properties mirror export.py:52-68; the summary Point feature
     carries the change-detection summary (export.py:86-106). Assembled with
     JVM-side to_json — no Python in the loop."""
+    # Float properties are cast to fixed-scale decimals so the JSON number
+    # rendering is locale/engine-independent (Jackson prints BigDecimal at
+    # full scale; a raw double would format differently from the oracle's
+    # Python rendering in exponent-range cases) — this makes the WHOLE
+    # FeatureCollection string byte-hashable against the sequential oracle.
     frame_props = F.struct(
         F.col("frame_id").alias("frame_index"),
         F.concat_ws(" ", F.initcap("season"), F.col("year").cast("string")).alias("label"),
@@ -152,10 +157,10 @@ def geojson_per_aoi(aois: DataFrame, ndvi_df: DataFrame, change_sum: DataFrame) 
         F.col("end").alias("end_date"),
         F.col("frame_collection").alias("collection"),
         "is_naip",
-        "ndvi_mean",
-        "ndvi_min",
-        "ndvi_max",
-        "ndvi_std",
+        F.col("ndvi_mean").cast("decimal(20,4)").alias("ndvi_mean"),
+        F.col("ndvi_min").cast("decimal(20,4)").alias("ndvi_min"),
+        F.col("ndvi_max").cast("decimal(20,4)").alias("ndvi_max"),
+        F.col("ndvi_std").cast("decimal(20,4)").alias("ndvi_std"),
         F.col("scene_id").alias("ndvi_scene_id"),
     )
     frames_per_aoi = ndvi_df.groupBy("url", "feature_index").agg(
@@ -167,8 +172,8 @@ def geojson_per_aoi(aois: DataFrame, ndvi_df: DataFrame, change_sum: DataFrame) 
     ring = F.transform(
         F.sequence(F.lit(0), (F.size("exterior") / 2 - 1).cast("int")),
         lambda i: F.array(
-            F.element_at("exterior", (i * 2 + 1).cast("int")),
-            F.element_at("exterior", (i * 2 + 2).cast("int")),
+            F.element_at("exterior", (i * 2 + 1).cast("int")).cast("decimal(20,6)"),
+            F.element_at("exterior", (i * 2 + 2).cast("int")).cast("decimal(20,6)"),
         ),
     )
     geom = F.struct(F.lit("Polygon").alias("type"), F.array(ring).alias("coordinates"))
@@ -194,13 +199,19 @@ def geojson_per_aoi(aois: DataFrame, ndvi_df: DataFrame, change_sum: DataFrame) 
                     F.lit("Feature").alias("type"),
                     F.struct(
                         F.lit("Point").alias("type"),
-                        F.array("centroid_lon", "centroid_lat").alias("coordinates"),
+                        F.array(
+                            F.col("centroid_lon").cast("decimal(20,6)"),
+                            F.col("centroid_lat").cast("decimal(20,6)"),
+                        ).alias("coordinates"),
                     ).alias("geometry"),
                     F.struct(
                         F.lit("summary").alias("type"),
                         F.struct(
-                            "comparisons", "total_loss_ha", "total_gain_ha",
-                            "avg_mean_delta", "trajectory",
+                            "comparisons",
+                            F.col("total_loss_ha").cast("decimal(20,2)").alias("total_loss_ha"),
+                            F.col("total_gain_ha").cast("decimal(20,2)").alias("total_gain_ha"),
+                            F.col("avg_mean_delta").cast("decimal(20,4)").alias("avg_mean_delta"),
+                            "trajectory",
                         ).alias("change_detection_summary"),
                     ).alias("properties"),
                 )

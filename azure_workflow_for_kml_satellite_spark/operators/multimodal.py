@@ -1005,13 +1005,18 @@ def _parse_aiff(data: bytes) -> dict:
 
 
 def _parse_flac(data: bytes) -> dict:
-    """Real FLAC STREAMINFO parse (the mandatory first metadata block):
-    sample rate / channels / bits per sample / total samples, hence true
-    duration. Compressed frames aren't decoded → rms/peak null."""
+    """Real FLAC parse: STREAMINFO (mandatory first metadata block) and a
+    full from-scratch FRAME decode (functions/flac.py — Rice/FIXED/LPC
+    subframes, stereo decorrelation, CRC-verified), so rms/peak are true
+    sample statistics for compressed FLAC. If the audio frames are
+    malformed while STREAMINFO is valid, the header metadata is returned
+    with null rms/peak (best-effort, mirrors the other header walks)."""
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
+    info = None
     while pos + 4 <= len(data):
+        last = bool(data[pos] & 0x80)
         btype = data[pos] & 0x7F
         (size,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
         body = data[pos + 4 : pos + 4 + size]
@@ -1027,29 +1032,52 @@ def _parse_flac(data: bytes) -> dict:
             total = packed & ((1 << 36) - 1)
             if rate <= 0:
                 raise ValueError("invalid FLAC sample rate")
-            return {
-                "sample_rate": int(rate),
-                "channels": int(channels),
-                "bits_per_sample": int(bps),
-                "n_samples": int(total),
-                "duration_ms": int(round(1000.0 * total / rate)),
-                "rms": None,
-                "peak": None,
-            }
-        if data[pos] & 0x80:  # last-metadata-block flag
-            break
+            info = {"rate": int(rate), "channels": int(channels),
+                    "bps": int(bps), "total": int(total)}
         pos += 4 + size
-    raise ValueError("FLAC missing STREAMINFO block")
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO block")
+    rms = peak = None
+    total = info["total"]
+    if pos < len(data):
+        from azure_workflow_for_kml_satellite_spark.functions.flac import (
+            decode_frames,
+        )
+
+        try:
+            samples = decode_frames(
+                data, pos, info["rate"], info["channels"], info["bps"]
+            )
+        except ValueError:
+            samples = None
+        if samples is not None:
+            x = samples.astype(np.float64) / float(2 ** (info["bps"] - 1))
+            rms = round(float(np.sqrt(np.mean(x * x))) if x.size else 0.0, 6)
+            peak = round(float(np.max(np.abs(x))) if x.size else 0.0, 6)
+            total = int(samples.shape[0])
+    return {
+        "sample_rate": info["rate"],
+        "channels": info["channels"],
+        "bits_per_sample": info["bps"],
+        "n_samples": total,
+        "duration_ms": int(round(1000.0 * total / info["rate"])),
+        "rms": rms,
+        "peak": peak,
+    }
 
 
 def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
-    """binary column → typed audio metadata rows. RIFF/WAVE PCM payloads
-    are REALLY parsed (header + per-sample statistics). MP3 frame headers,
-    Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are REALLY walked too —
-    giving true sample_rate, channels, n_samples and duration_ms; their
-    compressed samples aren't decodable here, so rms/peak stay null.
-    Unrecognized or corrupt payloads quarantine per-row with a
-    decode_error, the same contract as image_metadata."""
+    """binary column → typed audio metadata rows. RIFF/WAVE and AIFF PCM
+    payloads are REALLY parsed (header + per-sample statistics), and FLAC
+    frames are REALLY decoded (functions/flac.py: Rice/FIXED/LPC subframes,
+    stereo decorrelation, CRC-verified) so rms/peak are true statistics for
+    a compressed format too. MP3 frame headers and Ogg (Vorbis/Opus) pages
+    are walked for true sample_rate/channels/duration; their compressed
+    samples aren't decodable here, so rms/peak stay null. Unrecognized or
+    corrupt payloads quarantine per-row with a decode_error, the same
+    contract as image_metadata."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_META_SCHEMA.fields]

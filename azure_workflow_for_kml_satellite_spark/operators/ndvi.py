@@ -103,6 +103,112 @@ def compute_ndvi_for_row(rec: dict, include_raster: bool = False) -> dict:
     return out
 
 
+_UTM_STAT_FIELDS = [
+    T.StructField("win_row0", T.LongType(), True),
+    T.StructField("win_row1", T.LongType(), True),
+    T.StructField("win_col0", T.LongType(), True),
+    T.StructField("win_col1", T.LongType(), True),
+    T.StructField("ndvi_mean", T.DoubleType(), True),
+    T.StructField("ndvi_median", T.DoubleType(), True),
+    T.StructField("valid_pixels", T.LongType(), True),
+    T.StructField("total_pixels", T.LongType(), True),
+    T.StructField("masked_pixels", T.LongType(), True),
+    T.StructField("reproj_valid_pixels", T.LongType(), True),
+    T.StructField("reproj_mean", T.DoubleType(), True),
+]
+
+_REPROJ_SHAPE = (32, 32)
+
+
+def compute_ndvi_utm_row(rec: dict) -> dict:
+    """Cross-CRS NDVI for one (aoi, frame, utm-scene) row — the reference's
+    actual read path (fulfilment.py:264-271 transforms the 4326 AOI bbox
+    into the scene's UTM CRS before the COG windowed read; 321-354
+    reprojects outputs back): G4 bbox transform → metric windowed read →
+    S2 NDVI kernel → R5 bilinear warp of the masked NDVI back onto the
+    AOI's geographic bbox."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.geometry import (
+        transform_bbox,
+    )
+
+    read_bbox = [rec["min_lon"], rec["min_lat"], rec["max_lon"], rec["max_lat"]]
+    scene_bbox_m = [rec["u_min_e"], rec["u_min_n"], rec["u_max_e"], rec["u_max_n"]]
+    res = rec["u_res_m"]
+    out = {f.name: None for f in _UTM_STAT_FIELDS}
+    ubox = list(transform_bbox(read_bbox, "EPSG:4326", rec["epsg"]))
+    win = R.window_from_bounds_m(scene_bbox_m, res, ubox)
+    if win is None:
+        return out
+    out.update(
+        {"win_row0": win[0], "win_row1": win[1], "win_col0": win[2], "win_col1": win[3]}
+    )
+    bands = R.read_window_bands_utm(rec["scene_id"], scene_bbox_m, res, ubox)
+    ndvi, mask, masked = R.ndvi_s2(bands["red"], bands["nir"], bands.get("scl"))
+    stats = R.ndvi_statistics(ndvi, mask)
+    if stats is None:
+        return out
+    out.update(
+        {
+            "ndvi_mean": stats["mean"],
+            "ndvi_median": stats["median"],
+            "valid_pixels": stats["valid_pixels"],
+            "total_pixels": stats["total_pixels"],
+            "masked_pixels": masked,
+        }
+    )
+    # R5: warp the masked NDVI from the scene's UTM window grid back onto
+    # the AOI's geographic bbox (fixed display shape)
+    win_bbox_m = [
+        scene_bbox_m[0] + win[2] * res,
+        scene_bbox_m[3] - win[1] * res,
+        scene_bbox_m[0] + win[3] * res,
+        scene_bbox_m[3] - win[0] * res,
+    ]
+    ndvi_masked = np.where(mask, ndvi, np.nan).astype(np.float32)
+    warped = R.reproject_bilinear(
+        ndvi_masked,
+        win_bbox_m,
+        read_bbox,
+        _REPROJ_SHAPE,
+        src_crs=rec["epsg"],
+        dst_crs="EPSG:4326",
+    )
+    n_fin = int(np.isfinite(warped).sum())
+    out["reproj_valid_pixels"] = n_fin
+    if n_fin:
+        fin = warped[np.isfinite(warped)].astype(np.float64)
+        out["reproj_mean"] = round(float(np.mean(fin)), 4)
+    return out
+
+
+def ndvi_stats_utm(best_utm: DataFrame) -> DataFrame:
+    """Append cross-CRS NDVI + reprojection columns (same column-wise
+    mapInPandas shape as ndvi_stats)."""
+    schema = T.StructType(list(best_utm.schema.fields) + _UTM_STAT_FIELDS)
+    stat_names = [f.name for f in _UTM_STAT_FIELDS]
+    needed = [
+        "scene_id", "epsg", "u_min_e", "u_min_n", "u_max_e", "u_max_n", "u_res_m",
+        "min_lon", "min_lat", "max_lon", "max_lat",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_cols: dict[str, list] = {n: [] for n in stat_names}
+            for vals in zip(*(pdf[c].values for c in needed)):
+                rec = dict(zip(needed, vals))
+                st = compute_ndvi_utm_row(rec)
+                for n in stat_names:
+                    out_cols[n].append(st[n])
+            out = pdf.copy()
+            for n in stat_names:
+                out[n] = pd.Series(out_cols[n], index=pdf.index, dtype=object)
+            yield out
+
+    return best_utm.mapInPandas(run, schema)
+
+
 def ndvi_stats(best_scenes: DataFrame, include_raster: bool = False) -> DataFrame:
     """Append NDVI statistic columns to the (aoi, frame, best scene) rows.
 

@@ -1112,3 +1112,88 @@ def tm_bbox_to_utm(bbox, zone, north):
     lo_x, hi_x = (x0, x1) if x0 <= x1 else (x1, x0)
     lo_y, hi_y = (y0, y1) if y0 <= y1 else (y1, y0)
     return (lo_x, lo_y, hi_x, hi_y)
+
+
+def raster_shape_m(bbox_m, resolution_m):
+    """Projected-grid raster shape (pixel size in CRS metres)."""
+    return (
+        max(1, int(round((bbox_m[3] - bbox_m[1]) / resolution_m))),
+        max(1, int(round((bbox_m[2] - bbox_m[0]) / resolution_m))),
+    )
+
+
+def clamp_window_m(scene_bbox_m, resolution_m, read_bbox_m):
+    """Metric-grid window clamp (contract: raster.window_from_bounds_m)."""
+    px = resolution_m
+    h, w = raster_shape_m(scene_bbox_m, resolution_m)
+    c0 = max(0, min(w, int(math.floor((read_bbox_m[0] - scene_bbox_m[0]) / px))))
+    c1 = max(0, min(w, int(math.ceil((read_bbox_m[2] - scene_bbox_m[0]) / px))))
+    r0 = max(0, min(h, int(math.floor((scene_bbox_m[3] - read_bbox_m[3]) / px))))
+    r1 = max(0, min(h, int(math.ceil((scene_bbox_m[3] - read_bbox_m[1]) / px))))
+    if c1 <= c0 or r1 <= r0:
+        return None
+    return r0, r1, c0, c1
+
+
+def fetch_window_bands_utm(scene_id, scene_bbox_m, resolution_m, read_bbox_m):
+    """UTM-grid sentinel windowed read (contract: raster.read_window_bands_utm;
+    seed salted with ':utm' — distinct raster content from the geographic
+    variant)."""
+    seed = seed_of(scene_id + ":utm")
+    win = clamp_window_m(scene_bbox_m, resolution_m, read_bbox_m)
+    if win is None:
+        return None
+    bands = {"red": band_pixels(seed, RED, win), "nir": band_pixels(seed, NIR, win)}
+    scl_win = clamp_window_m(scene_bbox_m, resolution_m * 2, read_bbox_m)
+    if scl_win is not None:
+        bands["scl"] = band_pixels(seed, SCL, scl_win)
+    return bands
+
+
+def warp_utm_to_geographic(src, src_bbox_m, zone, north, dst_bbox_deg, dst_shape):
+    """Straight-line inverse-mapped bilinear warp from a UTM grid to a
+    geographic destination grid (contract: raster.reproject_bilinear with
+    src_crs=UTM, dst_crs=EPSG:4326 — same clamp/weight/NaN semantics, the
+    destination centres transformed per-point with tm_forward)."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    step_x = (dst_bbox_deg[2] - dst_bbox_deg[0]) / dw
+    step_y = (dst_bbox_deg[3] - dst_bbox_deg[1]) / dh
+    lons = [dst_bbox_deg[0] + (i + 0.5) * step_x for i in range(dw)]
+    lats = [dst_bbox_deg[3] - (i + 0.5) * step_y for i in range(dh)]
+    gx = np.empty((dh, dw), dtype=np.float64)
+    gy = np.empty((dh, dw), dtype=np.float64)
+    for r in range(dh):
+        for c in range(dw):
+            ex, ny = tm_forward(lons[c], lats[r], zone, north)
+            gx[r, c] = ex
+            gy[r, c] = ny
+    spx = (src_bbox_m[2] - src_bbox_m[0]) / sw
+    spy = (src_bbox_m[3] - src_bbox_m[1]) / sh
+    inside = (
+        (gx >= src_bbox_m[0]) & (gx <= src_bbox_m[2])
+        & (gy >= src_bbox_m[1]) & (gy <= src_bbox_m[3])
+    )
+    fx = np.clip((gx - src_bbox_m[0]) / spx - 0.5, 0, sw - 1)
+    fy = np.clip((src_bbox_m[3] - gy) / spy - 0.5, 0, sh - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = (fx - x0).astype(np.float32)
+    wy = (fy - y0).astype(np.float32)
+    x0c = np.clip(x0, 0, sw - 1)
+    y0c = np.clip(y0, 0, sh - 1)
+    x1c = np.clip(x0 + 1, 0, sw - 1)
+    y1c = np.clip(y0 + 1, 0, sh - 1)
+    s32 = src.astype(np.float32, copy=False)
+    v00 = s32[y0c, x0c]
+    v01 = s32[y0c, x1c]
+    v10 = s32[y1c, x0c]
+    v11 = s32[y1c, x1c]
+    out = (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+    out[~inside] = np.nan
+    return out

@@ -16,6 +16,7 @@ parity is itself fuzz-tested in tests/test_oracle_independence.py.
 
 from __future__ import annotations
 
+import math
 from pathlib import Path
 
 import numpy as np
@@ -221,6 +222,83 @@ def compute_ndvi(best: list[dict]) -> list[dict]:
     return out
 
 
+def compute_ndvi_utm(best: list[dict], utm_scenes_path: str | Path) -> list[dict]:
+    """Cross-CRS NDVI over the UTM-scene dimension (contract:
+    operators/ndvi.compute_ndvi_utm_row — G4 bbox transform, metric window,
+    S2 kernel, R5 warp back to the geographic AOI bbox). Summer sentinel
+    frames only (the gated slice)."""
+    ut = pq.read_table(utm_scenes_path)
+    by_id: dict[str, tuple] = {}
+    for i, sid in enumerate(ut["scene_id"].to_pylist()):
+        by_id[sid] = (
+            ut["epsg"][i].as_py(),
+            [
+                ut["u_min_e"][i].as_py(),
+                ut["u_min_n"][i].as_py(),
+                ut["u_max_e"][i].as_py(),
+                ut["u_max_n"][i].as_py(),
+            ],
+            ut["u_res_m"][i].as_py(),
+        )
+    out = []
+    for b in best:
+        if b["season"] != "summer" or b["ndvi_collection"] != "sentinel-2-l2a":
+            continue
+        u = by_id.get(b["scene_id"])
+        if u is None:
+            continue
+        epsg, ubbox, res = u
+        zone = int(epsg[-2:])
+        north = epsg.startswith("EPSG:326")
+        row = {
+            "url": b["url"],
+            "feature_index": b["feature_index"],
+            "year": b["year"],
+            "scene_id": b["scene_id"],
+            "epsg": epsg,
+            "win_row0": None, "win_row1": None, "win_col0": None, "win_col1": None,
+            "ndvi_mean": None, "ndvi_median": None,
+            "valid_pixels": None, "total_pixels": None, "masked_pixels": None,
+            "reproj_valid_pixels": None, "reproj_mean": None,
+        }
+        read_m = list(K.tm_bbox_to_utm(b["bbox"], zone, north))
+        win = K.clamp_window_m(ubbox, res, read_m)
+        if win is not None:
+            row.update(
+                {"win_row0": win[0], "win_row1": win[1],
+                 "win_col0": win[2], "win_col1": win[3]}
+            )
+            bands = K.fetch_window_bands_utm(b["scene_id"], ubbox, res, read_m)
+            ndvi, mask, masked = K.s2_ndvi(bands["red"], bands["nir"], bands.get("scl"))
+            st = K.ndvi_stats(ndvi, mask)
+            if st is not None:
+                row.update(
+                    {
+                        "ndvi_mean": st["mean"],
+                        "ndvi_median": st["median"],
+                        "valid_pixels": st["valid_pixels"],
+                        "total_pixels": st["total_pixels"],
+                        "masked_pixels": masked,
+                    }
+                )
+                win_m = [
+                    ubbox[0] + win[2] * res,
+                    ubbox[3] - win[1] * res,
+                    ubbox[0] + win[3] * res,
+                    ubbox[3] - win[0] * res,
+                ]
+                masked_r = np.where(mask, ndvi, np.nan).astype(np.float32)
+                warped = K.warp_utm_to_geographic(
+                    masked_r, win_m, zone, north, b["bbox"], (32, 32)
+                )
+                finite = [float(v) for v in warped.ravel() if not math.isnan(v)]
+                row["reproj_valid_pixels"] = len(finite)
+                if finite:
+                    row["reproj_mean"] = round(math.fsum(finite) / len(finite), 4)
+        out.append(row)
+    return out
+
+
 # ── stage 5: change detection ───────────────────────────────────────────────
 
 
@@ -409,6 +487,45 @@ def build_expected(sf_dir: str | Path) -> Path:
             "total_pixels": [r["ndvi"]["total_pixels"] for r in with_stats],
             "masked_pixels": [r["ndvi"]["masked_pixels"] for r in with_stats],
         },
+    )
+
+    utm_rows = compute_ndvi_utm(best, sf_dir / "utm_scenes.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in utm_rows], pa.string()),
+                "feature_index": pa.array(
+                    [r["feature_index"] for r in utm_rows], pa.int64()
+                ),
+                "year": pa.array([r["year"] for r in utm_rows], pa.int64()),
+                "scene_id": pa.array([r["scene_id"] for r in utm_rows], pa.string()),
+                "epsg": pa.array([r["epsg"] for r in utm_rows], pa.string()),
+                "win_row0": pa.array([r["win_row0"] for r in utm_rows], pa.int64()),
+                "win_row1": pa.array([r["win_row1"] for r in utm_rows], pa.int64()),
+                "win_col0": pa.array([r["win_col0"] for r in utm_rows], pa.int64()),
+                "win_col1": pa.array([r["win_col1"] for r in utm_rows], pa.int64()),
+                "ndvi_mean": pa.array([r["ndvi_mean"] for r in utm_rows], pa.float64()),
+                "ndvi_median": pa.array(
+                    [r["ndvi_median"] for r in utm_rows], pa.float64()
+                ),
+                "valid_pixels": pa.array(
+                    [r["valid_pixels"] for r in utm_rows], pa.int64()
+                ),
+                "total_pixels": pa.array(
+                    [r["total_pixels"] for r in utm_rows], pa.int64()
+                ),
+                "masked_pixels": pa.array(
+                    [r["masked_pixels"] for r in utm_rows], pa.int64()
+                ),
+                "reproj_valid_pixels": pa.array(
+                    [r["reproj_valid_pixels"] for r in utm_rows], pa.int64()
+                ),
+                "reproj_mean": pa.array(
+                    [r["reproj_mean"] for r in utm_rows], pa.float64()
+                ),
+            }
+        ),
+        out_dir / "ndvi_utm.parquet",
     )
 
     changes = compute_changes(ndvi_rows)
@@ -856,9 +973,12 @@ def build_expected(sf_dir: str | Path) -> Path:
     by_url: dict[str, list[dict]] = {}
     for a in aois:
         by_url.setdefault(a["url"], []).append(a)
+    from azure_workflow_for_kml_satellite_spark.oracle import pdfdoc
+
     rep_urls: list[str] = []
     rep_counts: list[int] = []
     rep_texts: list[str] = []
+    rep_pdf_md5: list[str] = []
     for url in by_url:
         docs_parcels = sorted(by_url[url], key=lambda a: a["feature_index"])
         free = flagged = 0
@@ -866,7 +986,9 @@ def build_expected(sf_dir: str | Path) -> Path:
         table: list[str] = [
             "parcel | area (ha) | health | trajectory | confidence"
         ]
+        table_cells: list[list[str]] = []
         evidence: list[str] = ["Per-Parcel Evidence"]
+        parcel_blocks: list[tuple] = []
         for a in docs_parcels:
             key = (a["url"], a["feature_index"])
             t = ndvi_trend_by.get(key)
@@ -887,12 +1009,17 @@ def build_expected(sf_dir: str | Path) -> Path:
                 str(d["confidence"] or "-"),
             ]
             table.append(" | ".join(cells))
+            table_cells.append(cells)
             evidence.append(str(label))
             word = "DEFORESTATION-FREE" if d["deforestation_free"] else "FINDINGS PRESENT"
-            evidence.append(f"Determination: {word} (confidence: {d['confidence']})")
+            verdict_line = f"Determination: {word} (confidence: {d['confidence']})"
+            evidence.append(verdict_line)
+            flag_lines = []
             for fl in (d["flags"] or "").split("|"):
                 if fl:
                     evidence.append(f"- {fl}")
+                    flag_lines.append(f"- {fl}")
+            parcel_blocks.append((str(label), verdict_line, flag_lines))
         head = [
             "EUDR Due-Diligence Report",
             f"Report ID: {url}",
@@ -903,15 +1030,112 @@ def build_expected(sf_dir: str | Path) -> Path:
             f"Parcels with findings: {flagged}",
             "Vegetation Analysis",
         ]
-        for direction in sorted(trend_counts):
-            head.append(f"NDVI trend '{direction}': {trend_counts[direction]} parcel(s)")
+        trend_lines = [
+            f"NDVI trend '{direction}': {trend_counts[direction]} parcel(s)"
+            for direction in sorted(trend_counts)
+        ]
+        head.extend(trend_lines)
         rep_urls.append(url)
         rep_counts.append(len(docs_parcels))
         rep_texts.append("\n".join(head + table + evidence))
+        pdf_bytes = pdfdoc.render_report(
+            head[:8],
+            trend_lines,
+            ["parcel", "area (ha)", "health", "trajectory", "confidence"],
+            table_cells,
+            parcel_blocks,
+        )
+        rep_pdf_md5.append(hashlib.md5(pdf_bytes).hexdigest())
     _write(
         out_dir,
         "eudr_report",
-        {"url": rep_urls, "n_parcels": rep_counts, "report_text": rep_texts},
+        {
+            "url": rep_urls,
+            "n_parcels": rep_counts,
+            "report_text": rep_texts,
+            "pdf_md5": rep_pdf_md5,
+        },
+    )
+
+    # S17 byte-identity: the full FeatureCollection string re-assembled
+    # independently (engine: operators/exports.geojson_per_aoi via JVM
+    # to_json with fixed-scale decimal numerics; here: hand-built compact
+    # JSON with HALF_UP fixed-point rendering of the same values). A
+    # formatting or ordering drift on either side now fails the md5 gate.
+    import json as _json
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _fixed(x, scale):
+        d = Decimal(float(x))
+        if d == 0:
+            d = Decimal(0)
+        return format(d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP), "f")
+
+    frame_attr = {
+        (v, fr["frame_id"]): fr
+        for v in (False, True)
+        for fr in filter_frames(build_frame_rows(v), RUN_DATE_START, RUN_DATE_END)
+    }
+    nd_by_aoi: dict[tuple, list[dict]] = {}
+    for r in ndvi_rows:
+        nd_by_aoi.setdefault((r["url"], r["feature_index"]), []).append(r)
+    gj_urls: list[str] = []
+    gj_fis: list[int] = []
+    gj_md5: list[str] = []
+    for a in aois:
+        key = (a["url"], a["feature_index"])
+        ring = ",".join(
+            "[%s,%s]" % (_fixed(pt[0], 6), _fixed(pt[1], 6))
+            for pt in a["exterior_coords"]
+        )
+        geom = '{"type":"Polygon","coordinates":[[%s]]}' % ring
+        feats = []
+        for r in sorted(nd_by_aoi.get(key, []), key=lambda r: r["frame_id"]):
+            fr = frame_attr[(r["naip_variant"], r["frame_id"])]
+            props = ['"frame_index":%d' % r["frame_id"]]
+            props.append(
+                '"label":%s'
+                % _json.dumps(r["season"].capitalize() + " " + str(r["year"]))
+            )
+            props.append('"year":%d' % r["year"])
+            props.append('"season":%s' % _json.dumps(r["season"]))
+            props.append('"start_date":%s' % _json.dumps(fr["start"]))
+            props.append('"end_date":%s' % _json.dumps(fr["end"]))
+            props.append('"collection":%s' % _json.dumps(fr["collection"]))
+            props.append('"is_naip":%s' % ("true" if fr["is_naip"] else "false"))
+            st = r["ndvi"]
+            if st is not None:
+                props.append('"ndvi_mean":%s' % _fixed(st["mean"], 4))
+                props.append('"ndvi_min":%s' % _fixed(st["min"], 4))
+                props.append('"ndvi_max":%s' % _fixed(st["max"], 4))
+                props.append('"ndvi_std":%s' % _fixed(st["std"], 4))
+            props.append('"ndvi_scene_id":%s' % _json.dumps(r["scene_id"]))
+            feats.append(
+                '{"type":"Feature","geometry":%s,"properties":{%s}}'
+                % (geom, ",".join(props))
+            )
+        s = summ_by.get(key)
+        cds = []
+        if s is not None:
+            cds.append('"comparisons":%d' % s["comparisons"])
+            cds.append('"total_loss_ha":%s' % _fixed(s["total_loss_ha"], 2))
+            cds.append('"total_gain_ha":%s' % _fixed(s["total_gain_ha"], 2))
+            if s["avg_mean_delta"] is not None:
+                cds.append('"avg_mean_delta":%s' % _fixed(s["avg_mean_delta"], 4))
+            cds.append('"trajectory":%s' % _json.dumps(s["trajectory"]))
+        feats.append(
+            '{"type":"Feature","geometry":{"type":"Point","coordinates":[%s,%s]},'
+            '"properties":{"type":"summary","change_detection_summary":{%s}}}'
+            % (_fixed(a["centroid"][0], 6), _fixed(a["centroid"][1], 6), ",".join(cds))
+        )
+        doc = '{"type": "FeatureCollection", "features": [' + ", ".join(feats) + "]}"
+        gj_urls.append(a["url"])
+        gj_fis.append(a["feature_index"])
+        gj_md5.append(hashlib.md5(doc.encode("utf-8")).hexdigest())
+    _write(
+        out_dir,
+        "geojson_md5",
+        {"url": gj_urls, "feature_index": gj_fis, "geojson_md5": gj_md5},
     )
 
     _write(

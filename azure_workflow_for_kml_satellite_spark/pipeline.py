@@ -37,6 +37,7 @@ def engine_dir(sf_dir: str) -> str:
     aux = {
         "coord_requests.parquet": "write_coord_requests",
         "csv_points.parquet": "write_csv_points",
+        "utm_scenes.parquet": "write_utm_scenes",
     }
     for fname, writer in aux.items():
         if not (out / fname).exists():

@@ -625,6 +625,50 @@ def write_flood_gauges(out_dir: str | Path) -> Path:
     return out
 
 
+def write_utm_scenes(out_dir: str | Path) -> Path:
+    """UTM-grid dimension for the sentinel scenes: each scene's native
+    projected grid (the reference's scenes carry a 'proj:epsg' and every
+    windowed read happens on that UTM grid after the AOI bbox is
+    transformed into it, fulfilment.py:264-271). The projected bbox is the
+    min/max of the four transformed tile corners, snapped OUTWARD to whole
+    10 m pixels so the grid origin is an exact pixel boundary."""
+    import math as _m
+
+    from azure_workflow_for_kml_satellite_spark.functions import tmerc
+
+    rows = []
+    for r in build_scene_rows():
+        if r["collection"] != "sentinel-2-l2a":
+            continue
+        clon = (r["min_lon"] + r["max_lon"]) / 2.0
+        clat = (r["min_lat"] + r["max_lat"]) / 2.0
+        epsg = tmerc.utm_epsg_for(clon, clat)
+        zone, north = tmerc.parse_utm_epsg(epsg)
+        corners = [
+            (r["min_lon"], r["min_lat"]),
+            (r["min_lon"], r["max_lat"]),
+            (r["max_lon"], r["min_lat"]),
+            (r["max_lon"], r["max_lat"]),
+        ]
+        pts = [tmerc.utm_forward(lo, la, zone, north) for lo, la in corners]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        rows.append(
+            {
+                "scene_id": r["scene_id"],
+                "epsg": epsg,
+                "u_min_e": _m.floor(min(xs) / 10.0) * 10.0,
+                "u_min_n": _m.floor(min(ys) / 10.0) * 10.0,
+                "u_max_e": _m.ceil(max(xs) / 10.0) * 10.0,
+                "u_max_n": _m.ceil(max(ys) / 10.0) * 10.0,
+                "u_res_m": 10.0,
+            }
+        )
+    out = Path(out_dir) / "utm_scenes.parquet"
+    pq.write_table(pa.table({k: [r[k] for r in rows] for k in rows[0]}), out)
+    return out
+
+
 def write_coord_requests(out_dir: str | Path) -> Path:
     """Pasted-coordinate requests (reference EP2 input shape,
     coordinate_parser.py): single points, point pairs, polygons, and the
@@ -710,4 +754,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_flood_gauges(out_dir)
     write_coord_requests(out_dir)
     write_csv_points(out_dir)
+    write_utm_scenes(out_dir)
     return out_dir

@@ -122,3 +122,87 @@ def test_report_text_matches_pdf_content(spark):
     # determinism
     r2 = eudr_report_pdfs(aois, trend, chg, det).collect()[0]
     assert r2.report_text == text and bytes(r2.report_pdf) == pdf
+
+
+def test_engine_pdf_bytes_match_independent_oracle_renderer():
+    """The pdf_md5 gate's foundation: operators/reports._render_report and
+    the oracle's independent transcription (oracle/pdfdoc.render_report)
+    must produce byte-identical PDF 1.4 streams, including multi-page
+    reports, escaping-heavy names, missing areas, and flagless parcels."""
+    import random
+
+    from azure_workflow_for_kml_satellite_spark.operators.reports import (
+        _render_report,
+    )
+    from azure_workflow_for_kml_satellite_spark.oracle import pdfdoc
+
+    rng = random.Random(11)
+    for n_parcels in (1, 3, 80):  # 80 forces several page breaks
+        parcels = []
+        for i in range(n_parcels):
+            flags = "|".join(
+                f"flag {j} (code {j * 7})" for j in range(rng.randint(0, 3))
+            )
+            parcels.append(
+                {
+                    "feature_index": i,
+                    "name": (
+                        f"Parcel (§{i}) \\ test" if i % 7 == 0
+                        else (None if i % 11 == 0 else f"P{i}")
+                    ),
+                    "area_ha": None if i % 13 == 0 else i * 1.37,
+                    "direction": rng.choice(["up", "down", None, "stable"]),
+                    "health_class": rng.choice(["good", None]),
+                    "trajectory": rng.choice(["improving", None]),
+                    "deforestation_free": i % 3 != 0,
+                    "confidence": rng.choice(["low", "medium", "high"]),
+                    "flags": flags,
+                }
+            )
+        engine_pdf, _txt = _render_report("https://example.org/x", parcels)
+
+        sp = sorted(parcels, key=lambda p: p["feature_index"])
+        free = sum(1 for p in sp if p["deforestation_free"])
+        tc: dict = {}
+        for p in sp:
+            d = p["direction"] or "unknown"
+            tc[d] = tc.get(d, 0) + 1
+        head = [
+            "EUDR Due-Diligence Report",
+            "Report ID: https://example.org/x",
+            f"Parcels analysed: {len(sp)}",
+            "EUDR Compliance Summary",
+            "EUDR cutoff date: 31 December 2020",
+            f"Deforestation-free parcels: {free}",
+            f"Parcels with findings: {len(sp) - free}",
+            "Vegetation Analysis",
+        ]
+        trend = [f"NDVI trend '{d}': {tc[d]} parcel(s)" for d in sorted(tc)]
+        cells = [
+            [
+                str(p["name"] or f"feature {p['feature_index']}"),
+                ("%.1f" % p["area_ha"]) if p["area_ha"] is not None else "-",
+                str(p["health_class"] or "-"),
+                str(p["trajectory"] or "-"),
+                str(p["confidence"] or "-"),
+            ]
+            for p in sp
+        ]
+        blocks = []
+        for p in sp:
+            label = str(p["name"] or f"feature {p['feature_index']}")
+            word = (
+                "DEFORESTATION-FREE" if p["deforestation_free"] else "FINDINGS PRESENT"
+            )
+            fls = [f"- {f}" for f in (p["flags"] or "").split("|") if f]
+            blocks.append(
+                (label, f"Determination: {word} (confidence: {p['confidence']})", fls)
+            )
+        oracle_pdf = pdfdoc.render_report(
+            head,
+            trend,
+            ["parcel", "area (ha)", "health", "trajectory", "confidence"],
+            cells,
+            blocks,
+        )
+        assert engine_pdf == oracle_pdf

@@ -270,3 +270,24 @@ def test_csv_column_matcher_oracle_matches_engine(cols):
         _match_csv_column(cols, _CSV_LON_CANDS),
         _match_csv_column(cols, _CSV_NAME_CANDS),
     )
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_flac_frame_decoder_never_crashes(_):
+    """Mutated REAL FLAC streams (with audio frames, both stereo modes)
+    must either parse or raise a clean decode error — the frame decoder's
+    bit reader, rice/LPC paths and CRC checks all bounds-check."""
+    from azure_workflow_for_kml_satellite_spark.functions.flac import encode_flac
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _parse_flac,
+    )
+
+    rng = np.random.default_rng(46)
+    mono = rng.integers(-5000, 5000, 700).astype(np.int64)
+    stereo = rng.integers(-5000, 5000, (400, 2)).astype(np.int64)
+    for blob in (
+        encode_flac(mono, 44100, 16, block=192),
+        encode_flac(stereo, 48000, 16, block=256, stereo_mode="mid-side"),
+    ):
+        _fuzz_roundtrip(_parse_flac, blob, 1500, rng)
