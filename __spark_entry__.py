@@ -1314,6 +1314,37 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 
 _STOPWORDS_SQL = "('the','and','of','to','in','a','is','it','for','on','with','as')"
 
+# — shared oracle-SQL fragments (hoisted: each used by several queries) —
+
+# display ground-sample-distance ladder (reference display.py fallback
+# ladder; engine: __spark_entry__._q_display_annotations)
+_GSD_SQL = """CASE WHEN fr.collection LIKE 'naip%' AND fr.year <= 2014 THEN 1.0
+                    WHEN fr.collection = 'naip' THEN 0.6
+                    WHEN fr.collection = 'sentinel-2-l2a' THEN 10.0
+                    WHEN fr.collection = 'landsat-c2-l2' THEN 30.0
+                    ELSE 10.0 END"""
+
+# order-pinned weather folds (mirror the engine's date-sorted sequential
+# F.aggregate fold — see operators/metrics.weather_series_fold)
+_TEMP_MEAN_FOLD = "round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1)"
+
+
+def _precip_total_fold(guard_col: str) -> str:
+    return (
+        f"CASE WHEN count(w.{guard_col}) > 0 "
+        "THEN round(sum(w.precip_mm ORDER BY w.date), 1) END"
+    )
+
+
+def _region_join_cte(aoi_src: str) -> str:
+    """The centroid-in-region bbox join every weather oracle shares."""
+    return f"""
+          SELECT a.url, a.feature_index, r.region
+          FROM {aoi_src} a
+          LEFT JOIN read_parquet('{_E}/regions.parquet') r
+            ON a.centroid_lon >= r.min_lon AND a.centroid_lon <= r.max_lon
+           AND a.centroid_lat >= r.min_lat AND a.centroid_lat <= r.max_lat"""
+
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
@@ -1429,21 +1460,15 @@ def oracle_sql() -> dict[str, str]:
          AND a.buf_min_lat <= s.max_lat AND s.min_lat <= a.buf_max_lat
     """
     sql["q_weather_summary"] = f"""
-        WITH a AS (SELECT url, feature_index, centroid_lon, centroid_lat
-                   FROM read_parquet('{_E}/expected/aois.parquet')),
-        r AS (SELECT * FROM read_parquet('{_E}/regions.parquet')),
-        ar AS (SELECT a.url, a.feature_index, r.region FROM a LEFT JOIN r
-               ON a.centroid_lon >= r.min_lon AND a.centroid_lon <= r.max_lon
-              AND a.centroid_lat >= r.min_lat AND a.centroid_lat <= r.max_lat),
+        WITH ar AS ({_region_join_cte(f"read_parquet('{_E}/expected/aois.parquet')")}),
         w AS (SELECT * FROM read_parquet('{_E}/weather_daily.parquet')
               WHERE date >= DATE '{RUN_DATE_START}' AND date <= DATE '{RUN_DATE_END}')
         SELECT ar.url, ar.feature_index,
                count(w.temp_c) AS observation_days,
-               round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1) AS temp_mean_c,
+               {_TEMP_MEAN_FOLD} AS temp_mean_c,
                round(min(w.temp_c), 1) AS temp_min_c,
                round(max(w.temp_c), 1) AS temp_max_c,
-               CASE WHEN count(w.temp_c) > 0
-                    THEN round(sum(w.precip_mm ORDER BY w.date), 1) END AS precip_total_mm,
+               {_precip_total_fold("temp_c")} AS precip_total_mm,
                CAST(coalesce(sum(CASE WHEN w.precip_mm > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS precip_days
         FROM ar LEFT JOIN w USING (region)
         GROUP BY ar.url, ar.feature_index
@@ -1543,30 +1568,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a.url, a.feature_index, a.flood_source
     """
     sql["q_display_annotations"] = f"""
-        SELECT a.url, a.feature_index, fr.frame_id, fr.naip_variant,
-               CASE WHEN fr.collection LIKE 'naip%' AND fr.year <= 2014 THEN 1.0
-                    WHEN fr.collection = 'naip' THEN 0.6
-                    WHEN fr.collection = 'sentinel-2-l2a' THEN 10.0
-                    WHEN fr.collection = 'landsat-c2-l2' THEN 30.0
-                    ELSE 10.0 END::DOUBLE AS display_resolution_m,
-               round(a.max_span_m / (CASE WHEN fr.collection LIKE 'naip%' AND fr.year <= 2014 THEN 1.0
-                    WHEN fr.collection = 'naip' THEN 0.6
-                    WHEN fr.collection = 'sentinel-2-l2a' THEN 10.0
-                    WHEN fr.collection = 'landsat-c2-l2' THEN 30.0
-                    ELSE 10.0 END), 1) AS estimated_display_pixels,
-               (a.max_span_m / (CASE WHEN fr.collection LIKE 'naip%' AND fr.year <= 2014 THEN 1.0
-                    WHEN fr.collection = 'naip' THEN 0.6
-                    WHEN fr.collection = 'sentinel-2-l2a' THEN 10.0
-                    WHEN fr.collection = 'landsat-c2-l2' THEN 30.0
-                    ELSE 10.0 END)) >= 12 AS rgb_display_suitable,
-               CASE WHEN (a.max_span_m / (CASE WHEN fr.collection LIKE 'naip%' AND fr.year <= 2014 THEN 1.0
-                    WHEN fr.collection = 'naip' THEN 0.6
-                    WHEN fr.collection = 'sentinel-2-l2a' THEN 10.0
-                    WHEN fr.collection = 'landsat-c2-l2' THEN 30.0
-                    ELSE 10.0 END)) >= 12 THEN 'rgb' ELSE 'ndvi' END AS preferred_layer
-        FROM read_parquet('{_E}/expected/aois.parquet') a
-        JOIN read_parquet('{_E}/frames.parquet') fr
-          ON a.has_naip = fr.naip_variant
+        WITH g AS (
+          SELECT a.url, a.feature_index, fr.frame_id, fr.naip_variant,
+                 a.max_span_m, ({_GSD_SQL})::DOUBLE AS gsd
+          FROM read_parquet('{_E}/expected/aois.parquet') a
+          JOIN read_parquet('{_E}/frames.parquet') fr
+            ON a.has_naip = fr.naip_variant
+        )
+        SELECT url, feature_index, frame_id, naip_variant,
+               gsd AS display_resolution_m,
+               round(max_span_m / gsd, 1) AS estimated_display_pixels,
+               (max_span_m / gsd) >= 12 AS rgb_display_suitable,
+               CASE WHEN (max_span_m / gsd) >= 12 THEN 'rgb' ELSE 'ndvi' END
+                 AS preferred_layer
+        FROM g
     """
 
     # — genuine SQL oracles over the pre-registered testdata views —
@@ -1699,19 +1714,13 @@ def oracle_sql() -> dict[str, str]:
                  round(abs(max_lat - min_lat) * 111.32, 2) AS bbox_height_km
           FROM a
         ),
-        ar AS (
-          SELECT a.url, a.feature_index, r.region
-          FROM a LEFT JOIN read_parquet('{_E}/regions.parquet') r
-            ON a.centroid_lon >= r.min_lon AND a.centroid_lon <= r.max_lon
-           AND a.centroid_lat >= r.min_lat AND a.centroid_lat <= r.max_lat
-        ),
+        ar AS ({_region_join_cte("a")}),
         w AS (SELECT * FROM read_parquet('{_E}/weather_daily.parquet')
               WHERE date >= DATE '{RUN_DATE_START}' AND date <= DATE '{RUN_DATE_END}'),
         wsum AS (
           SELECT ar.url, ar.feature_index,
-                 round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1) AS temp_mean_c,
-                 CASE WHEN count(w.temp_c) > 0
-                      THEN round(sum(w.precip_mm ORDER BY w.date), 1) END AS precip_total_mm
+                 {_TEMP_MEAN_FOLD} AS temp_mean_c,
+                 {_precip_total_fold("temp_c")} AS precip_total_mm
           FROM ar LEFT JOIN w USING (region)
           GROUP BY ar.url, ar.feature_index
         )
@@ -1738,20 +1747,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT frame_id, naip_variant, start, "end", collection, is_naip
           FROM read_parquet('{_E}/frames.parquet')
         ),
-        ar AS (
-          SELECT a.url, a.feature_index, r.region
-          FROM read_parquet('{_E}/expected/aois.parquet') a
-          LEFT JOIN read_parquet('{_E}/regions.parquet') r
-            ON a.centroid_lon >= r.min_lon AND a.centroid_lon <= r.max_lon
-           AND a.centroid_lat >= r.min_lat AND a.centroid_lat <= r.max_lat
-        ),
+        ar AS ({_region_join_cte(f"read_parquet('{_E}/expected/aois.parquet')")}),
         wagg AS (
           SELECT bs.url, bs.feature_index, bs.frame_id,
-                 round(sum(w.temp_c ORDER BY w.date) / count(w.temp_c), 1)
-                   AS mean_temp_c,
-                 CASE WHEN count(w.precip_mm) > 0
-                      THEN round(sum(w.precip_mm ORDER BY w.date), 1) END
-                   AS total_precip_mm
+                 {_TEMP_MEAN_FOLD} AS mean_temp_c,
+                 {_precip_total_fold("precip_mm")} AS total_precip_mm
           FROM bs
           JOIN fr ON fr.frame_id = bs.frame_id
                  AND fr.naip_variant = bs.naip_variant

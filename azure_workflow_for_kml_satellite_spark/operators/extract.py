@@ -8,8 +8,13 @@ KMZ documents in ``html``, run the zip-bomb-guarded KMZ extraction
 the grouped-map/UDTF shape from SURVEY.md §2.10. Invalid documents become
 quarantine rows (error column) instead of failing the job.
 
-Also re-derives ``text`` from html bytes so the byte-identical-per-url
-invariant (BASELINE.json input_hint) is checkable downstream.
+The byte-identical-per-url text invariant (BASELINE.json input_hint) has
+its own gated query (q_page_text: engine regex pipeline vs the oracle's
+independent scanner); re-deriving the text here too is available behind
+``with_text=True`` but OFF in the hot path — emitting page-sized text on
+every feature row multiplied Arrow-out traffic by the feature count (200×
+on monster pages) for a column nothing downstream consumed (the
+"html through Arrow twice" cost documented in BASELINE.md §Measured).
 """
 
 from __future__ import annotations
@@ -44,10 +49,10 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _extract_page(url: str, html: bytes) -> list[dict]:
+def _extract_page(url: str, html: bytes, with_text: bool = False) -> list[dict]:
     """Feature rows (or one quarantine/empty row) for a single page."""
     out: list[dict] = []
-    text = kml_fn.extract_text(html)
+    text = kml_fn.extract_text(html) if with_text else None
     docs = kml_fn.extract_kml_documents(html)
     feature_index = 0  # global across all docs of one page → dedup_key unique per url
     for doc in docs:
@@ -99,8 +104,14 @@ def _extract_page(url: str, html: bytes) -> list[dict]:
     return out
 
 
-def extract_features(pages: DataFrame, prefilter: bool = True) -> DataFrame:
+def extract_features(
+    pages: DataFrame, prefilter: bool = True, with_text: bool = False
+) -> DataFrame:
     """pages(url, html, ...) → one row per parsed polygon feature.
+
+    ``with_text`` re-derives the page's visible text into ``extracted_text``
+    (one regex pipeline per page + page-sized strings on every feature row)
+    — leave off unless a consumer actually reads it.
 
     ``prefilter`` keeps a JVM-side `contains` gate in front of the Arrow
     transfer: a page can only yield features (or quarantine rows) if its
@@ -116,7 +127,7 @@ def extract_features(pages: DataFrame, prefilter: bool = True) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(_extract_page(url, bytes(html)))
+                rows.extend(_extract_page(url, bytes(html), with_text))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
             ) if rows else pd.DataFrame(columns=[f.name for f in FEATURES_SCHEMA.fields])

@@ -19,13 +19,30 @@ the Spark-native equivalent is a write-audit pattern:
   against the ledger's completed partition values (SURVEY.md §2.3: "left-anti
   only for resume").
 
-This module uses plain directory-parquet so it runs offline; on a cluster
-the same interface fronts Iceberg tables (atomic commit + snapshot lineage)
-— no Iceberg runtime jars are available in this sandbox.
+This module uses plain directory-parquet so it runs offline (no Iceberg
+runtime jars in this sandbox), but the ledger commits with Iceberg's
+SEMANTICS, not just its schema:
+
+- **atomic snapshot commit** — each append stages its parquet data file(s),
+  then publishes a snapshot manifest ``_ledger/_snapshots/v{N}.json``
+  listing every live data file. The manifest appears atomically via
+  ``os.link`` of a fully-written temp file, so readers never observe a
+  half-commit;
+- **concurrent-writer fence** — ``v{N}.json`` can be created exactly once
+  (link fails with EEXIST); a losing writer re-reads the new head and
+  retries on top of it (Iceberg's optimistic-concurrency loop), so two
+  simultaneous appends serialize and neither's rows are lost;
+- **snapshot isolation + time travel** — readers resolve a manifest (head
+  by default, or a pinned ``snapshot_id``) and read EXACTLY its file list;
+  a concurrent writer's staged data becomes visible only with its
+  manifest. ``CheckpointManager(..., snapshot_id=N)`` resumes a run
+  *as of* snapshot N.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import time
 import uuid
 from pathlib import Path
@@ -37,26 +54,121 @@ LEDGER_SCHEMA = (
     "duration_s double, status string, ts string"
 )
 
+_COMMIT_RETRIES = 100
+
 
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, root: str, run_id: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        run_id: str | None = None,
+        snapshot_id: int | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.run_dir = self.root / self.run_id
         self.ledger_dir = self.run_dir / "_ledger"
+        self.snapshot_id = snapshot_id
+
+    # ── snapshot manifests (Iceberg-semantics layer) ────────────────────────
+
+    @property
+    def _snapshots_dir(self) -> Path:
+        return self.ledger_dir / "_snapshots"
+
+    def snapshots(self) -> list[int]:
+        """All committed snapshot ids, ascending."""
+        if not self._snapshots_dir.exists():
+            return []
+        out = []
+        for p in self._snapshots_dir.glob("v*.json"):
+            try:
+                out.append(int(p.stem[1:]))
+            except ValueError:
+                continue
+        return sorted(out)
+
+    def current_snapshot_id(self) -> int | None:
+        ids = self.snapshots()
+        return ids[-1] if ids else None
+
+    def _read_manifest(self, sid: int) -> dict:
+        return json.loads((self._snapshots_dir / f"v{sid}.json").read_text())
+
+    def _unsnapshotted_files(self) -> list[str]:
+        """Data files present before the first manifest (legacy/bootstrap).
+        ``commit-*`` files are manifest-managed: one not yet referenced by
+        any manifest is an in-flight (or orphaned) append and must stay
+        invisible until its own commit publishes it."""
+        if not self.ledger_dir.exists():
+            return []
+        return sorted(
+            p.name
+            for p in self.ledger_dir.glob("*.parquet")
+            if not p.name.startswith("commit-")
+        )
+
+    def _commit_snapshot(self, new_files: list[str]) -> int:
+        """Publish a new manifest containing the current head's files plus
+        ``new_files``. Optimistic-concurrency loop: the exclusive link of
+        v{N}.json is the commit point; on EEXIST re-read the head and retry
+        on top of it."""
+        self._snapshots_dir.mkdir(parents=True, exist_ok=True)
+        for _ in range(_COMMIT_RETRIES):
+            head = self.current_snapshot_id()
+            if head is None:
+                base = self._unsnapshotted_files()
+            else:
+                base = self._read_manifest(head)["files"]
+            target = (head or 0) + 1
+            manifest = {
+                "snapshot_id": target,
+                "parent": head,
+                "files": base + [f for f in new_files if f not in base],
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            tmp = self._snapshots_dir / f"_tmp-{uuid.uuid4().hex}.json"
+            tmp.write_text(json.dumps(manifest))
+            try:
+                os.link(tmp, self._snapshots_dir / f"v{target}.json")
+                return target
+            except FileExistsError:
+                continue  # another writer won the race — rebase and retry
+            finally:
+                tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"ledger commit contention: lost {_COMMIT_RETRIES} races in a row"
+        )
+
+    def _live_files(self) -> list[str]:
+        """The data files visible to this manager: the pinned snapshot's
+        list, else the head manifest's, else the legacy glob."""
+        sid = self.snapshot_id if self.snapshot_id is not None else self.current_snapshot_id()
+        if sid is not None:
+            try:
+                return self._read_manifest(sid)["files"]
+            except FileNotFoundError:
+                raise ValueError(f"unknown ledger snapshot {sid}") from None
+        return self._unsnapshotted_files()
 
     # ── ledger ──────────────────────────────────────────────────────────────
 
     def ledger(self) -> DataFrame:
         """The ledger as a DataFrame (empty with the right schema if no row
-        has been committed yet). Legacy driver-side JSON ledger files (the
-        pre-table format) are migrated into the parquet ledger on first read
-        — silently treating such a run as fresh would re-run completed
-        stages and double-append already-completed partitions."""
+        has been committed yet) — a snapshot-isolated read: exactly the
+        files listed by the resolved manifest (pinned ``snapshot_id`` or
+        head). Legacy driver-side JSON ledger files (the pre-table format)
+        are migrated into the parquet ledger on first read — silently
+        treating such a run as fresh would re-run completed stages and
+        double-append already-completed partitions."""
         self._migrate_legacy_json()
-        if self.ledger_dir.exists() and any(self.ledger_dir.glob("*.parquet")):
-            return self.spark.read.schema(LEDGER_SCHEMA).parquet(str(self.ledger_dir))
+        files = self._live_files()
+        if files:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(
+                *[str(self.ledger_dir / f) for f in files]
+            )
         return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def _migrate_legacy_json(self) -> None:
@@ -105,8 +217,12 @@ class CheckpointManager:
             path.rename(path.with_name(f"_migrated_{path.name}"))
 
     def _append_ledger(self, rows: list[dict]) -> None:
-        # append-only parquet table: each commit is one new file (the
-        # Iceberg-append analog); coalesce(1) keeps commits single-file
+        """Append = stage a data file, then atomically publish a snapshot
+        manifest referencing it (see module doc). The data file is invisible
+        to readers until its manifest commits."""
+        import shutil
+
+        staging = self.ledger_dir / "_staging" / uuid.uuid4().hex
         (
             self.spark.createDataFrame(
                 [
@@ -124,13 +240,21 @@ class CheckpointManager:
                 LEDGER_SCHEMA,
             )
             .coalesce(1)
-            .write.mode("append")
-            .parquet(str(self.ledger_dir))
+            .write.mode("overwrite")
+            .parquet(str(staging))
         )
+        new_files = []
+        for part in sorted(staging.glob("part-*.parquet")):
+            name = f"commit-{uuid.uuid4().hex}.parquet"
+            os.replace(part, self.ledger_dir / name)
+            new_files.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        if new_files:
+            self._commit_snapshot(new_files)
 
     def ledger_rows(self) -> list[dict]:
         self._migrate_legacy_json()
-        if not self.ledger_dir.exists() or not any(self.ledger_dir.glob("*.parquet")):
+        if not self._live_files():
             return []
         return [r.asDict() for r in self.ledger().collect()]
 

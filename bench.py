@@ -81,7 +81,15 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     )
     timed("q_spatial_join", lambda: best.count())
 
-    # q3: e2e NDVI (join recomputed from cached aois + NDVI kernels)
+    # q3: e2e NDVI (join recomputed from cached aois + NDVI kernels).
+    # Per-stage partition-throttling inside one local[cpus] session was
+    # measured and REJECTED (BASELINE.md §Measured, round 4): capping the
+    # NDVI stage at 16 partitions in a local[32] session did not reproduce
+    # the local[16]-session advantage (38-41 s vs 33 s at full fan-out in
+    # the same band — the 32-thread JVM's shuffle/GC/Arrow threads are the
+    # contention source, not the partition count), and a sampled probe is
+    # dominated by fixed per-task overheads, so it systematically mis-picks
+    # the throttle. Band adaptivity stays at the SESSION level (main()).
     from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
 
     nd = ndvi_stats(
@@ -137,18 +145,15 @@ def main() -> None:
     # saturates between 8 and 16 workers in the box's slow band (local[16]
     # beat local[32] back-to-back there), while in its fast band local[32]
     # wins because the Python-process-bound q_change stage scales to 32
-    # (17 s vs 31 s; BASELINE.md §Measured). So instead of best-of-2 at one
-    # guess, probe BOTH parallelism levels once each and report the best —
-    # same total runtime, adaptive to the band. SPARK_GRAFT_FORCE_CPUS pins
-    # a single level.
+    # (BASELINE.md §Measured; per-stage throttling within one session was
+    # measured and rejected — see run_bench). So probe BOTH session levels
+    # once each and report the best. SPARK_GRAFT_FORCE_CPUS pins a single
+    # level; repeats=1 probes only the requested level.
     force = os.environ.get("SPARK_GRAFT_FORCE_CPUS")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    repeats = max(1, repeats)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     if force:
         core_plan = [int(force)] * repeats
     elif cpus > 16:
-        # repeats=1 probes only the requested level (no hidden second run);
-        # repeats>=2 alternates [16, cpus] as before
         core_plan = [cpus] if repeats == 1 else ([16, cpus] * ((repeats + 1) // 2))[:repeats]
     else:
         core_plan = [cpus] * repeats

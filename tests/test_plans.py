@@ -151,3 +151,89 @@ def test_legacy_json_ledger_bad_format_raises(spark, tmp_path):
     cm = CheckpointManager(spark, str(tmp_path), run_id="bad")
     with pytest.raises(RuntimeError, match="incompatible ledger format"):
         cm.ledger()
+
+
+def test_ledger_two_writer_race_serializes(spark, tmp_path):
+    """Concurrent-writer fence: two threads appending to the SAME run's
+    ledger must serialize through the exclusive snapshot link — every row
+    survives, snapshot ids are consecutive, and each manifest's file list
+    extends its parent's."""
+    import threading
+
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="race")
+    errs = []
+
+    def write(worker: int) -> None:
+        try:
+            w = CheckpointManager(spark, str(tmp_path), run_id="race")
+            for i in range(3):
+                w._append_ledger(
+                    [
+                        {
+                            "run_id": "race",
+                            "stage": f"s{worker}",
+                            "partition": str(i),
+                            "rows": 1,
+                            "duration_s": 0.0,
+                            "status": "completed",
+                            "ts": "2026-01-01T00:00:00",
+                        }
+                    ]
+                )
+        except Exception as exc:  # pragma: no cover - surfaced via errs
+            errs.append(exc)
+
+    threads = [threading.Thread(target=write, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = cm.ledger_rows()
+    assert len(rows) == 12  # 4 writers x 3 appends, none lost
+    assert {(r["stage"], r["partition"]) for r in rows} == {
+        (f"s{k}", str(i)) for k in range(4) for i in range(3)
+    }
+    sids = cm.snapshots()
+    assert sids == list(range(1, 13))  # one snapshot per append, consecutive
+    prev: list = []
+    for sid in sids:
+        files = cm._read_manifest(sid)["files"]
+        assert set(prev).issubset(files) and len(files) == len(prev) + 1
+        prev = files
+
+
+def test_ledger_time_travel_and_read_at_snapshot_resume(spark, tmp_path):
+    """Snapshot isolation: a manager pinned to snapshot_id=N sees the
+    ledger as of N — so a resume at that snapshot re-runs exactly the
+    partitions committed after it."""
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="tt")
+    df = spark.range(40).withColumn("grp", (F.col("id") % 4).cast("string"))
+    cm.partitioned_stage("st", df.filter(F.col("grp").isin("0", "1")), "grp")
+    s1 = cm.current_snapshot_id()
+    cm.partitioned_stage("st", df, "grp")  # completes grp 2 and 3
+    s2 = cm.current_snapshot_id()
+    assert s2 > s1
+    # head sees everything
+    assert cm.completed_partitions("st") == {"0", "1", "2", "3"}
+    # pinned reader sees the world as of s1
+    pinned = CheckpointManager(spark, str(tmp_path), run_id="tt", snapshot_id=s1)
+    assert pinned.completed_partitions("st") == {"0", "1"}
+    # resume at s1: the left-anti skip list is the pinned snapshot's — the
+    # post-s1 partitions would recompute
+    todo = df.join(
+        spark.createDataFrame([(v,) for v in pinned.completed_partitions("st")], ["grp"]),
+        "grp",
+        "left_anti",
+    )
+    assert {r["grp"] for r in todo.select("grp").distinct().collect()} == {"2", "3"}
+    # unknown snapshot is an explicit error
+    import pytest
+
+    bad = CheckpointManager(spark, str(tmp_path), run_id="tt", snapshot_id=999)
+    with pytest.raises(ValueError, match="unknown ledger snapshot"):
+        bad.ledger_rows()
