@@ -1,5 +1,7 @@
-"""Small web-image formats: BMP (really decoded) and WebP (header really
-parsed; VP8/VP8L pixel data needs a codec this container doesn't have).
+"""Small web-image formats: BMP and baseline TIFF (really decoded), WebP
+lossless (VP8L pixels really decoded via functions/vp8l.py; lossy VP8 stays
+a dims-only honest stub — that bitstream is a full video intra codec), ICO,
+and SVG root dimensions.
 
 Companions to functions/png.py, functions/jpeg.py and functions/gif.py.
 """
@@ -85,6 +87,28 @@ def webp_dimensions(data: bytes) -> tuple[int, int, str]:
         h = int.from_bytes(data[27:30], "little") + 1
         return (w, h, "VP8X")
     raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
+def decode_webp(data: bytes) -> "np.ndarray":
+    """WebP pixel decode for the LOSSLESS family: VP8L payloads (bare or
+    inside a VP8X extended container) decode fully via the from-scratch
+    functions/vp8l.py codec → HxWx4 uint8 RGBA. Lossy VP8 raises (honest
+    stub — that bitstream is a full video intra codec)."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import decode_vp8l
+
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            return decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            raise ValueError("VP8 lossy pixel decode unavailable")
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP has no decodable image chunk")
 
 
 def _packbits(data: bytes, max_out: int | None = None) -> bytes:

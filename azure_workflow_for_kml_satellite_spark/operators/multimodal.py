@@ -195,12 +195,32 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                         )
                     continue
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
-                    # WebP: header dims are really parsed; the VP8/VP8L
-                    # pixel bitstream needs libwebp — honest per-row stub
+                    # WebP: VP8L (lossless) pixels REALLY decode via the
+                    # from-scratch functions/vp8l.py codec; lossy VP8 stays
+                    # an honest dims-only stub (that bitstream is a full
+                    # video intra codec)
                     from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+                        decode_webp,
                         webp_dimensions,
                     )
 
+                    try:
+                        img = decode_webp(raw)
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "width": int(img.shape[1]),
+                                "height": int(img.shape[0]),
+                                "channels": int(img.shape[2]),
+                                "mean_luma": round(float(img[..., :3].mean()), 3),
+                                "phash": _phash(img[..., :3]),
+                                "decode_error": None,
+                            }
+                        )
+                        continue
+                    except (ValueError, IndexError, struct.error) as exc:
+                        err = str(exc)
+                        lossy = "lossy pixel decode unavailable" in err
                     try:
                         w, h, variant = webp_dimensions(raw)
                         rows.append(
@@ -214,6 +234,8 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                                 "decode_error": (
                                     f"{variant} pixel decode unavailable "
                                     "(header real, codec stubbed)"
+                                    if lossy
+                                    else f"corrupt WebP payload: {err}"
                                 ),
                             }
                         )

@@ -291,3 +291,16 @@ def test_fuzz_flac_frame_decoder_never_crashes(_):
         encode_flac(stereo, 48000, 16, block=256, stereo_mode="mid-side"),
     ):
         _fuzz_roundtrip(_parse_flac, blob, 1500, rng)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_vp8l_decoder_never_crashes(_):
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_webp
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (24, 16, 4), dtype=np.uint8)
+    _fuzz_roundtrip(decode_webp, encode_webp_lossless(img), 800, rng)
