@@ -224,11 +224,16 @@ def transform_bbox(bbox: list[float], src_crs: str, dst_crs: str) -> tuple[float
         return (bbox[0], bbox[1], bbox[2], bbox[3])
     try:
         from pyproj import Transformer
-
+    except ImportError:
+        Transformer = None  # vendored fallback below
+    if Transformer is not None:
+        # only the IMPORT selects the fallback; a broken pyproj install
+        # failing inside from_crs/transform must surface, not silently
+        # switch transforms
         tr = Transformer.from_crs(src_crs, dst_crs, always_xy=True)
         x_min, y_min = tr.transform(bbox[0], bbox[1])
         x_max, y_max = tr.transform(bbox[2], bbox[3])
-    except ImportError:
+    else:
         from azure_workflow_for_kml_satellite_spark.functions.tmerc import (
             transform_point,
         )

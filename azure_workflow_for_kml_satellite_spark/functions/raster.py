@@ -534,10 +534,14 @@ def reproject_bilinear(
         gx, gy = np.meshgrid(xs, ys)
         try:
             from pyproj import Transformer
-
+        except ImportError:
+            Transformer = None  # vendored fallback below
+        if Transformer is not None:
+            # only the IMPORT selects the fallback (a broken pyproj must
+            # surface, not silently switch transforms)
             tr = Transformer.from_crs(dst_crs, src_crs, always_xy=True)
             gx, gy = tr.transform(gx, gy)
-        except ImportError:
+        else:
             from azure_workflow_for_kml_satellite_spark.functions.tmerc import (
                 transform_grid_np,
             )

@@ -619,9 +619,11 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise ValueError("unsupported VP8L version")
-    if w * h > (1 << 24):
+    if w * h > (1 << 22):
         # hostile-dims bound (same policy as the other from-scratch
-        # decoders): the per-pixel loop must not be steerable into GBs
+        # decoders), sized for TIME as well as memory: the pixel loop is
+        # per-pixel Python (bit-level tree walks), so the cap keeps a
+        # worst-case crafted asset to tens of seconds, not minutes
         raise ValueError(f"VP8L dimensions {w}x{h} exceed the decode bound")
     pix, transforms, coded_w = _decode_image(r, w, h, True)
     if len(pix) != coded_w * h:

@@ -212,8 +212,8 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                                 "width": int(img.shape[1]),
                                 "height": int(img.shape[0]),
                                 "channels": int(img.shape[2]),
-                                "mean_luma": round(float(img[..., :3].mean()), 3),
-                                "phash": _phash(img[..., :3]),
+                                "mean_luma": round(float(img.mean()), 4),
+                                "phash": _phash(img),
                                 "decode_error": None,
                             }
                         )
