@@ -773,8 +773,11 @@ AUDIO_META_SCHEMA = T.StructType(
 
 
 def _parse_wav(data: bytes) -> dict:
-    """Real RIFF/WAVE PCM parse: fmt header + integer-PCM sample statistics
-    (8/16/32-bit). Compressed WAVE formats raise (quarantined per-row)."""
+    """Real RIFF/WAVE parse: fmt header + true sample statistics for
+    integer PCM (8/16/32-bit, format 1), G.711 A-law / µ-law (formats 6/7)
+    and IMA ADPCM (format 0x11) — the compressed legs decode via
+    functions/pcm_codecs.py. Other compressed WAVE formats raise
+    (quarantined per-row)."""
     import struct as _s
 
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -788,32 +791,61 @@ def _parse_wav(data: bytes) -> dict:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, rate = _s.unpack_from("<HHI", body, 0)
+            block_align = _s.unpack_from("<H", body, 12)[0]
             bits = _s.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1:
-                raise ValueError(f"non-PCM WAVE format {audio_fmt} unsupported")
+            if audio_fmt not in (1, 6, 7, 0x11):
+                raise ValueError(f"unsupported WAVE format {audio_fmt}")
             if not 0 < rate <= 10_000_000:  # u32 field; int32 schema column
                 raise ValueError(f"implausible WAVE sample rate {rate}")
-            if bits not in (8, 16, 32):
+            if audio_fmt == 1 and bits not in (8, 16, 32):
                 raise ValueError(f"unsupported PCM bit depth {bits}")
-            fmt = {"channels": channels, "rate": rate, "bits": bits}
+            fmt = {
+                "format": audio_fmt,
+                "channels": channels,
+                "rate": rate,
+                "bits": bits,
+                "block_align": block_align,
+            }
         elif cid == b"data":
             samples = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or samples is None:
         raise ValueError("WAVE missing fmt/data chunk")
-    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[fmt["bits"]]
-    arr = np.frombuffer(samples, dtype=dt)
-    if fmt["channels"] > 1:
-        arr = arr[: len(arr) - len(arr) % fmt["channels"]]
-    if fmt["bits"] == 8:
-        x = (arr.astype(np.float64) - 128.0) / 128.0
+    if fmt["format"] == 1:
+        dt = {8: np.uint8, 16: np.int16, 32: np.int32}[fmt["bits"]]
+        arr = np.frombuffer(samples, dtype=dt)
+        if fmt["channels"] > 1:
+            arr = arr[: len(arr) - len(arr) % fmt["channels"]]
+        if fmt["bits"] == 8:
+            x = (arr.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = arr.astype(np.float64) / float(2 ** (fmt["bits"] - 1))
+        n_frames = len(arr) // max(1, fmt["channels"])
+        bits_out = fmt["bits"]
     else:
-        x = arr.astype(np.float64) / float(2 ** (fmt["bits"] - 1))
-    n_frames = len(arr) // max(1, fmt["channels"])
+        from azure_workflow_for_kml_satellite_spark.functions import pcm_codecs
+
+        if fmt["format"] in (6, 7):
+            dec = (
+                pcm_codecs.alaw_decode(samples)
+                if fmt["format"] == 6
+                else pcm_codecs.mulaw_decode(samples)
+            )
+            if fmt["channels"] > 1:
+                dec = dec[: len(dec) - len(dec) % fmt["channels"]]
+            n_frames = len(dec) // max(1, fmt["channels"])
+            bits_out = 8
+        else:  # 0x11 IMA ADPCM
+            dec = pcm_codecs.ima_adpcm_decode(
+                samples, max(1, fmt["channels"]), fmt["block_align"]
+            ).reshape(-1)
+            n_frames = len(dec) // max(1, fmt["channels"])
+            bits_out = 4
+        x = dec.astype(np.float64) / 32768.0
     return {
         "sample_rate": int(fmt["rate"]),
         "channels": int(fmt["channels"]),
-        "bits_per_sample": int(fmt["bits"]),
+        "bits_per_sample": int(bits_out),
         "n_samples": int(n_frames),
         "duration_ms": int(round(1000.0 * n_frames / fmt["rate"])) if fmt["rate"] else 0,
         "rms": round(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, 6),
@@ -1091,11 +1123,13 @@ def _parse_flac(data: bytes) -> dict:
 
 
 def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
-    """binary column → typed audio metadata rows. RIFF/WAVE and AIFF PCM
-    payloads are REALLY parsed (header + per-sample statistics), and FLAC
-    frames are REALLY decoded (functions/flac.py: Rice/FIXED/LPC subframes,
-    stereo decorrelation, CRC-verified) so rms/peak are true statistics for
-    a compressed format too. MP3 frame headers and Ogg (Vorbis/Opus) pages
+    """binary column → typed audio metadata rows. RIFF/WAVE (integer PCM
+    plus the G.711 A-law/µ-law and IMA-ADPCM compressed legs via
+    functions/pcm_codecs.py) and AIFF PCM payloads are REALLY parsed
+    (header + per-sample statistics), and FLAC frames are REALLY decoded
+    (functions/flac.py: Rice/FIXED/LPC subframes, stereo decorrelation,
+    CRC-verified) so rms/peak are true statistics for
+    compressed formats too. MP3 frame headers and Ogg (Vorbis/Opus) pages
     are walked for true sample_rate/channels/duration; their compressed
     samples aren't decodable here, so rms/peak stay null. Unrecognized or
     corrupt payloads quarantine per-row with a decode_error, the same

@@ -304,3 +304,31 @@ def test_fuzz_vp8l_decoder_never_crashes(_):
     rng = np.random.default_rng(47)
     img = rng.integers(0, 256, (24, 16, 4), dtype=np.uint8)
     _fuzz_roundtrip(decode_webp, encode_webp_lossless(img), 800, rng)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(0, 0))
+def test_fuzz_compressed_wav_parsers_never_crash(_):
+    """Mutated G.711 and IMA-ADPCM WAVE payloads must parse or raise a
+    clean decode error."""
+    import struct as _s
+
+    from azure_workflow_for_kml_satellite_spark.functions import pcm_codecs as PC
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import _parse_wav
+
+    def wav(fmt, channels, rate, bits, align, payload):
+        fb = _s.pack("<HHIIHH", fmt, channels, rate, rate * align, align, bits)
+        ch = b"fmt " + _s.pack("<I", len(fb)) + fb
+        ch += b"data" + _s.pack("<I", len(payload)) + payload
+        return b"RIFF" + _s.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+
+    rng = np.random.default_rng(48)
+    t = np.arange(900)
+    sine = (9000 * np.sin(2 * np.pi * t / 90)).astype(np.int16)
+    adpcm, align = PC.ima_adpcm_encode(sine, 1, samples_per_block=249)
+    for blob in (
+        wav(7, 1, 8000, 8, 1, PC.mulaw_encode(sine)),
+        wav(6, 1, 8000, 8, 1, PC.alaw_encode(sine)),
+        wav(0x11, 1, 22050, 4, align, adpcm),
+    ):
+        _fuzz_roundtrip(_parse_wav, blob, 800, rng)
