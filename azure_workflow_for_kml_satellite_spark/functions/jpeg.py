@@ -10,7 +10,9 @@ carries its own implementation of the public format:
   sampling factors up to 2x2 (covers 4:4:4 / 4:2:2 / 4:2:0 — what cameras
   and web encoders actually emit), restart markers (DRI/RSTn), Huffman +
   quantization tables read from the stream. Arithmetic-coded, lossless and
-  12-bit variants raise ValueError (quarantined upstream).
+  arithmetic-coded variants raise ValueError (quarantined upstream);
+  12-bit extended-sequential frames DECODE at full precision (16-bit DQT
+  supported) and render to the uint8 output contract.
 - ``encode_jpeg``: baseline 4:4:4 encoder used by tests and synthetic data
   generation; emits its own (valid, simple) canonical Huffman tables in DHT
   rather than the Annex-K defaults — any conformant decoder reads tables
@@ -229,12 +231,15 @@ def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+def _ycbcr_to_rgb(ycc: np.ndarray, center: float = 128.0, maxv: int = 255) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - center, ycc[..., 2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    out = np.clip(np.stack([r, g, b], axis=-1), 0, maxv)
+    if maxv == 255:
+        return out.astype(np.uint8)
+    return np.clip(np.rint(out * (255.0 / maxv)), 0, 255).astype(np.uint8)
 
 
 def _pad_to_8(plane: np.ndarray) -> np.ndarray:
@@ -243,8 +248,8 @@ def _pad_to_8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def _encode_block(bw, block, q_nat, pred, dc_codes, ac_codes) -> int:
-    coef = _dct2(block - 128.0)
+def _encode_block(bw, block, q_nat, pred, dc_codes, ac_codes, center=128.0) -> int:
+    coef = _dct2(block - center)
     qc = np.rint(coef / q_nat).astype(np.int64)
     zz = qc.flatten()[ZIGZAG]
     diff = int(zz[0]) - pred
@@ -678,9 +683,10 @@ def _next_marker(data: bytes, pos: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JFIF bytes → HxWxC uint8 (C = 1 or 3). Baseline (SOF0/1) and
-    progressive (SOF2) DCT; raises ValueError on other variants or corrupt
-    streams."""
+    """JFIF bytes → HxWxC uint8 (C = 1 or 3). Baseline (SOF0/1, 8- and
+    12-bit sample precision) and progressive (SOF2) DCT; raises ValueError
+    on other variants or corrupt streams. 12-bit frames decode at full
+    precision and are rendered to uint8 (scaled by 255/4095)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -715,10 +721,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                quant[tq] = np.frombuffer(payload, np.uint8, 64, p).astype(np.int32)
-                p += 64
+                if pq == 0:
+                    quant[tq] = np.frombuffer(payload, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                elif pq == 1:  # 16-bit table (extended / 12-bit streams)
+                    quant[tq] = (
+                        np.frombuffer(payload, np.dtype(">u2"), 64, p).astype(np.int32)
+                    )
+                    p += 128
+                else:
+                    raise ValueError(f"invalid quant table precision {pq}")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -734,13 +746,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("multiple SOF markers")
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG supported")
+            if prec not in (8, 12):
+                raise ValueError(f"unsupported JPEG sample precision {prec}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "prec": prec, "comps": comps}
             geom = _frame_geometry(frame)
             coef = [
                 np.zeros((c["by_pad"], c["bx_pad"], 64), dtype=np.int32)
@@ -937,8 +949,13 @@ def _decode_block_ac_refine(br, ac, zz, ss, se, al, state):
 
 
 def _reconstruct(frame, geom, coef, quant):
-    """Dequantize + batched IDCT + chroma upsample + colour convert."""
+    """Dequantize + batched IDCT + chroma upsample + colour convert.
+    12-bit frames are decoded at full precision then rendered to the
+    uint8 output contract (scaled by 255/4095)."""
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    shift = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     planes = []
     for c, zz in zip(frame["comps"], coef):
         if c["tq"] not in quant:
@@ -949,13 +966,70 @@ def _reconstruct(frame, geom, coef, quant):
         # batched IDCT: C.T @ B @ C for every block at once
         spat = np.einsum("ka,yxkl,lb->yxab", _C, blocks, _C, optimize=True)
         plane = spat.transpose(0, 2, 1, 3).reshape(zz.shape[0] * 8, zz.shape[1] * 8)
-        plane += 128.0
+        plane += shift
         ry, rx = geom["vmax"] // c["v"], geom["hmax"] // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[..., None]
+        p0 = np.clip(np.rint(planes[0]), 0, maxv)
+        if prec > 8:
+            p0 = np.rint(p0 * (255.0 / maxv))
+        return p0.astype(np.uint8)[..., None]
     if len(planes) == 3:
-        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1), center=shift, maxv=maxv)
     raise ValueError(f"unsupported component count {len(planes)}")
+
+
+def encode_jpeg12_gray(
+    img12: np.ndarray, quant: int = 16, quant16: bool = False
+) -> bytes:
+    """12-bit extended-sequential (SOF1, precision 12) GRAYSCALE encoder —
+    test infrastructure for the decoder's 12-bit path (level shift 2048,
+    DC categories up to 15, AC magnitudes past the 8-bit table range,
+    optionally a 16-bit DQT via ``quant16``). Input: HxW uint16 in 0..4095."""
+    img12 = np.asarray(img12)
+    if img12.ndim != 2 or img12.dtype != np.uint16 or int(img12.max(initial=0)) > 4095:
+        raise ValueError("encode_jpeg12_gray expects HxW uint16 in 0..4095")
+    h, w = img12.shape
+    qtab = np.full(64, quant, dtype=np.int32)
+    if quant16:
+        qtab[-8:] = 300  # exercises the pq=1 16-bit DQT decode branch
+    # tables sized for 12-bit magnitudes: 16 DC categories at length 6;
+    # AC (run,size) for sizes 1..14 + EOB + ZRL, all at length 8
+    dc_bits = [0, 0, 0, 0, 0, 16] + [0] * 10
+    dc_vals = list(range(16))
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 15)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+    plane = _pad_to_8(img12.astype(np.float64))
+    q_nat = qtab[UNZIGZAG].reshape(8, 8).astype(np.float64)
+    bw = _BitWriter()
+    pred = 0
+    for y0 in range(0, plane.shape[0], 8):
+        for x0 in range(0, plane.shape[1], 8):
+            pred = _encode_block(
+                bw, plane[y0 : y0 + 8, x0 : x0 + 8], q_nat, pred,
+                dc_codes, ac_codes, center=2048.0,
+            )
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    if quant16:
+        out += seg(0xDB, bytes([0x10]) + b"".join(struct.pack(">H", int(v)) for v in qtab))
+    else:
+        out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xDA, struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1209,3 +1209,38 @@ def test_video_frame_sample_no_partial_rows_on_mid_decode_failure(spark):
     assert out.iloc[0].frame_index is None or pd.isna(out.iloc[0].frame_index)
     assert "corrupt MP4 payload" in out.iloc[0].decode_error
 
+
+
+def test_jpeg_12bit_extended_sequential_decodes():
+    """12-bit (SOF1 precision 12) frames decode at full precision and
+    render to uint8: smooth fields reproduce within 1/255, hard DC swings
+    hit the high DC categories exactly, and both 8-bit and 16-bit DQT
+    encodings of the same image agree."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions import jpeg as J
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img12 = (2048 + 1800 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint16)
+    ref = np.rint(img12.astype(np.float64) * 255.0 / 4095.0)
+    outs = []
+    for q16 in (False, True):
+        dec = J.decode_jpeg(J.encode_jpeg12_gray(img12, quant=16, quant16=q16))
+        assert dec.shape == (40, 56, 1)
+        assert np.abs(dec[..., 0].astype(np.float64) - ref).max() <= 1.0
+        outs.append(dec)
+    # the 16-bit DQT run quantizes the last 8 zigzag coefficients harder,
+    # but the smooth field has no energy there — identical output
+    assert (outs[0] == outs[1]).all()
+    # extreme DC swings (max 12-bit categories) survive exactly
+    blocks = np.zeros((16, 16), dtype=np.uint16)
+    blocks[:8, 8:] = 4095
+    blocks[8:, :8] = 4095
+    dec = J.decode_jpeg(J.encode_jpeg12_gray(blocks, quant=1))
+    assert dec[0, 0, 0] == 0 and dec[0, 15, 0] == 255
+    assert dec[15, 0, 0] == 255 and dec[15, 15, 0] == 0
+    # 8-bit frames still reject nothing new; truncated 12-bit quarantines
+    import pytest
+
+    with pytest.raises(ValueError):
+        J.decode_jpeg(J.encode_jpeg12_gray(img12)[:40])
