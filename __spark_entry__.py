@@ -307,6 +307,20 @@ def _q_cluster(spark, sf_dir):
     )
 
 
+def _q_cluster_star(spark, sf_dir):
+    """J9 through the O(log n) star-contraction CC (shared with the dedup
+    pipeline) — provably the same min-key labelling as cluster_aois, so it
+    shares q_cluster's union-find oracle."""
+    from azure_workflow_for_kml_satellite_spark.operators.cluster import (
+        cluster_aois_star,
+    )
+
+    aois = build_aois(spark, engine_dir(sf_dir))
+    return cluster_aois_star(aois).select(
+        "url", F.col("feature_index").cast("long").alias("feature_index"), "cluster_key"
+    )
+
+
 def _q_wdpa_overlap(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.pip import wdpa_overlap
 
@@ -1285,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_gauges_cells": _q_knn_gauges_cells,
         "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "q_dedup_clusters_star": _q_dedup_clusters_star,
+        "q_cluster_star": _q_cluster_star,
         "q_dedup_exact": _q_dedup_exact,
         "q_sample_stratified": _q_sample_stratified,
         "q_quality_score": _q_quality_score,
@@ -1399,6 +1414,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q_cluster"] = (
         f"SELECT url, feature_index, cluster_key FROM read_parquet('{_E}/expected/clusters.parquet')"
     )
+    # star-contraction CC provably produces the same min-key labelling
+    sql["q_cluster_star"] = sql["q_cluster"]
     sql["q_wdpa_overlap"] = (
         "SELECT url, feature_index, wdpa_id, pa_name, designation, iucn_category "
         f"FROM read_parquet('{_E}/expected/wdpa_overlap.parquet')"

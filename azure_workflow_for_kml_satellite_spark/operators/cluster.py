@@ -116,7 +116,46 @@ def cluster_aois(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # same contract as dedup.near_dup_clusters: never return a wrong
+        # labelling silently when a component's diameter exceeds the
+        # iteration budget — callers raise max_iter or use the O(log n)
+        # cluster_aois_star path
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds; "
+            "use cluster_aois_star for long-chained components"
+        )
 
     return pts.join(labels, "key").select(
         "url", "feature_index", F.col("label").alias("cluster_key")
+    )
+
+
+def cluster_aois_star(
+    aois: DataFrame,
+    eps_km: float = DEFAULT_CLUSTER_EPS_KM,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """J9's 100 TB operating point: identical candidate edges and the same
+    min-key labelling contract as ``cluster_aois``, but connected
+    components run through the alternating large-star/small-star
+    contraction shared with the text-dedup pipeline
+    (operators/dedup.near_dup_clusters_star — Kiveris et al.), converging
+    in O(log n) rounds instead of O(component diameter): the right choice
+    when ε-chains of AOIs are long (parcel strips, river corridors). The
+    contraction only uses ordering and min over keys, so it applies to the
+    string (url:feature_index) keys unchanged."""
+    from azure_workflow_for_kml_satellite_spark.operators.dedup import (
+        near_dup_clusters_star,
+    )
+
+    pts = aois.select("url", "feature_index", F.col("dedup_key").alias("key"))
+    edges = candidate_edges(aois, eps_km).select(
+        F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
+    )
+    labels = near_dup_clusters_star(
+        pts.select(F.col("key").alias("doc_id")), edges, max_rounds
+    )
+    return pts.join(labels, pts.key == labels.doc_id).select(
+        "url", "feature_index", F.col("cluster_id").alias("cluster_key")
     )

@@ -1244,3 +1244,36 @@ def test_jpeg_12bit_extended_sequential_decodes():
 
     with pytest.raises(ValueError):
         J.decode_jpeg(J.encode_jpeg12_gray(img12)[:40])
+
+
+def test_cluster_star_matches_propagation_and_handles_long_chains(spark):
+    """cluster_aois_star must produce the IDENTICAL labelling as the
+    propagation path, including a 120-AOI chain whose diameter exceeds the
+    propagation loop's default budget-per-round reach."""
+    from azure_workflow_for_kml_satellite_spark.operators.cluster import (
+        cluster_aois,
+        cluster_aois_star,
+    )
+
+    # chain of points spaced just under eps (0.5 km) plus isolated points
+    rows = []
+    for i in range(120):
+        rows.append((f"u{i:03d}", 0, f"u{i:03d}:0", 10.0 + i * 0.004, 0.0))
+    for i in range(5):
+        rows.append((f"iso{i}", 0, f"iso{i}:0", -40.0 + 5 * i, 30.0))
+    df = spark.createDataFrame(
+        rows, "url string, feature_index long, dedup_key string, "
+        "centroid_lon double, centroid_lat double"
+    )
+    star = {(r.url, r.feature_index): r.cluster_key
+            for r in cluster_aois_star(df, eps_km=0.5).collect()}
+    prop = {(r.url, r.feature_index): r.cluster_key
+            for r in cluster_aois(df, eps_km=0.5, max_iter=200).collect()}
+    assert star == prop
+    # whole chain is one component rooted at the min key
+    assert star[("u000", 0)] == "u000:0" and star[("u119", 0)] == "u000:0"
+    assert star[("iso3", 0)] == "iso3:0"
+    # the propagation loop REFUSES to return wrong labels when its budget
+    # is too small for the diameter
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_aois(df, eps_km=0.5, max_iter=3)
