@@ -153,6 +153,35 @@ class CheckpointManager:
                 raise ValueError(f"unknown ledger snapshot {sid}") from None
         return self._unsnapshotted_files()
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg's ``expire_snapshots``: drop all but the newest
+        ``keep_last`` manifests (the head is always kept). Returns the
+        expired ids. Time travel to an expired id then raises; data files
+        still referenced by a surviving manifest are untouched."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = self.snapshots()
+        expired = ids[:-keep_last]
+        for sid in expired:
+            (self._snapshots_dir / f"v{sid}.json").unlink(missing_ok=True)
+        return expired
+
+    def remove_orphans(self) -> list[str]:
+        """Iceberg's ``remove_orphan_files``: delete ``commit-*`` data
+        files referenced by NO surviving manifest (crashed writers, expired
+        history). Files listed by any manifest — or any non-commit legacy
+        file — are kept. Returns the removed names."""
+        referenced: set[str] = set()
+        for sid in self.snapshots():
+            referenced.update(self._read_manifest(sid)["files"])
+        removed = []
+        if self.ledger_dir.exists():
+            for p in sorted(self.ledger_dir.glob("commit-*.parquet")):
+                if p.name not in referenced:
+                    p.unlink()
+                    removed.append(p.name)
+        return removed
+
     # ── ledger ──────────────────────────────────────────────────────────────
 
     def ledger(self) -> DataFrame:

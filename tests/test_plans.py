@@ -237,3 +237,41 @@ def test_ledger_time_travel_and_read_at_snapshot_resume(spark, tmp_path):
     bad = CheckpointManager(spark, str(tmp_path), run_id="tt", snapshot_id=999)
     with pytest.raises(ValueError, match="unknown ledger snapshot"):
         bad.ledger_rows()
+
+
+def test_ledger_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    """expire_snapshots drops old manifests (time travel to them then
+    errors; the head keeps working); remove_orphans deletes commit files
+    no surviving manifest references — including a crashed writer's
+    staged-but-uncommitted file — and never a referenced one."""
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="gc")
+    row = {
+        "run_id": "gc", "stage": "s", "partition": "0", "rows": 1,
+        "duration_s": 0.0, "status": "completed", "ts": "2026-01-01T00:00:00",
+    }
+    for i in range(4):
+        cm._append_ledger([{**row, "partition": str(i)}])
+    assert cm.snapshots() == [1, 2, 3, 4]
+    # a crashed writer's orphan: staged data file, no manifest
+    (cm.ledger_dir / "commit-deadbeef.parquet").write_bytes(b"not-a-real-commit")
+    assert len(cm.ledger_rows()) == 4  # invisible to readers
+
+    expired = cm.expire_snapshots(keep_last=2)
+    assert expired == [1, 2] and cm.snapshots() == [3, 4]
+    with pytest.raises(ValueError, match="unknown ledger snapshot"):
+        CheckpointManager(spark, str(tmp_path), run_id="gc", snapshot_id=1).ledger_rows()
+    # head still reads all four rows (snapshot 4 references every file)
+    assert len(cm.ledger_rows()) == 4
+
+    removed = cm.remove_orphans()
+    assert removed == ["commit-deadbeef.parquet"]
+    assert len(cm.ledger_rows()) == 4  # referenced files untouched
+    # expire to head-only then orphan-collect: files only in snapshots 1-3
+    # are all still in 4's list (append-only), so nothing else is removed
+    cm.expire_snapshots(keep_last=1)
+    assert cm.remove_orphans() == []
+    assert len(cm.ledger_rows()) == 4
