@@ -433,28 +433,27 @@ def _apply_inverse_transforms(pix, transforms, w: int, h: int):
     for t in reversed(transforms):
         kind = t[0]
         if kind == "subtract_green":
-            for i in range(len(pix)):
-                p = int(pix[i])
-                g = (p >> 8) & 0xFF
-                r_ = ((p >> 16) + g) & 0xFF
-                b = (p + g) & 0xFF
-                pix[i] = (p & 0xFF00FF00) | (r_ << 16) | b
+            # vectorized: no cross-pixel dependency
+            g = (pix >> np.uint32(8)) & np.uint32(0xFF)
+            r_ = (((pix >> np.uint32(16)) & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+            b = ((pix & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+            pix = (pix & np.uint32(0xFF00FF00)) | (r_ << np.uint32(16)) | b
         elif kind == "color":
+            # vectorized: per-pixel function of the pixel + its block's cte
             bits, sub = t[1], t[2]
             bw = _sub_size(w, bits)
-            for i in range(len(pix)):
-                x, y = i % w, i // w
-                cte = int(sub[(y >> bits) * bw + (x >> bits)])
-                g2r = _s8(cte & 0xFF)
-                g2b = _s8((cte >> 8) & 0xFF)
-                r2b = _s8((cte >> 16) & 0xFF)
-                p = int(pix[i])
-                g = _s8((p >> 8) & 0xFF)
-                red = ((p >> 16) & 0xFF) + ((g2r * g) >> 5)
-                red &= 0xFF
-                blue = (p & 0xFF) + ((g2b * g) >> 5)
-                blue = (blue + ((r2b * _s8(red)) >> 5)) & 0xFF
-                pix[i] = (p & 0xFF00FF00) | (red << 16) | blue
+            idx = np.arange(len(pix), dtype=np.int64)
+            xs_, ys_ = idx % w, idx // w
+            cte = sub[(ys_ >> bits) * bw + (xs_ >> bits)].astype(np.int64)
+            g2r = ((cte & 0xFF) ^ 0x80) - 0x80  # sign-extend int8
+            g2b = (((cte >> 8) & 0xFF) ^ 0x80) - 0x80
+            r2b = (((cte >> 16) & 0xFF) ^ 0x80) - 0x80
+            p64 = pix.astype(np.int64)
+            g = (((p64 >> 8) & 0xFF) ^ 0x80) - 0x80
+            red = (((p64 >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+            red_s = (red ^ 0x80) - 0x80
+            blue = ((p64 & 0xFF) + ((g2b * g) >> 5) + ((r2b * red_s) >> 5)) & 0xFF
+            pix = ((p64 & 0xFF00FF00) | (red << 16) | blue).astype(np.uint32)
         elif kind == "predictor":
             bits, sub = t[1], t[2]
             bw = _sub_size(w, bits)
