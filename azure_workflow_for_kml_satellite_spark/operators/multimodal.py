@@ -293,6 +293,122 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_width", T.IntegerType()),
+        T.StructField("thumb_height", T.IntegerType()),
+        T.StructField("thumbnail_png", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _resize_bilinear_u8(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Vectorized bilinear resample of an HxWxC uint8 image to (th, tw) —
+    pixel-centre inverse mapping with edge-clamped 2x2 support (the same
+    convention as raster.reproject_bilinear)."""
+    h, w = img.shape[:2]
+    fy = np.clip((np.arange(th) + 0.5) * (h / th) - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(tw) + 0.5) * (w / tw) - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    f = img.astype(np.float64)
+    out = (
+        f[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + f[np.ix_(y0, x1)] * (1 - wy) * wx
+        + f[np.ix_(y1, x0)] * wy * (1 - wx)
+        + f[np.ix_(y1, x1)] * wy * wx
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def image_thumbnails(
+    df: DataFrame,
+    max_side: int = 64,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """The training-data RESIZE op: decode each image payload (same codec
+    dispatch as image_metadata, incl. lossless WebP), bilinear-downscale it
+    aspect-preserving so max(h, w) == ``max_side`` (never upscaled), and
+    re-encode as an RGBA PNG — a normalized vision-model input column.
+    Corrupt or pixel-stubbed payloads (lossy WebP, SVG) quarantine per-row."""
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from azure_workflow_for_kml_satellite_spark.functions.png import (
+            encode_png_rgba,
+        )
+        from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+            decode_webp,
+        )
+
+        cols = [f.name for f in THUMBNAIL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(data)
+                try:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        img = decode_webp(raw)
+                    else:
+                        img = _decode_image(raw)
+                    if img.ndim == 2:
+                        img = img[..., None]
+                    h, w = img.shape[:2]
+                    scale = max_side / max(h, w)
+                    th = max(1, int(round(h * min(1.0, scale))))
+                    tw = max(1, int(round(w * min(1.0, scale))))
+                    thumb = (
+                        img if (th, tw) == (h, w) else _resize_bilinear_u8(img, th, tw)
+                    )
+                    # normalize to RGBA for the PNG container
+                    c = thumb.shape[2]
+                    if c == 1:
+                        rgba = np.repeat(thumb, 3, axis=2)
+                    else:
+                        rgba = thumb[..., :3]
+                    if c == 4:
+                        alpha = thumb[..., 3:4]
+                    else:
+                        alpha = np.full((th, tw, 1), 255, dtype=np.uint8)
+                    rgba = np.concatenate([rgba, alpha], axis=2)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "width": int(w),
+                            "height": int(h),
+                            "thumb_width": int(tw),
+                            "thumb_height": int(th),
+                            "thumbnail_png": bytearray(encode_png_rgba(rgba)),
+                            "decode_error": None,
+                        }
+                    )
+                except (ValueError, IndexError, struct.error) as exc:
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "width": None,
+                            "height": None,
+                            "thumb_width": None,
+                            "thumb_height": None,
+                            "thumbnail_png": None,
+                            "decode_error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
 def _parse_mjpeg_avi(data: bytes) -> tuple[int, list[bytes]]:
     """Real RIFF/AVI walk for an MJPEG stream: returns (us_per_frame,
     ordered JPEG frame payloads from the movi list). Raises ValueError for

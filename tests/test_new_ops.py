@@ -1277,3 +1277,58 @@ def test_cluster_star_matches_propagation_and_handles_long_chains(spark):
     # is too small for the diameter
     with pytest.raises(RuntimeError, match="did not converge"):
         cluster_aois(df, eps_km=0.5, max_iter=3)
+
+
+def test_image_thumbnails_resize_op(spark):
+    """The training-data resize op: bilinear math pinned analytically on a
+    linear gradient (bilinear reproduces a linear field exactly), PNG
+    round-trip, aspect preservation, no upscaling, WebP input, and per-row
+    quarantine."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.png import (
+        decode_png_any,
+        encode_png_rgba,
+    )
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _resize_bilinear_u8,
+        image_thumbnails,
+    )
+
+    # analytic check: a horizontal linear ramp stays linear under bilinear
+    ramp = np.tile(np.linspace(0, 255, 128).astype(np.uint8), (32, 1))[..., None]
+    small = _resize_bilinear_u8(ramp, 8, 32)
+    fx = np.clip((np.arange(32) + 0.5) * (128 / 32) - 0.5, 0, 127)
+    expect = np.rint(fx * (255.0 / 127.0))
+    assert np.abs(small[0, :, 0].astype(np.float64) - expect).max() <= 1.0
+    assert (small == small[0:1]).all()  # rows identical (no vertical mixing)
+
+    rng = np.random.default_rng(21)
+    big = rng.integers(0, 256, (96, 48, 4), dtype=np.uint8)
+    png = encode_png_rgba(big)
+    webp = encode_webp_lossless(big)
+    tiny = encode_png_rgba(rng.integers(0, 256, (10, 10, 4), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [
+            ("png", bytearray(png)),
+            ("webp", bytearray(webp)),
+            ("tiny", bytearray(tiny)),
+            ("bad", bytearray(b"\x89PNG\r\n\x1a\nbroken")),
+        ],
+        "asset_id string, payload binary",
+    )
+    rows = {r.asset_id: r for r in image_thumbnails(df, max_side=32).collect()}
+    for key in ("png", "webp"):
+        r = rows[key]
+        assert r.decode_error is None
+        assert (r.width, r.height) == (48, 96)
+        assert (r.thumb_width, r.thumb_height) == (16, 32)  # aspect kept
+        timg, _bpp = decode_png_any(bytes(r.thumbnail_png))
+        assert timg.shape == (32, 16, 4)
+    # identical source pixels → identical thumbnails regardless of container
+    assert bytes(rows["png"].thumbnail_png) == bytes(rows["webp"].thumbnail_png)
+    assert (rows["tiny"].thumb_width, rows["tiny"].thumb_height) == (10, 10)  # no upscale
+    assert rows["bad"].decode_error is not None and rows["bad"].thumbnail_png is None
