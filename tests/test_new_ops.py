@@ -1332,3 +1332,73 @@ def test_image_thumbnails_resize_op(spark):
     assert bytes(rows["png"].thumbnail_png) == bytes(rows["webp"].thumbnail_png)
     assert (rows["tiny"].thumb_width, rows["tiny"].thumb_height) == (10, 10)  # no upscale
     assert rows["bad"].decode_error is not None and rows["bad"].thumbnail_png is None
+
+
+def test_streaming_sessionize_matches_batch_on_events_table(spark, tmp_path):
+    """Differential gate for the stateful streaming sessionizer: on the
+    driver's real events table (with a far-future sentinel per user so
+    every real session closes), the emitted (user, n_events, duration)
+    multiset must equal the batch window-function sessionization's."""
+    from pyspark.sql import Window
+
+    from azure_workflow_for_kml_satellite_spark.streaming.pipelines import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    src = tmp_path / "sess_diff"
+    src.mkdir()
+    ev.write.parquet(str(src / "p1"))
+    sentinel = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 400 DAYS")).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    sentinel.write.parquet(str(src / "p2"))
+
+    q = run_stream_to_memory(
+        streaming_sessionize(spark, str(src) + "/*", gap_s=1800),
+        "sess_diff_stream",
+        mode="append",
+    )
+    try:
+        got = spark.sql(
+            "select user_id, n_events, "
+            "cast(session_end as long) - cast(session_start as long) as duration_s "
+            "from sess_diff_stream"
+        ).collect()
+    finally:
+        q.stop()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    batch = (
+        ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"), (F.max(epoch) - F.min(epoch)).alias("duration_s"))
+        .collect()
+    )
+    got_ms = sorted((r.user_id, r.n_events, r.duration_s) for r in got)
+    batch_ms = sorted((r.user_id, r.n_events, r.duration_s) for r in batch)
+    assert len(batch_ms) > 50  # real data, not a toy
+    assert got_ms == batch_ms
