@@ -111,21 +111,31 @@ class CheckpointManager:
         )
 
     def _commit_snapshot(self, new_files: list[str]) -> int:
-        """Publish a new manifest containing the current head's files plus
-        ``new_files``. Optimistic-concurrency loop: the exclusive link of
-        v{N}.json is the commit point; on EEXIST re-read the head and retry
-        on top of it."""
+        """Publish a new manifest containing the base file list plus
+        ``new_files``. The base is the current head — or, for a manager
+        pinned to an older ``snapshot_id``, the PINNED manifest's list on
+        its first commit (Iceberg rollback semantics: committing on top of
+        a time-traveled read branches history from that snapshot; the
+        abandoned tail's files become orphans once its manifests expire),
+        after which the pin clears and the manager works at its new head.
+        Optimistic-concurrency loop: the exclusive link of v{N}.json is the
+        commit point; on EEXIST re-read the head and retry on top of it."""
         self._snapshots_dir.mkdir(parents=True, exist_ok=True)
         for _ in range(_COMMIT_RETRIES):
             head = self.current_snapshot_id()
-            if head is None:
+            if self.snapshot_id is not None:
+                base = self._read_manifest(self.snapshot_id)["files"]
+                parent = self.snapshot_id
+            elif head is None:
                 base = self._unsnapshotted_files()
+                parent = None
             else:
                 base = self._read_manifest(head)["files"]
+                parent = head
             target = (head or 0) + 1
             manifest = {
                 "snapshot_id": target,
-                "parent": head,
+                "parent": parent,
                 "files": base + [f for f in new_files if f not in base],
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
@@ -133,6 +143,9 @@ class CheckpointManager:
             tmp.write_text(json.dumps(manifest))
             try:
                 os.link(tmp, self._snapshots_dir / f"v{target}.json")
+                # a pinned manager's first commit branches history from the
+                # pinned snapshot; from here on it reads/writes at its head
+                self.snapshot_id = None
                 return target
             except FileExistsError:
                 continue  # another writer won the race — rebase and retry

@@ -145,7 +145,12 @@ def run_job(spark, args) -> dict:
     ed = sf if (Path(sf) / "pages.parquet").exists() else engine_dir(sf)
     cm = None
     if args.checkpoint_root:
-        cm = CheckpointManager(spark, args.checkpoint_root, run_id=args.run_id)
+        cm = CheckpointManager(
+            spark,
+            args.checkpoint_root,
+            run_id=args.run_id,
+            snapshot_id=args.snapshot_id,
+        )
     t0 = time.time()
     runner = {"full": run_full, "timelapse": run_timelapse_mode, "eudr": run_eudr_mode}[
         args.mode
@@ -172,6 +177,13 @@ def parse_args(argv=None):
     ap.add_argument("--coords", default="-1.30, 36.80", help="timelapse mode input")
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--snapshot-id",
+        type=int,
+        default=None,
+        help="resume the run AS OF this ledger snapshot (time travel): "
+        "stages completed after it recompute, earlier ones short-circuit",
+    )
     ap.add_argument(
         "--build-archive",
         default=None,

@@ -275,3 +275,37 @@ def test_ledger_expire_snapshots_and_remove_orphans(spark, tmp_path):
     cm.expire_snapshots(keep_last=1)
     assert cm.remove_orphans() == []
     assert len(cm.ledger_rows()) == 4
+
+
+def test_ledger_rollback_commit_branches_history(spark, tmp_path):
+    """Committing through a snapshot-pinned manager branches history at
+    the pinned snapshot (Iceberg rollback): the abandoned tail's rows
+    disappear from the new head, the pin clears so the manager then works
+    at its own head, and the orphaned tail files become collectable once
+    their manifests expire."""
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="rb")
+    row = {
+        "run_id": "rb", "stage": "s", "partition": "0", "rows": 1,
+        "duration_s": 0.0, "status": "completed", "ts": "2026-01-01T00:00:00",
+    }
+    for i in range(4):
+        cm._append_ledger([{**row, "partition": str(i)}])  # snapshots 1..4
+    pinned = CheckpointManager(spark, str(tmp_path), run_id="rb", snapshot_id=2)
+    assert {r["partition"] for r in pinned.ledger_rows()} == {"0", "1"}
+    pinned._append_ledger([{**row, "partition": "redo-2"}])
+    # new head (snapshot 5) = snapshot 2's files + the new commit
+    assert pinned.snapshot_id is None  # pin cleared after branching
+    assert {r["partition"] for r in pinned.ledger_rows()} == {"0", "1", "redo-2"}
+    head = CheckpointManager(spark, str(tmp_path), run_id="rb")
+    assert {r["partition"] for r in head.ledger_rows()} == {"0", "1", "redo-2"}
+    assert head._read_manifest(head.current_snapshot_id())["parent"] == 2
+    # abandoned tail (snapshots 3-4) still time-travelable until expired...
+    old = CheckpointManager(spark, str(tmp_path), run_id="rb", snapshot_id=4)
+    assert {r["partition"] for r in old.ledger_rows()} == {"0", "1", "2", "3"}
+    # ...then its files orphan and collect
+    head.expire_snapshots(keep_last=1)
+    removed = head.remove_orphans()
+    assert len(removed) == 2  # the files that only snapshots 3/4 referenced
+    assert {r["partition"] for r in head.ledger_rows()} == {"0", "1", "redo-2"}
