@@ -306,6 +306,9 @@ def decode_frames(
             raise ValueError("FLAC frame CRC-16 mismatch")
         chunks.append(subs)
         pos = r.pos
+    if pos != len(data):
+        # consistent strictness: 1 trailing byte is as much garbage as 2+
+        raise ValueError("trailing bytes after last FLAC frame")
     if not chunks:
         raise ValueError("FLAC stream has no audio frames")
     n_channels = len(chunks[0])

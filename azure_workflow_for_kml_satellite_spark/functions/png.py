@@ -249,7 +249,8 @@ def encode_png_rgba(img: np.ndarray) -> bytes:
     """Minimal RGBA PNG encoder (filter 0 rows) for tests and the synthetic
     tile provider."""
     h, w, c = img.shape
-    assert c == 4 and img.dtype == np.uint8
+    if c != 4 or img.dtype != np.uint8:
+        raise ValueError(f"encode_png_rgba expects uint8 HxWx4, got {img.dtype} c={c}")
     raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:

@@ -372,12 +372,14 @@ def image_thumbnails(
                     )
                     # normalize to RGBA for the PNG container
                     c = thumb.shape[2]
-                    if c == 1:
-                        rgba = np.repeat(thumb, 3, axis=2)
+                    if c in (1, 2):  # gray / gray+alpha (PNG color types 0/4)
+                        rgba = np.repeat(thumb[..., :1], 3, axis=2)
                     else:
                         rgba = thumb[..., :3]
                     if c == 4:
                         alpha = thumb[..., 3:4]
+                    elif c == 2:
+                        alpha = thumb[..., 1:2]
                     else:
                         alpha = np.full((th, tw, 1), 255, dtype=np.uint8)
                     rgba = np.concatenate([rgba, alpha], axis=2)

@@ -124,7 +124,12 @@ class CheckpointManager:
         for _ in range(_COMMIT_RETRIES):
             head = self.current_snapshot_id()
             if self.snapshot_id is not None:
-                base = self._read_manifest(self.snapshot_id)["files"]
+                try:
+                    base = self._read_manifest(self.snapshot_id)["files"]
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"unknown ledger snapshot {self.snapshot_id}"
+                    ) from None
                 parent = self.snapshot_id
             elif head is None:
                 base = self._unsnapshotted_files()
@@ -179,20 +184,35 @@ class CheckpointManager:
             (self._snapshots_dir / f"v{sid}.json").unlink(missing_ok=True)
         return expired
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, older_than_s: float = 300.0) -> list[str]:
         """Iceberg's ``remove_orphan_files``: delete ``commit-*`` data
         files referenced by NO surviving manifest (crashed writers, expired
         history). Files listed by any manifest — or any non-commit legacy
-        file — are kept. Returns the removed names."""
+        file — are kept. Returns the removed names.
+
+        ``older_than_s`` is the same guard Iceberg's procedure applies: an
+        appender publishes its data file (``os.replace`` into the ledger
+        dir) BEFORE linking the manifest that references it, so a just-
+        staged commit file is indistinguishable from an orphan for that
+        window. Files younger than the grace period are skipped; pass 0
+        only when no writer can be in flight."""
         referenced: set[str] = set()
         for sid in self.snapshots():
             referenced.update(self._read_manifest(sid)["files"])
         removed = []
+        now = time.time()
         if self.ledger_dir.exists():
             for p in sorted(self.ledger_dir.glob("commit-*.parquet")):
-                if p.name not in referenced:
-                    p.unlink()
-                    removed.append(p.name)
+                if p.name in referenced:
+                    continue
+                try:
+                    age = now - p.stat().st_mtime
+                except FileNotFoundError:
+                    continue  # another GC beat us to it
+                if age < older_than_s:
+                    continue  # possibly an in-flight append — keep
+                p.unlink()
+                removed.append(p.name)
         return removed
 
     # ── ledger ──────────────────────────────────────────────────────────────

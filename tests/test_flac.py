@@ -172,3 +172,16 @@ def test_audio_metadata_decodes_flac_samples(spark):
     assert row.n_samples == 500
     assert row.rms == round(float(np.sqrt(np.mean(x * x))), 6)
     assert row.peak == round(float(np.max(np.abs(x))), 6)
+
+
+def test_trailing_garbage_strictness_consistent():
+    """1 trailing byte after the last frame is rejected exactly like 2+
+    (round-5 ADVICE fix: decode_frames used to silently ignore a single
+    trailing byte)."""
+    mono = np.arange(-50, 50, dtype=np.int64)
+    enc = bytes(FL.encode_flac(mono, 44100, 16, block=64))
+    start = _audio_start(enc)
+    assert FL.decode_frames(enc, start, 44100, 1, 16).shape == (100, 1)
+    for extra in (b"\x00", b"\x00\x00"):
+        with pytest.raises(ValueError, match="trailing|frame sync"):
+            FL.decode_frames(enc + extra, start, 44100, 1, 16)

@@ -1402,3 +1402,59 @@ def test_streaming_sessionize_matches_batch_on_events_table(spark, tmp_path):
     batch_ms = sorted((r.user_id, r.n_events, r.duration_s) for r in batch)
     assert len(batch_ms) > 50  # real data, not a toy
     assert got_ms == batch_ms
+
+
+def test_image_thumbnails_gray_alpha_quarantine_not_crash(spark):
+    """Gray+alpha (PNG colour type 4) payloads must thumbnail per-row, not
+    crash the mapInPandas task: the 2-channel decode path repeats the gray
+    channel to RGB and carries channel 1 as alpha (round-5 ADVICE fix)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.png import (
+        decode_png_any,
+        encode_png_rgba,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_thumbnails,
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(5)
+    ga = rng.integers(0, 256, (40, 24, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[r].tobytes() for r in range(40))
+    png_ga = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 24, 40, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    # sanity: the decoder really yields a 2-channel array for this payload
+    img, _ = decode_png_any(png_ga)
+    assert img.shape == (40, 24, 2)
+
+    df = spark.createDataFrame(
+        [
+            ("ga", bytearray(png_ga)),
+            ("rgba", bytearray(encode_png_rgba(ga.repeat(2, axis=2)))),
+        ],
+        "asset_id string, payload binary",
+    )
+    rows = {r.asset_id: r for r in image_thumbnails(df, max_side=16).collect()}
+    r = rows["ga"]
+    assert r.decode_error is None and r.thumbnail_png is not None
+    assert (r.thumb_width, r.thumb_height) == (10, 16)
+    timg, _ = decode_png_any(bytes(r.thumbnail_png))
+    assert timg.shape == (16, 10, 4)
+    # gray channel replicated to RGB, channel 1 carried as alpha
+    assert (timg[..., 0] == timg[..., 1]).all() and (timg[..., 1] == timg[..., 2]).all()
+    assert rows["rgba"].decode_error is None  # normal 4-channel path unaffected

@@ -267,13 +267,16 @@ def test_ledger_expire_snapshots_and_remove_orphans(spark, tmp_path):
     # head still reads all four rows (snapshot 4 references every file)
     assert len(cm.ledger_rows()) == 4
 
-    removed = cm.remove_orphans()
+    # grace period (round-5 ADVICE): a just-staged file could be an
+    # in-flight append whose manifest hasn't linked yet — default GC skips it
+    assert cm.remove_orphans() == []
+    removed = cm.remove_orphans(older_than_s=0)
     assert removed == ["commit-deadbeef.parquet"]
     assert len(cm.ledger_rows()) == 4  # referenced files untouched
     # expire to head-only then orphan-collect: files only in snapshots 1-3
     # are all still in 4's list (append-only), so nothing else is removed
     cm.expire_snapshots(keep_last=1)
-    assert cm.remove_orphans() == []
+    assert cm.remove_orphans(older_than_s=0) == []
     assert len(cm.ledger_rows()) == 4
 
 
@@ -306,6 +309,30 @@ def test_ledger_rollback_commit_branches_history(spark, tmp_path):
     assert {r["partition"] for r in old.ledger_rows()} == {"0", "1", "2", "3"}
     # ...then its files orphan and collect
     head.expire_snapshots(keep_last=1)
-    removed = head.remove_orphans()
+    removed = head.remove_orphans(older_than_s=0)
     assert len(removed) == 2  # the files that only snapshots 3/4 referenced
     assert {r["partition"] for r in head.ledger_rows()} == {"0", "1", "redo-2"}
+
+
+def test_ledger_pinned_commit_on_expired_snapshot_raises_value_error(spark, tmp_path):
+    """A manager pinned to an expired/unknown snapshot must fail its first
+    commit with the same documented ValueError the read path raises, not a
+    raw FileNotFoundError (round-5 ADVICE fix)."""
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="px")
+    row = {
+        "run_id": "px", "stage": "s", "partition": "0", "rows": 1,
+        "duration_s": 0.0, "status": "completed", "ts": "2026-01-01T00:00:00",
+    }
+    for i in range(3):
+        cm._append_ledger([{**row, "partition": str(i)}])
+    cm.expire_snapshots(keep_last=1)
+    stale = CheckpointManager(spark, str(tmp_path), run_id="px", snapshot_id=1)
+    with pytest.raises(ValueError, match="unknown ledger snapshot 1"):
+        stale._append_ledger([{**row, "partition": "redo"}])
+    never = CheckpointManager(spark, str(tmp_path), run_id="px", snapshot_id=77)
+    with pytest.raises(ValueError, match="unknown ledger snapshot 77"):
+        never._append_ledger([{**row, "partition": "redo"}])
