@@ -643,6 +643,31 @@ def _q_eudr_report(spark, sf_dir):
     )
 
 
+def _q_image_thumbnails(spark, sf_dir):
+    """Training-data RESIZE op, byte-oracled: md5 of each re-encoded
+    thumbnail PNG over the deterministic image-asset table (PNG colour
+    types 2/4/6 + WebP-lossless + corrupt payloads). The oracle recomputes
+    every hash from the same source pixels through an independent scalar
+    bilinear resize and an independent PNG assembly (oracle/kernels.py), so
+    the engine's from-scratch container decoders, vectorized resize kernel,
+    and PNG encoder are all under the driver's hash check."""
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_thumbnails,
+    )
+
+    ed = engine_dir(sf_dir)
+    imgs = spark.read.parquet(f"{ed}/images.parquet").repartition(8)
+    return image_thumbnails(imgs, max_side=32).select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("thumb_width").cast("long").alias("thumb_width"),
+        F.col("thumb_height").cast("long").alias("thumb_height"),
+        F.md5("thumbnail_png").alias("thumb_md5"),
+        F.col("decode_error").isNotNull().alias("quarantined"),
+    )
+
+
 def _q_worldcover_hist(spark, sf_dir):
     from azure_workflow_for_kml_satellite_spark.operators.eudr import (
         class_histogram_per_aoi,
@@ -1241,7 +1266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-sharing twins (same oracle SQL as their base query) and
     # multi-round-green trivial queries sit past the 50-entry window.
     return {
-        # — never driver-verified before round 4: keep inside the window —
+        # — round 5 rotation: q_cluster_star (the one entry with no driver
+        # row ever) and the new q_image_thumbnails lead; q_page_text and
+        # q_coord_csv (green r3+r4, trivial) rotate past the window —
+        "q_cluster_star": _q_cluster_star,
+        "q_image_thumbnails": _q_image_thumbnails,
+        # — first driver-verified in round 4 —
         "q_ann_lsh": _q_ann_lsh,
         "q_ann_ivf": _q_ann_ivf,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -1285,9 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": _q_token_stats,
         "q_language_id": _q_language_id,
         "q_source_stats": _q_source_stats,
-        "q_page_text": _q_page_text,
         "q_coord_text": _q_coord_text,
-        "q_coord_csv": _q_coord_csv,
         "q_geojson": _q_geojson,
         "q_frame_csv": _q_frame_csv,
         "q_aoi_csv": _q_aoi_csv,
@@ -1299,7 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_gauges_cells": _q_knn_gauges_cells,
         "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "q_dedup_clusters_star": _q_dedup_clusters_star,
-        "q_cluster_star": _q_cluster_star,
+        "q_page_text": _q_page_text,
+        "q_coord_csv": _q_coord_csv,
         "q_dedup_exact": _q_dedup_exact,
         "q_sample_stratified": _q_sample_stratified,
         "q_quality_score": _q_quality_score,
@@ -1463,6 +1492,11 @@ def oracle_sql() -> dict[str, str]:
     sql["q_eudr_report"] = (
         "SELECT url, n_parcels, report_text, pdf_md5 "
         f"FROM read_parquet('{_E}/expected/eudr_report.parquet')"
+    )
+    sql["q_image_thumbnails"] = (
+        "SELECT asset_id, width, height, thumb_width, thumb_height, "
+        "thumb_md5, quarantined "
+        f"FROM read_parquet('{_E}/expected/image_thumbnails.parquet')"
     )
 
     # — genuine SQL re-derivations over engine tables —

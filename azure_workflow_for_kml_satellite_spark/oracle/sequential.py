@@ -338,10 +338,60 @@ def _write(out_dir: Path, name: str, cols: dict) -> None:
     pq.write_table(pa.table(cols), out_dir / f"{name}.parquet")
 
 
+def compute_image_thumbnails(out_dir: Path, max_side: int = 32) -> None:
+    """Expected rows for q_image_thumbnails: regenerate each asset's source
+    pixels (shared input-generation code, synth.image_pixels) and derive the
+    thumbnail md5 through the INDEPENDENT scalar resize + PNG assembly
+    (kernels.resize_bilinear_scalar/png_rgba_bytes) — so the engine's
+    container decode, vectorized bilinear kernel, and PNG encoder are all
+    under test. Corrupt assets quarantine (nulls + quarantined=True)."""
+    import hashlib
+
+    from azure_workflow_for_kml_satellite_spark.sources import synth
+
+    ids, ws, hs, tws, ths, md5s, quar = [], [], [], [], [], [], []
+    for i in range(synth.IMAGE_COUNT):
+        px = synth.image_pixels(i)
+        h, w = px.shape[:2]
+        th, tw = K.thumb_dims(h, w, max_side)
+        small = px if (th, tw) == (h, w) else K.resize_bilinear_scalar(px, th, tw)
+        png = K.png_rgba_bytes(K.normalize_rgba(small))
+        ids.append(f"img{i:03d}_{synth.image_kind(i)}")
+        ws.append(w)
+        hs.append(h)
+        tws.append(tw)
+        ths.append(th)
+        md5s.append(hashlib.md5(png).hexdigest())
+        quar.append(False)
+    for bad in ("img_corrupt_png", "img_corrupt_webp"):
+        ids.append(bad)
+        ws.append(None)
+        hs.append(None)
+        tws.append(None)
+        ths.append(None)
+        md5s.append(None)
+        quar.append(True)
+    _write(
+        out_dir,
+        "image_thumbnails",
+        {
+            "asset_id": pa.array(ids, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "thumb_width": pa.array(tws, pa.int64()),
+            "thumb_height": pa.array(ths, pa.int64()),
+            "thumb_md5": pa.array(md5s, pa.string()),
+            "quarantined": pa.array(quar, pa.bool_()),
+        },
+    )
+
+
 def build_expected(sf_dir: str | Path) -> Path:
     sf_dir = Path(sf_dir)
     out_dir = sf_dir / "expected"
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    compute_image_thumbnails(out_dir)
 
     # per-url visible-text bytes (north-rule invariant): md5 of the
     # INDEPENDENT scanner extraction (kernels.visible_text), compared by the

@@ -38,6 +38,7 @@ def engine_dir(sf_dir: str) -> str:
         "coord_requests.parquet": "write_coord_requests",
         "csv_points.parquet": "write_csv_points",
         "utm_scenes.parquet": "write_utm_scenes",
+        "images.parquet": "write_images",
     }
     for fname, writer in aux.items():
         if not (out / fname).exists():

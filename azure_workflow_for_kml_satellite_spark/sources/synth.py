@@ -21,7 +21,9 @@ dependency — the generator is also used by the sequential oracle).
 from __future__ import annotations
 
 import base64
+import hashlib
 import io
+import struct
 import zipfile
 import zlib
 from datetime import date, datetime, timedelta
@@ -736,6 +738,105 @@ def write_csv_points(out_dir: str | Path) -> Path:
     return out
 
 
+# ── images (training-data thumbnail / multimodal assets) ────────────────────
+
+IMAGE_COUNT = 48
+
+
+def _hash_bytes(i: int, n: int) -> bytes:
+    """n deterministic bytes for asset i — pure function of indices (blake2b
+    counter mode), stable across processes and platforms."""
+    out = bytearray()
+    block = 0
+    while len(out) < n:
+        out += hashlib.blake2b(
+            struct.pack("<QQ", i, block), digest_size=32
+        ).digest()
+        block += 1
+    return bytes(out[:n])
+
+
+def image_kind(i: int) -> str:
+    return ("png_rgba", "png_rgb", "png_ga", "webp")[i % 4]
+
+
+def image_pixels(i: int):
+    """Source pixels of synthetic image asset ``i`` (uint8 HxWxC; C=4 for
+    png_rgba/webp, 3 for png_rgb, 2 for gray+alpha). The single source of
+    truth shared by ``write_images`` (which encodes them into containers)
+    and the sequential oracle (which recomputes expected thumbnails from
+    the same pixels WITHOUT the engine's decoders — so the engine's
+    container decode is part of what the oracle checks)."""
+    import numpy as np
+
+    h = 16 + (_mix(223, i, 5) % 60)  # 16..75 — some below the 32px thumb side
+    w = 16 + (_mix(227, i, 3) % 60)
+    c = {"png_rgba": 4, "png_rgb": 3, "png_ga": 2, "webp": 4}[image_kind(i)]
+    noise = np.frombuffer(_hash_bytes(i, h * w * c), dtype=np.uint8).reshape(h, w, c)
+    # blend a smooth gradient into channel 0 so thumbnails exercise real
+    # bilinear mixing, not just noise averaging
+    gy = np.linspace(0.0, 255.0, h)[:, None]
+    gx = np.linspace(0.0, 255.0, w)[None, :]
+    out = noise.copy()
+    out[..., 0] = np.clip(
+        np.rint(noise[..., 0] * 0.5 + (gy + gx) * 0.25), 0, 255
+    ).astype(np.uint8)
+    return out
+
+
+def _encode_png(arr, color_type: int) -> bytes:
+    """Minimal PNG writer for the generator (filter-0 rows, zlib level 6):
+    colour types 2 (RGB), 4 (gray+alpha), 6 (RGBA)."""
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_images(out_dir: str | Path) -> Path:
+    """Deterministic image-asset table (asset_id, payload) across lossless
+    containers the engine decodes from scratch (PNG colour types 2/4/6,
+    WebP-lossless), plus corrupt payloads for the per-row quarantine path."""
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+
+    ids, payloads = [], []
+    for i in range(IMAGE_COUNT):
+        kind = image_kind(i)
+        px = image_pixels(i)
+        if kind == "webp":
+            payload = encode_webp_lossless(px)
+        else:
+            ct = {"png_rgba": 6, "png_rgb": 2, "png_ga": 4}[kind]
+            payload = _encode_png(px, ct)
+        ids.append(f"img{i:03d}_{kind}")
+        payloads.append(payload)
+    ids.append("img_corrupt_png")
+    payloads.append(b"\x89PNG\r\n\x1a\n" + _hash_bytes(9001, 40))
+    ids.append("img_corrupt_webp")
+    payloads.append(b"RIFF\x20\x00\x00\x00WEBPVP8L\x08\x00\x00\x00" + b"\x00" * 8)
+    out = Path(out_dir) / "images.parquet"
+    pq.write_table(
+        pa.table({"asset_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())}),
+        out,
+    )
+    return out
+
+
 # ── top-level ───────────────────────────────────────────────────────────────
 
 SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000, "sf1": 300000, "sf10": 3000000}
@@ -755,4 +856,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_coord_requests(out_dir)
     write_csv_points(out_dir)
     write_utm_scenes(out_dir)
+    write_images(out_dir)
     return out_dir

@@ -23,6 +23,14 @@ def test_queries_oracles_consistent():
     for name in ("q_minhash_lsh", "q_simhash", "q_simhash_pairs", "q_fingerprint",
                  "q_portfolio", "q_embed_near_dup_lsh"):
         assert name in qs and name in oracles
+    # round-5 rotation: the driver verifies the FIRST 50 entries; the two
+    # entries that had no driver row yet must lead, and the rotated-out
+    # trivial queries stay present (full-set local gate keeps covering them)
+    in_window = list(qs)[:50]
+    for name in ("q_cluster_star", "q_image_thumbnails"):
+        assert name in in_window
+    for name in ("q_page_text", "q_coord_csv"):
+        assert name in qs
 
 
 def test_entry_smoke(spark):
