@@ -31,6 +31,76 @@ from azure_workflow_for_kml_satellite_spark.pipeline import (  # noqa: E402
 )
 
 
+def _memcpy_child(args) -> float:
+    """One calibration worker: copy a warmed 64 MiB buffer ``reps`` times;
+    returns its own elapsed seconds (allocation/warmup excluded)."""
+    import numpy as np
+
+    reps, = args
+    src = np.empty(64 << 20, dtype=np.uint8)
+    dst = np.empty_like(src)
+    src[:] = 7
+    np.copyto(dst, src)  # warm both mappings before timing
+    t0 = time.time()
+    for _ in range(reps):
+        np.copyto(dst, src)
+    return time.time() - t0
+
+
+def calibrate() -> dict:
+    """Fixed micro-probes run at suite start so a bench delta is
+    attributable: the box's band drifts 89-116 s suite-to-suite on
+    identical code (BASELINE.md band history), and these numbers make
+    band-vs-code-regression falsifiable by ratio. Three probes:
+
+    - ndvi_kernel_mpx_s: single-core NDVI+stats numpy kernel (the exact
+      hot-path expressions) over a pinned deterministic 112x112 window —
+      FPU + cache-resident throughput.
+    - memcpy_gbs_1p: single-process big-buffer copy bandwidth.
+    - memcpy_gbs_8p: EIGHT concurrent processes copying — aggregate
+      memory-bus bandwidth, the resource the NDVI stage saturates (the
+      suspected band driver).
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.oracle import kernels as K
+
+    t_start = time.time()
+    # — NDVI kernel probe: pinned inputs via the oracle's deterministic
+    # pixel hash (identical bytes every run, every box) —
+    win = (0, 112, 0, 112)
+    red = K.band_pixels(42, K.RED, win)
+    nir = K.band_pixels(42, K.NIR, win)
+    scl = K.band_pixels(42, K.SCL, win)
+    K.ndvi_stats(*K.s2_ndvi(red, nir, scl)[:2])  # warm allocations/JIT-ish paths
+    reps = 80
+    best_dt = float("inf")
+    for _round in range(3):  # best-of-3: estimates capability, noise only lowers
+        t0 = time.time()
+        for _ in range(reps):
+            ndvi, valid, _ = K.s2_ndvi(red, nir, scl)
+            K.ndvi_stats(ndvi, valid)
+        best_dt = min(best_dt, time.time() - t0)
+    ndvi_mpx_s = round(reps * red.size / best_dt / 1e6, 1)
+
+    # — memory-bandwidth probes (1 process, then 8 concurrent) —
+    one = min(_memcpy_child((60,)) for _ in range(3))
+    gbs_1p = round(60 * (64 << 20) / one / 1e9, 2)
+    with mp.get_context("fork").Pool(8) as pool:
+        slowest = min(  # best-of-3 concurrent rounds, each gated on its slowest child
+            max(pool.map(_memcpy_child, [(24,)] * 8)) for _ in range(3)
+        )
+    gbs_8p = round(8 * 24 * (64 << 20) / slowest / 1e9, 2)
+    return {
+        "ndvi_kernel_mpx_s": ndvi_mpx_s,
+        "memcpy_gbs_1p": gbs_1p,
+        "memcpy_gbs_8p": gbs_8p,
+        "probe_sec": round(time.time() - t_start, 2),
+    }
+
+
 def run_bench(sf_dir: str, cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -157,10 +227,12 @@ def main() -> None:
         core_plan = [cpus] if repeats == 1 else ([16, cpus] * ((repeats + 1) // 2))[:repeats]
     else:
         core_plan = [cpus] * repeats
+    cal = calibrate()  # before any Spark session — an idle-box reading
     runs = [run_bench(sf_dir, c) for c in core_plan]
     best = min(runs, key=lambda r: r["value"])
     best["all_run_totals_sec"] = [r["value"] for r in runs]
     best["all_run_cores"] = [r["cores"] for r in runs]
+    best["calibration"] = cal
     print(json.dumps(best))
 
 
