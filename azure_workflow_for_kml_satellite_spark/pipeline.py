@@ -19,6 +19,7 @@ from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
 from azure_workflow_for_kml_satellite_spark.operators.spatial_join import (
     spatial_join_best_scene,
 )
+from azure_workflow_for_kml_satellite_spark.plans import contracts
 
 ENGINE_DATA_ROOT = Path(__file__).resolve().parent.parent / "data"
 
@@ -97,7 +98,12 @@ def build_aois(spark: SparkSession, ed: str) -> DataFrame:
         return _MEMO[key]
     t = load_tables(spark, ed)
     pages = t["pages"].repartition(max(16, 2 * default_parallelism(spark)))
-    aois = prepare_aois(extract_features(pages)).cache()
+    # stage-boundary contracts (reference contracts.py analog): each
+    # hand-off asserts the consumer's required StructType subset, failing
+    # fast on the driver with a per-column diff instead of a deep executor
+    # crash — see plans/contracts.py
+    feats = contracts.expect(extract_features(pages), "extract→aoi", contracts.FEATURES)
+    aois = contracts.expect(prepare_aois(feats), "aoi→join", contracts.AOIS).cache()
     _MEMO[key] = aois
     return aois
 
@@ -125,9 +131,13 @@ def run_timelapse(
     t = load_tables(spark, ed)
     df = spark.createDataFrame([("request", coords_text)], ["source", "coords_text"])
     feats = coord_features_to_feature_rows(coordinate_text_features(df))
-    aois = prepare_aois(feats)
-    best = spatial_join_best_scene(aois, t["scenes"], t["frames"], date_start, date_end)
-    nd = ndvi_stats(best)
+    aois = contracts.expect(prepare_aois(feats), "aoi→join", contracts.AOIS)
+    best = contracts.expect(
+        spatial_join_best_scene(aois, t["scenes"], t["frames"], date_start, date_end),
+        "join→ndvi",
+        contracts.BEST_SCENES,
+    )
+    nd = contracts.expect(ndvi_stats(best), "ndvi→trend", contracts.NDVI)
     return {"aois": aois, "ndvi": nd, "trend": ndvi_trend_per_aoi(nd)}
 
 
@@ -157,11 +167,21 @@ def run_eudr(
 
     t = load_tables(spark, ed)
     aois = build_aois(spark, ed)
-    best = spatial_join_best_scene(
-        aois, t["scenes"], t["frames"], EUDR_FRAME_DATE_START, date_end
+    best = contracts.expect(
+        spatial_join_best_scene(
+            aois, t["scenes"], t["frames"], EUDR_FRAME_DATE_START, date_end
+        ),
+        "join→ndvi",
+        contracts.BEST_SCENES,
     )
-    nd = ndvi_stats(best.repartition(max(64, 4 * default_parallelism(spark))))
-    ch = season_changes(nd)
+    nd = contracts.expect(
+        ndvi_stats(best.repartition(max(64, 4 * default_parallelism(spark)))),
+        "ndvi→change",
+        contracts.NDVI,
+    )
+    ch = contracts.expect(
+        season_changes(nd), "change→summary/determination", contracts.SEASON_CHANGES
+    )
     baseline = landsat_baseline(aois, t["scenes"])
     det = determination(
         aois,
@@ -192,10 +212,16 @@ def build_ndvi(
         return _MEMO[key]
     t = load_tables(spark, ed)
     aois = build_aois(spark, ed)
-    best = spatial_join_best_scene(
-        aois, t["scenes"], t["frames"], date_start=date_start, date_end=date_end
+    best = contracts.expect(
+        spatial_join_best_scene(
+            aois, t["scenes"], t["frames"], date_start=date_start, date_end=date_end
+        ),
+        "join→ndvi",
+        contracts.BEST_SCENES,
     )
     best = best.repartition(max(32, 4 * default_parallelism(spark)))
-    nd = ndvi_stats(best, include_raster=include_raster).cache()
+    nd = contracts.expect(
+        ndvi_stats(best, include_raster=include_raster), "ndvi→change/metrics", contracts.NDVI
+    ).cache()
     _MEMO[key] = nd
     return nd

@@ -164,8 +164,13 @@ def test_polygon_near_antimeridian_lenient_parity():
     bbox = geo.compute_bbox(ring)
     assert bbox == [-179.8, -16.6, 179.9, -16.5]  # raw min/max, crosses zero
     c = geo.centroid(ring)
-    # same lenient assertion shape as the reference's test
+    # same lenient assertion shape as the reference's test...
     assert bbox[0] <= c[0] <= bbox[2] or bbox[0] > bbox[2]
+    # ...plus the exact replicated values: arithmetic vertex mean with NO
+    # wraparound handling (the reference's geo.py:196-212 semantics), so the
+    # centroid lands near lon 0 — the wrong side of the planet — by design
+    assert c[0] == (179.9 - 179.8 - 179.8 + 179.9) / 4.0  # 0.05...
+    assert c[1] == (-16.5 - 16.5 - 16.6 - 16.6) / 4.0
     # the full kernel ladder stays crash-free on this input
     area, per = geo.geodesic_area_and_perimeter(ring)
     assert area >= 0.0 and per >= 0.0

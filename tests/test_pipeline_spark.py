@@ -203,3 +203,33 @@ def test_text_invariant(spark):
     pages = spark.read.parquet(f"{SF_SMALL}/pages.parquet").collect()
     for r in pages:
         assert extract_text(bytes(r["html"])) == r["text"], r["url"]
+
+
+def test_stage_contracts_fire_on_mutated_schema(spark):
+    """The stage-boundary contracts (plans/contracts.py, the reference
+    contracts.py analog) fail fast with a per-column diff when a hand-off
+    DataFrame is missing or mistypes a required column — and pass through
+    unchanged on a conforming frame."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from azure_workflow_for_kml_satellite_spark.operators.extract import (
+        extract_features,
+    )
+    from azure_workflow_for_kml_satellite_spark.plans import contracts
+
+    pages = spark.read.parquet(f"{SF_SMALL}/pages.parquet")
+    feats = extract_features(pages)
+    # conforming: returns the same DataFrame object
+    assert contracts.expect(feats, "extract→aoi", contracts.FEATURES) is feats
+
+    # deliberately mutated: drop one required column, mistype another
+    broken = feats.drop("dedup_key").withColumn(
+        "feature_index", F.col("feature_index").cast("string")
+    )
+    with pytest.raises(contracts.ContractError) as exc:
+        contracts.expect(broken, "extract→aoi", contracts.FEATURES)
+    msg = str(exc.value)
+    assert "missing column 'dedup_key'" in msg
+    assert "column 'feature_index' is string, expected int" in msg
+    assert "extract→aoi" in msg
