@@ -1,7 +1,7 @@
 """Small web-image formats: BMP and baseline TIFF (really decoded), WebP
-lossless (VP8L pixels really decoded via functions/vp8l.py; lossy VP8 stays
-a dims-only honest stub — that bitstream is a full video intra codec), ICO,
-and SVG root dimensions.
+lossless (VP8L pixels really decoded via functions/vp8l.py) AND lossy
+(VP8 keyframes really decoded via functions/vp8.py, bit-exact against
+libwebp), ICO, and SVG root dimensions.
 
 Companions to functions/png.py, functions/jpeg.py and functions/gif.py.
 """
@@ -64,8 +64,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 def webp_dimensions(data: bytes) -> tuple[int, int, str]:
     """Real WebP header parse → (width, height, variant) for the lossy
-    ('VP8 '), lossless ('VP8L') and extended ('VP8X') layouts. The pixel
-    bitstream itself needs libwebp, which this container lacks."""
+    ('VP8 '), lossless ('VP8L') and extended ('VP8X') layouts."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     fourcc = data[12:16]
@@ -90,10 +89,11 @@ def webp_dimensions(data: bytes) -> tuple[int, int, str]:
 
 
 def decode_webp(data: bytes) -> "np.ndarray":
-    """WebP pixel decode for the LOSSLESS family: VP8L payloads (bare or
-    inside a VP8X extended container) decode fully via the from-scratch
-    functions/vp8l.py codec → HxWx4 uint8 RGBA. Lossy VP8 raises (honest
-    stub — that bitstream is a full video intra codec)."""
+    """WebP pixel decode: VP8L payloads (bare or inside a VP8X extended
+    container) via the from-scratch functions/vp8l.py codec; lossy VP8
+    keyframes via the from-scratch functions/vp8.py decoder (bit-exact YUV
+    vs libwebp; RGB via the BT.601 integer conversion). → HxWx4 uint8
+    RGBA."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     from azure_workflow_for_kml_satellite_spark.functions.vp8l import decode_vp8l
@@ -106,7 +106,42 @@ def decode_webp(data: bytes) -> "np.ndarray":
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise ValueError("VP8 lossy pixel decode unavailable")
+            from azure_workflow_for_kml_satellite_spark.functions.vp8 import (
+                decode_vp8,
+                yuv_to_rgb,
+            )
+
+            y, u, v = decode_vp8(body)
+            rgb = yuv_to_rgb(y, u, v)
+            alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            return np.concatenate([rgb, alpha], axis=2)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP has no decodable image chunk")
+
+
+def decode_webp_luma(data: bytes) -> "np.ndarray":
+    """Luma plane of a WebP payload, HxW uint8 — the cheap path for
+    mean_luma/phash metadata: lossy VP8 returns its native (bit-exact) Y
+    plane with no chroma upsampling or RGB conversion; VP8L converts its
+    RGBA to the same BT.601 luma integers used by image_metadata."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8 ":
+            from azure_workflow_for_kml_satellite_spark.functions.vp8 import decode_vp8
+
+            return decode_vp8(body)[0]
+        if fourcc == b"VP8L":
+            from azure_workflow_for_kml_satellite_spark.functions.vp8l import decode_vp8l
+
+            rgba = decode_vp8l(body).astype(np.uint32)
+            return (
+                (299 * rgba[..., 0] + 587 * rgba[..., 1] + 114 * rgba[..., 2]) // 1000
+            ).astype(np.uint8)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP has no decodable image chunk")
 

@@ -195,10 +195,10 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                         )
                     continue
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
-                    # WebP: VP8L (lossless) pixels REALLY decode via the
-                    # from-scratch functions/vp8l.py codec; lossy VP8 stays
-                    # an honest dims-only stub (that bitstream is a full
-                    # video intra codec)
+                    # WebP: VP8L (lossless) pixels decode via the
+                    # from-scratch functions/vp8l.py codec; lossy VP8
+                    # keyframes via the from-scratch functions/vp8.py
+                    # decoder (bit-exact YUV vs libwebp)
                     from azure_workflow_for_kml_satellite_spark.functions.webimage import (
                         decode_webp,
                         webp_dimensions,
@@ -220,7 +220,9 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                         continue
                     except (ValueError, IndexError, struct.error) as exc:
                         err = str(exc)
-                        lossy = "lossy pixel decode unavailable" in err
+                    # pixel decode failed (corrupt stream, or a VP8X
+                    # feature like animation) — fall back to the real
+                    # header parse so dims survive with a per-row error
                     try:
                         w, h, variant = webp_dimensions(raw)
                         rows.append(
@@ -231,12 +233,7 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                                 "channels": None,
                                 "mean_luma": None,
                                 "phash": None,
-                                "decode_error": (
-                                    f"{variant} pixel decode unavailable "
-                                    "(header real, codec stubbed)"
-                                    if lossy
-                                    else f"corrupt WebP payload: {err}"
-                                ),
+                                "decode_error": f"WebP {variant} pixel decode failed: {err}",
                             }
                         )
                     except (ValueError, IndexError, struct.error) as exc:
@@ -336,10 +333,11 @@ def image_thumbnails(
     bin_col: str = "payload",
 ) -> DataFrame:
     """The training-data RESIZE op: decode each image payload (same codec
-    dispatch as image_metadata, incl. lossless WebP), bilinear-downscale it
-    aspect-preserving so max(h, w) == ``max_side`` (never upscaled), and
-    re-encode as an RGBA PNG — a normalized vision-model input column.
-    Corrupt or pixel-stubbed payloads (lossy WebP, SVG) quarantine per-row."""
+    dispatch as image_metadata, incl. lossless AND lossy WebP), bilinear-
+    downscale it aspect-preserving so max(h, w) == ``max_side`` (never
+    upscaled), and re-encode as an RGBA PNG — a normalized vision-model
+    input column. Corrupt or pixel-stubbed payloads (SVG) quarantine
+    per-row."""
     if max_side < 1:
         raise ValueError("max_side must be >= 1")
 

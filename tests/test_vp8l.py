@@ -253,16 +253,13 @@ def test_image_metadata_decodes_vp8l(spark):
         image_metadata,
     )
 
+    from tests.test_vp8 import GOLDEN_WEBP
+
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, (24, 18, 4), dtype=np.uint8)
     good = V.encode_webp_lossless(img)
-    # a lossy VP8 header: dims real, pixels honestly stubbed
-    import struct as s
-
-    vp8 = b"\x00" * 3 + b"\x9d\x01\x2a" + s.pack("<HH", 24, 18) + b"\x00" * 8
-    lossy = b"RIFF" + s.pack("<I", 4 + 8 + len(vp8)) + b"WEBP" + b"VP8 " + s.pack("<I", len(vp8)) + vp8
     df = spark.createDataFrame(
-        [("l", bytearray(good)), ("y", bytearray(lossy))],
+        [("l", bytearray(good)), ("y", bytearray(GOLDEN_WEBP))],
         "asset_id string, payload binary",
     )
     rows = {r.asset_id: r for r in image_metadata(df).collect()}
@@ -270,5 +267,7 @@ def test_image_metadata_decodes_vp8l(spark):
     assert rows["l"].width == 18 and rows["l"].height == 24 and rows["l"].channels == 4
     # same precision/expression as every other format's generic path
     assert rows["l"].mean_luma == round(float(img.mean()), 4)
-    assert rows["y"].decode_error and "stubbed" in rows["y"].decode_error
-    assert rows["y"].width == 24 and rows["y"].height == 18
+    # lossy VP8 rows now decode for real too (round-5: functions/vp8.py)
+    assert rows["y"].decode_error is None
+    assert rows["y"].width == 56 and rows["y"].height == 40
+    assert rows["y"].mean_luma is not None and rows["y"].phash is not None
