@@ -66,6 +66,8 @@ def get_spark(
         # mmaps — this sandbox page-faults new mappings at ~170 MB/s, which
         # dominated the raster UDFs (4x on the biggest windows).
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
-        .config("spark.ui.enabled", "false")
+        # UI off by default; profiling studies (scripts/profile_10yr.py)
+        # flip it on to read per-task metrics from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()

@@ -381,7 +381,17 @@ class CheckpointManager:
     ) -> DataFrame:
         """Checkpoint a stage partitioned by a column, resuming mid-stage:
         already-completed partition values are skipped via left-anti join of
-        the INPUT against the ledger (only missing partitions recompute)."""
+        the INPUT against the ledger (only missing partitions recompute).
+
+        Each partition value commits INDIVIDUALLY — its parquet write and
+        ledger row land before the next value starts — so a hard kill
+        (SIGKILL, node loss) mid-stage durably keeps every finished
+        partition and the resume recomputes only the missing ones
+        (demonstrated end-to-end at the bench operating point in
+        scripts/bench_resume.py). The per-value Spark jobs cost a few
+        hundred ms each over the single-write formulation — the price of
+        mid-stage durability; with 1000 executors you would instead raise
+        the commit grain (e.g. bucket years into task groups)."""
         out = self.run_dir / name
         done = self.completed_partitions(name)
         todo = df
@@ -390,30 +400,48 @@ class CheckpointManager:
                 [(v,) for v in done], [partition_col]
             )
             todo = df.join(F.broadcast(done_df), partition_col, "left_anti")
-        t0 = time.time()
-        # static partition overwrite so resume appends only new partitions
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        todo.write.mode("append").partitionBy(partition_col).parquet(str(out))
-        duration = time.time() - t0
-        back = self.spark.read.parquet(str(out))
-        new_parts = (
-            todo.groupBy(partition_col).count().collect()
-        )
-        rows = [
-            {
-                "run_id": self.run_id,
-                "stage": name,
-                "partition": str(r[partition_col]),
-                "rows": r["count"],
-                "duration_s": round(duration, 3),
-                "status": "completed",
-                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            }
-            for r in new_parts
-        ]
-        if rows:
-            self._append_ledger(rows)
-        return back
+        # cache the pruned input once: each per-value pass filters it
+        todo = todo.persist()
+        try:
+            missing = [
+                r[0] for r in todo.select(partition_col).distinct().collect()
+            ]
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            for val in sorted(missing, key=str):
+                t0 = time.time()
+                # a crash BETWEEN a value's parquet write and its ledger row
+                # leaves committed-looking files with no ledger entry; wipe
+                # them before recomputing or append would double the rows
+                leftover = out / f"{partition_col}={val}"
+                if leftover.exists():
+                    import shutil as _shutil
+
+                    _shutil.rmtree(leftover)
+                part = todo.filter(F.col(partition_col) == val)
+                part.write.mode("append").partitionBy(partition_col).parquet(
+                    str(out)
+                )
+                n = self.spark.read.parquet(str(out)).filter(
+                    F.col(partition_col) == val
+                )
+                self._append_ledger(
+                    [
+                        {
+                            "run_id": self.run_id,
+                            "stage": name,
+                            "partition": str(val),
+                            "rows": n.count(),
+                            "duration_s": round(time.time() - t0, 3),
+                            "status": "completed",
+                            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                        }
+                    ]
+                )
+        finally:
+            todo.unpersist()
+        return self.spark.read.parquet(str(out))
 
     def metrics(self) -> DataFrame:
         """The per-partition metrics table (A11 analog) — the ledger itself."""
