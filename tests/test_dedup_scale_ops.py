@@ -488,3 +488,38 @@ def test_near_dup_clusters_star_logn_on_huge_diameter(spark):
         F.max("cluster_id").alias("hi"),
     ).collect()[0]
     assert (agg["n"], agg["lo"], agg["hi"]) == (n, 0, 0)
+
+
+def test_ann_pruned_operating_points_recall_floors(spark):
+    """Recall floors at the PRUNED configs bench.py runs (round-4 verdict
+    item 9). Everything in this path is deterministic (hash signatures,
+    hash-sampled k-means seeds), so the measured recalls are constants;
+    the floors sit just under the measured sf0.01 values recorded in
+    BASELINE.md (ivf n_probe=4 → 0.572, lsh planes=12 → 0.324), and the
+    IVF curve must be monotone with a provably-exact full-probe end."""
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    qids = list(range(50))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, qids, 10).collect()
+    }
+
+    def recall(rows):
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        return len(exact & got) / len(exact)
+
+    r_curve = []
+    for n_probe in (2, 4, 16):
+        r_curve.append(
+            recall(ivf_topk(emb, qids, 10, n_centroids=16, n_probe=n_probe).collect())
+        )
+    assert r_curve[0] >= 0.3 and r_curve[1] >= 0.5, r_curve  # pruned floors
+    assert r_curve == sorted(r_curve), r_curve  # more probes never hurt
+    assert r_curve[2] == 1.0  # full probe == exact (provable-equality point)
+    assert recall(lsh_topk(emb, qids, 10, planes=12).collect()) >= 0.3
