@@ -163,7 +163,7 @@ def _canonical_codes(lengths: list[int]) -> dict[int, int]:
     return out
 
 
-_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 
 def _read_prefix_code(r: _Reader, alphabet_size: int) -> _Tree:
@@ -708,3 +708,19 @@ def encode_webp_lossless(rgba: np.ndarray) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_vp8l_alpha(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a WebP ALPH-chunk lossless stream: a VP8L bitstream WITHOUT
+    the signature/size header (dimensions come from the container), whose
+    GREEN channel carries the alpha values. Returns (h, w) uint8."""
+    if w * h > (1 << 22):
+        raise ValueError(f"alpha dimensions {w}x{h} exceed the decode bound")
+    r = _Reader(data)
+    pix, transforms, coded_w = _decode_image(r, w, h, True)
+    if len(pix) != coded_w * h:
+        raise ValueError("alpha pixel count mismatch")
+    pix, final_w = _apply_inverse_transforms(pix, transforms, coded_w, h)
+    if final_w != w or len(pix) != w * h:
+        raise ValueError("alpha transform output size mismatch")
+    return ((pix.reshape(h, w) >> 8) & 0xFF).astype(np.uint8)

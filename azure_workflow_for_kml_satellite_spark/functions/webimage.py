@@ -99,13 +99,16 @@ def decode_webp(data: bytes) -> "np.ndarray":
     from azure_workflow_for_kml_satellite_spark.functions.vp8l import decode_vp8l
 
     pos = 12
+    alph_body = None
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
+        if fourcc == b"ALPH":
+            alph_body = body  # precedes the VP8 chunk in VP8X containers
+        elif fourcc == b"VP8L":
             return decode_vp8l(body)
-        if fourcc == b"VP8 ":
+        elif fourcc == b"VP8 ":
             from azure_workflow_for_kml_satellite_spark.functions.vp8 import (
                 decode_vp8,
                 yuv_to_rgb,
@@ -113,7 +116,11 @@ def decode_webp(data: bytes) -> "np.ndarray":
 
             y, u, v = decode_vp8(body)
             rgb = yuv_to_rgb(y, u, v)
-            alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            h, w = rgb.shape[:2]
+            if alph_body is not None:
+                alpha = decode_alph(alph_body, w, h)[..., None]
+            else:
+                alpha = np.full((h, w, 1), 255, dtype=np.uint8)
             return np.concatenate([rgb, alpha], axis=2)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP has no decodable image chunk")
@@ -405,3 +412,66 @@ def svg_dimensions(data: bytes) -> tuple[int, int]:
     if vb:
         return int(round(float(vb.group(3)))), int(round(float(vb.group(4))))
     raise ValueError("SVG has no parseable dimensions")
+
+
+def _alpha_unfilter(a: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the ALPH-chunk prediction filters (WebP container spec):
+    0 none, 1 horizontal (left; first column predicts from above),
+    2 vertical (above; first row predicts from left), 3 gradient
+    (clip(left + above - above_left), borders as horizontal/vertical)."""
+    if method == 0:
+        return a
+    h, w = a.shape
+    out = a.astype(np.int32)
+    if method == 1:
+        for y in range(h):
+            out[y, 0] += out[y - 1, 0] if y > 0 else 0
+            for x in range(1, w):
+                out[y, x] = (out[y, x] + out[y, x - 1]) & 0xFF
+            out[y, 0] &= 0xFF
+        return out.astype(np.uint8)
+    if method == 2:
+        for x in range(1, w):
+            out[0, x] = (out[0, x] + out[0, x - 1]) & 0xFF
+        for y in range(1, h):
+            out[y] = (out[y] + out[y - 1]) & 0xFF
+        return out.astype(np.uint8)
+    if method == 3:
+        for y in range(h):
+            for x in range(w):
+                if y == 0:
+                    pred = out[0, x - 1] if x > 0 else 0
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
+                    pred = min(255, max(0, g))
+                out[y, x] = (out[y, x] + pred) & 0xFF
+        return out.astype(np.uint8)
+    raise ValueError(f"unknown ALPH filter method {method}")
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a WebP ALPH chunk → (h, w) uint8 alpha plane. Header byte
+    (LSB first): bits 0-1 compression (0 raw, 1 lossless), 2-3 filtering,
+    4-5 pre-processing (level reduction — encoding-side hint, nothing to
+    invert), 6-7 reserved."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    hdr = body[0]
+    compression = hdr & 3
+    filtering = (hdr >> 2) & 3
+    payload = body[1:]
+    if compression == 0:
+        if len(payload) < w * h:
+            raise ValueError("truncated raw ALPH payload")
+        plane = np.frombuffer(payload, np.uint8, w * h).reshape(h, w)
+    elif compression == 1:
+        from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+            decode_vp8l_alpha,
+        )
+
+        plane = decode_vp8l_alpha(payload, w, h)
+    else:
+        raise ValueError(f"reserved ALPH compression method {compression}")
+    return _alpha_unfilter(plane, filtering)

@@ -181,3 +181,115 @@ def test_image_metadata_real_vp8_decode(spark):
     assert r.decode_error is None
     assert (r.width, r.height, r.channels) == (56, 40, 4)
     assert r.mean_luma is not None and r.phash is not None
+
+
+GOLDEN_LOSSY_ALPHA = base64.b64decode(
+    "UklGRsYCAABXRUJQVlA4WAoAAAAQAAAAHQAAFwAAQUxQSBkAAAABmYzof0Bt2zaMW8r/X2fN"
+    "FDEBE4Dr1h4WAFZQOCCGAgAA8AwAnQEqHgAYAD6VOpVIJaMiITAMALASiWwAnTKDyxHDeBIZ"
+    "vQBtgOaA/YD3Abwx6EH6Aelf7A37fPaOWASqf8g/wHSafw3iU+Z/YA/k39a/5HrAeqD9gPZA"
+    "/VUSVK/PTTCzDnwZRLdZxJUcNmVd8AD4tE8S0j19Lj6+0p+o+mvz/uM/yj/x1gA/q0HCYH5v"
+    "c6BKgCAB/CF40zLXw2K2I6bZ+pqZZOldGvudnHXlGA5Ve5a6f7digub3z4pR+yZ5T0HdE6vM"
+    "HowgOolMLDJ1EwkTL2nE+/GFMe29utasDlT5gE38Gi4XSZb1dtn+h0L+z75vMEhQJiffax54"
+    "hxJaj3J7nU0My3kjThUbtT4ra22Bd2BT/t2LHGfR5Dpjhv4GwQm9G5NiNm90Q+c3P5yNgF1p"
+    "0s4wulyKUtZ6xYs3js9qz80H4Aj3kFr90KX0ijPoQpKdmllNT/9siqvOHX/Q0L3n2EkK9p4u"
+    "vpOY5Qfi33OxI5KTbUrttuuITLA+19kwGyIi0NaX0J5lkPaS5P4aLfrcOpb3+h1lmANH/im/"
+    "82Fc6kfzIn/5oaPf2AuV5aFx9QJ6Qhw58fALKNhwH+ew+vwgNLNc2d2eBP+Yk2hIasMfX9Ul"
+    "6ZUDdt7LNSIVLn3355GJliwNHwiAE+6803+FdxKofHgvslGLpiovaOy9ybscLFtM/9YCQTvd"
+    "k+c/8sgvLOqxzwtqYRh6taNGZQT626n58Z+sBP8Hm/IPndWX/7K28jflDT3aOCbsMnbtlIqG"
+    "vKKWL3nlpqWnK+YH23/Ftk/xBIaTf5lGm4PfT2HMAJPvho9cqJshf05u4CiJE4u2bihlbQTu"
+    "2ahGrjW9FazGV5lQXHIAAA=="
+)
+GOLDEN_LOSSLESS_CLORDER = base64.b64decode(
+    "UklGRj4AAABXRUJQVlA4TDIAAAAvGcAEAAmASNrfe4aI/qcuAILwH64hCt//VCht24Dp/P/t"
+    "0jICSVu87Z+mmACQt++dDQ=="
+)
+
+
+def test_alpha_chunk_decode_golden():
+    """Lossy WebP with an ALPH chunk (VP8X + lossless-compressed, filtered
+    alpha plane): the dominant transparent-WebP layout on the real web.
+    Alpha plane md5 recorded from libwebp's decode of the same stream."""
+    rgba = decode_webp(GOLDEN_LOSSY_ALPHA)
+    assert rgba.shape == (24, 30, 4)
+    assert hashlib.md5(rgba[..., 3].tobytes()).hexdigest() == (
+        "d05752661a912233801a4789950111d3"
+    )
+    assert hashlib.md5(rgba.tobytes()).hexdigest() == (
+        "3e0a574cc590f7b0a955ec946a3135ed"
+    )
+
+
+def test_lossless_code_length_order_golden():
+    """Regression pin for the round-5 _CODE_LENGTH_ORDER fix: this libwebp-
+    encoded lossless stream uses code-length symbol 16 at order position 8
+    (WebP's order is 17,18,0,1,2,3,4,5,16,6,...), which the old DEFLATE-
+    like ordering misparsed on EVERY nontrivial real-world stream."""
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import decode_vp8l
+
+    import numpy as np
+
+    yy, xx = np.mgrid[0:20, 0:26]
+    want = np.zeros((20, 26, 4), dtype=np.uint8)
+    want[..., 0] = (xx * 3 + yy) % 256
+    want[..., 1] = (xx + yy * 5) % 256
+    want[..., 2] = 77
+    want[..., 3] = 255
+    got = decode_webp(GOLDEN_LOSSLESS_CLORDER)
+    assert (got == want).all()
+
+
+def test_lossless_and_alpha_differential_vs_system_libwebp():
+    """Sweep REAL libwebp encodings (lossless and lossy+alpha) across
+    content types and odd sizes; my decode must match libwebp's own
+    RGBA output exactly (alpha=0 pixels excluded for lossy RGB — the
+    encoder discards RGB under full transparency)."""
+    import numpy as np
+
+    lib = _libwebp()
+    if lib is None:  # pragma: no cover
+        pytest.skip("system libwebp unavailable (goldens above still ran)")
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+
+    def enc(fn, rgba):
+        h, w, _ = rgba.shape
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        args = [np.ascontiguousarray(rgba).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, 4 * w]
+        if fn is lib.WebPEncodeRGBA:
+            args.append(ctypes.c_float(75.0))
+        n = fn(*args, ctypes.byref(out))
+        assert n > 0
+        d = bytes(bytearray(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+        lib.WebPFree(out)
+        return d
+
+    def ref_decode(webp):
+        W = ctypes.c_int(); H = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(webp, ctypes.c_size_t(len(webp)), ctypes.byref(W), ctypes.byref(H))
+        assert p
+        ref = np.ctypeslib.as_array(p, shape=(H.value, W.value, 4)).copy()
+        lib.WebPFree(p)
+        return ref
+
+    rng = np.random.default_rng(0)
+    for trial in range(24):
+        h = int(rng.integers(1, 50))
+        w = int(rng.integers(1, 50))
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        if trial % 3 == 0:
+            img[..., 3] = 255
+        if trial % 5 == 0:
+            img = (img // 64) * 64  # palette-transform territory
+        if trial % 7 == 0:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img[..., 0] = (xx * 3 + yy) % 256  # predictor territory
+            img[..., 1] = (xx + yy * 5) % 256
+        img = np.ascontiguousarray(img)
+        data = enc(lib.WebPEncodeLosslessRGBA, img)
+        assert (decode_webp(data) == ref_decode(data)).all(), f"lossless trial {trial}"
+        if h >= 4 and w >= 4:
+            data = enc(lib.WebPEncodeRGBA, img)  # lossy (+ALPH when alpha varies)
+            ref = ref_decode(data)
+            mine = decode_webp(data)
+            assert (mine[..., 3] == ref[..., 3]).all(), f"alpha trial {trial}"
