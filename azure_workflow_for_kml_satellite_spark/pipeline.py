@@ -69,6 +69,21 @@ def default_parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def _ndvi_repartition(spark: SparkSession, best: DataFrame) -> DataFrame:
+    """Partitioning for the heterogeneous per-(geometry, frame) raster
+    stage: fine grain (8x parallelism, min 64) hashed on the natural key.
+    Measured on the 10-year-window job (BASELINE.md round-5 study,
+    scripts/profile_10yr.py): the coarse default left a straggler tail
+    (p95/p50 = 1.53 across 48 fat tasks) and 0.60 scaling efficiency at
+    local[8]->local[32]; key-hash scatter at grain 256 cut the stage wall
+    44% and lifted tuned-vs-tuned efficiency to 0.76 — the remaining gap
+    is per-task slowdown under concurrency (memory bus), not skew."""
+    from pyspark.sql import functions as F
+
+    grain = max(64, 8 * default_parallelism(spark))
+    return best.repartition(grain, F.col("url"), F.col("frame_id"))
+
+
 # Per-process memo of expensive intermediate DataFrames: several queries()
 # entries share the extraction/NDVI prefix; caching the DataFrame (Spark
 # .cache()) within one session avoids rebuilding the whole pipeline per
@@ -175,7 +190,7 @@ def run_eudr(
         contracts.BEST_SCENES,
     )
     nd = contracts.expect(
-        ndvi_stats(best.repartition(max(64, 4 * default_parallelism(spark)))),
+        ndvi_stats(_ndvi_repartition(spark, best)),
         "ndvi→change",
         contracts.NDVI,
     )
@@ -219,7 +234,7 @@ def build_ndvi(
         "join→ndvi",
         contracts.BEST_SCENES,
     )
-    best = best.repartition(max(32, 4 * default_parallelism(spark)))
+    best = _ndvi_repartition(spark, best)
     nd = contracts.expect(
         ndvi_stats(best, include_raster=include_raster), "ndvi→change/metrics", contracts.NDVI
     ).cache()

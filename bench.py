@@ -151,20 +151,16 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     )
     timed("q_spatial_join", lambda: best.count())
 
-    # q3: e2e NDVI (join recomputed from cached aois + NDVI kernels).
-    # Per-stage partition-throttling inside one local[cpus] session was
-    # measured and REJECTED (BASELINE.md §Measured, round 4): capping the
-    # NDVI stage at 16 partitions in a local[32] session did not reproduce
-    # the local[16]-session advantage (38-41 s vs 33 s at full fan-out in
-    # the same band — the 32-thread JVM's shuffle/GC/Arrow threads are the
-    # contention source, not the partition count), and a sampled probe is
-    # dominated by fixed per-task overheads, so it systematically mis-picks
-    # the throttle. Band adaptivity stays at the SESSION level (main()).
+    # q3: e2e NDVI (join recomputed from cached aois + NDVI kernels),
+    # partitioned by the round-5 tuned policy (_ndvi_repartition: fine
+    # grain + key-hash scatter — straggler evidence in BASELINE.md round-5
+    # study). Distinct from the round-4 REJECTED idea of throttling the
+    # stage BELOW session parallelism (that one starved the stage; this
+    # one splits it finer at full fan-out).
     from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
+    from azure_workflow_for_kml_satellite_spark.pipeline import _ndvi_repartition
 
-    nd = ndvi_stats(
-        best.repartition(max(64, 4 * cores)),
-    )
+    nd = ndvi_stats(_ndvi_repartition(spark, best))
     timed("q_ndvi_e2e", lambda: nd.count())
     nd = nd.cache()
     nd.count()

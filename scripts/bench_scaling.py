@@ -40,7 +40,8 @@ best = spatial_join_best_scene(aois, t["scenes"], t["frames"], {date_start!r}, {
 if {stage!r} == "relational":
     target = best   # extraction + cell join + top-1 only (CPU/shuffle bound)
 else:
-    target = ndvi_stats(best.repartition(max(64, 4*{cores})))
+    from azure_workflow_for_kml_satellite_spark.pipeline import _ndvi_repartition
+    target = ndvi_stats(_ndvi_repartition(spark, best))
 t0 = time.time()
 n_stats = target.count()   # ONE action, end-to-end
 wall = time.time() - t0
