@@ -104,6 +104,9 @@ def decode_webp(data: bytes) -> "np.ndarray":
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X" and len(body) >= 1 and body[0] & 0x02:
+            # animated: first composited frame is the still-image view
+            return decode_webp_frames(data)[2][0][1]
         if fourcc == b"ALPH":
             alph_body = body  # precedes the VP8 chunk in VP8X containers
         elif fourcc == b"VP8L":
@@ -475,3 +478,94 @@ def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
     else:
         raise ValueError(f"reserved ALPH compression method {compression}")
     return _alpha_unfilter(plane, filtering)
+
+
+def _blend_frame(canvas: np.ndarray, frame: np.ndarray, x: int, y: int, blend: bool) -> None:
+    """Composite ``frame`` onto ``canvas`` at (x, y). ``blend=False``
+    overwrites the rectangle; ``blend=True`` alpha-blends per the WebP
+    container spec formula (integer, round-half-up via +den//2)."""
+    fh, fw = frame.shape[:2]
+    region = canvas[y : y + fh, x : x + fw]
+    if not blend:
+        region[:] = frame
+        return
+    sa = frame[..., 3:4].astype(np.uint32)
+    da = region[..., 3:4].astype(np.uint32)
+    oa = sa * 255 + da * (255 - sa)  # out alpha numerator (den 255)
+    src = frame[..., :3].astype(np.uint32)
+    dst = region[..., :3].astype(np.uint32)
+    num = src * sa * 255 + dst * da * (255 - sa)
+    safe = np.maximum(oa, 1)
+    rgb = (num + safe // 2) // safe
+    region[..., :3] = np.clip(rgb, 0, 255).astype(np.uint8)
+    region[..., 3:4] = ((oa + 127) // 255).astype(np.uint8)
+
+
+def decode_webp_frames(data: bytes, max_frames: int = 256):
+    """Demux + decode an ANIMATED WebP (VP8X + ANIM/ANMF): returns
+    (canvas_w, canvas_h, [(duration_ms, composited RGBA canvas), ...]).
+    Each ANMF's embedded VP8/VP8L (+ALPH) frame decodes through the same
+    bit-exact codecs as still images; compositing follows the container
+    spec (alpha-blend vs overwrite, dispose-to-background). Raises
+    ValueError for non-animated or malformed payloads."""
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    if data[12:16] != b"VP8X":
+        raise ValueError("not an extended (VP8X) WebP")
+    flags = data[20]
+    if not flags & 0x02:
+        raise ValueError("WebP has no animation flag")
+    cw = int.from_bytes(data[24:27], "little") + 1
+    ch = int.from_bytes(data[27:30], "little") + 1
+    if cw * ch > (1 << 24):
+        raise ValueError("animated WebP canvas exceeds decode budget")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)  # init: transparent black
+    bg = (0, 0, 0, 0)
+    frames = []
+    pos = 12 + 8 + int.from_bytes(data[16:20], "little") + (
+        int.from_bytes(data[16:20], "little") & 1
+    )
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("truncated ANIM chunk")
+            b, g, r, a = body[0], body[1], body[2], body[3]  # BGRA order
+            bg = (r, g, b, a)
+        elif fourcc == b"ANMF":
+            if len(frames) >= max_frames:
+                raise ValueError("animated WebP exceeds frame budget")
+            if len(body) < 16:
+                raise ValueError("truncated ANMF chunk")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            fflags = body[15]
+            no_blend = bool(fflags & 0x02)
+            dispose_bg = bool(fflags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF frame rectangle outside canvas")
+            # frame payload = sub-chunks: optional ALPH, then VP8/VP8L;
+            # wrap them in a minimal container and reuse decode_webp
+            sub = body[16:]
+            wrapped = (
+                b"RIFF"
+                + (4 + len(sub)).to_bytes(4, "little")
+                + b"WEBP"
+                + sub
+            )
+            frame = decode_webp(wrapped)
+            if frame.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame bitstream dims disagree with header")
+            _blend_frame(canvas, frame, fx, fy, blend=not no_blend)
+            frames.append((dur, canvas.copy()))
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("animated WebP has no frames")
+    return cw, ch, frames

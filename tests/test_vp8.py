@@ -293,3 +293,110 @@ def test_lossless_and_alpha_differential_vs_system_libwebp():
             ref = ref_decode(data)
             mine = decode_webp(data)
             assert (mine[..., 3] == ref[..., 3]).all(), f"alpha trial {trial}"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _mux_anim(canvas_wh, frames):
+    """Minimal animated-WebP muxer for tests (container spec layout):
+    frames = [(x, y, dur_ms, flags_byte, still_webp_bytes)] where
+    still_webp_bytes is a plain single-image WebP whose image chunks are
+    re-embedded into the ANMF."""
+    cw, ch = canvas_wh
+    vp8x = bytes([0x02, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    out = _chunk(b"VP8X", vp8x)
+    out += _chunk(b"ANIM", bytes([0, 0, 0, 0]) + (0).to_bytes(2, "little"))
+    for x, y, dur, flags, still in frames:
+        sub = still[12:]  # strip RIFF....WEBP, keep the image chunks
+        from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+            webp_dimensions,
+        )
+
+        fw, fh, _ = webp_dimensions(still)
+        body = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([flags])
+            + sub
+        )
+        out += _chunk(b"ANMF", body)
+    return b"RIFF" + (4 + len(out)).to_bytes(4, "little") + b"WEBP" + out
+
+
+def test_animated_webp_demux_and_compositing():
+    """ANIM/ANMF demux + compositing over the bit-exact frame codecs:
+    self-muxed container (no system muxer exists here), frames placed at
+    offsets, overwrite vs alpha-blend vs dispose-to-background all
+    asserted analytically."""
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+        decode_webp,
+        decode_webp_frames,
+    )
+
+    red = np.zeros((8, 8, 4), dtype=np.uint8)
+    red[..., 0] = 200
+    red[..., 3] = 255
+    half_green = np.zeros((4, 4, 4), dtype=np.uint8)
+    half_green[..., 1] = 100
+    half_green[..., 3] = 128  # semi-transparent: exercises the blend math
+    opaque_blue = np.zeros((4, 4, 4), dtype=np.uint8)
+    opaque_blue[..., 2] = 77
+    opaque_blue[..., 3] = 255
+
+    f1 = encode_webp_lossless(red)
+    f2 = encode_webp_lossless(half_green)
+    f3 = encode_webp_lossless(opaque_blue)
+    anim = _mux_anim(
+        (8, 8),
+        [
+            (0, 0, 40, 0x02, f1),        # overwrite full canvas
+            (2, 2, 50, 0x00, f2),        # alpha-blend at (2,2)
+            (4, 4, 60, 0x02 | 0x01, f3), # overwrite at (4,4), then dispose rect
+        ],
+    )
+    cw, ch, frames = decode_webp_frames(anim)
+    assert (cw, ch) == (8, 8)
+    assert [d for d, _ in frames] == [40, 50, 60]
+    c1, c2, c3 = (f for _, f in frames)
+    assert (c1[0, 0] == (200, 0, 0, 255)).all()
+    # blend of (0,100,0,128) over (200,0,0,255): a_out = 255;
+    # rgb = (src*128*255 + dst*255*127 + den/2) // (255*255)
+    den = 255 * 255
+    exp_r = (200 * 255 * 127 + den // 2) // den
+    exp_g = (100 * 128 * 255 + den // 2) // den
+    assert tuple(c2[3, 3]) == (exp_r, exp_g, 0, 255)
+    assert (c2[0, 0] == (200, 0, 0, 255)).all()  # outside blend rect
+    assert (c3[5, 5] == (0, 0, 77, 255)).all()   # overwritten rect
+    # decode_webp view of an animated file = first composited frame
+    assert (decode_webp(anim) == c1).all()
+
+    # dispose-to-background applied AFTER frame 3 is shown: a 4th frame
+    # would see transparent pixels there — simulate by a no-op 4th frame
+    tiny = encode_webp_lossless(np.zeros((1, 1, 4), dtype=np.uint8))
+    anim2 = _mux_anim(
+        (8, 8),
+        [
+            (0, 0, 40, 0x02, f1),
+            (4, 4, 60, 0x02 | 0x01, f3),
+            (0, 0, 10, 0x00, tiny),  # blend of fully-transparent: no-op
+        ],
+    )
+    _, _, frames2 = decode_webp_frames(anim2)
+    last = frames2[-1][1]
+    assert (last[5, 5] == (0, 0, 0, 0)).all()    # disposed rect is transparent bg
+    assert (last[0, 1] == (200, 0, 0, 255)).all()  # rest of canvas intact
+
+    # malformed: frame rect outside canvas
+    import pytest as _pytest
+
+    bad = _mux_anim((8, 8), [(6, 6, 10, 0x02, f3)])
+    with _pytest.raises(ValueError, match="outside canvas"):
+        decode_webp_frames(bad)
