@@ -99,12 +99,15 @@ def season_changes(
         *[F.lag(c).over(w).alias(f"a_{c}") for c in _RECIPE],
         *[F.col(c).alias(f"b_{c}") for c in _RECIPE],
     ).filter(F.col("year_from").isNotNull())
-    # Round-robin repartition: the window shuffle clumps one AOI's (heavy)
-    # pairs into one partition; pair recompute cost varies 4 orders of
-    # magnitude (monster 200px² vs mega 2800px² windows), so spread rows
-    # before the pixel work to kill the straggler tail.
+    # The window shuffle clumps one AOI's (heavy) pairs into one partition;
+    # pair recompute cost varies 4 orders of magnitude (monster 200px² vs
+    # mega 2800px² windows), so scatter rows before the pixel work. Fine
+    # grain + key-hash, same policy the round-5 profile study picked for
+    # the NDVI stage (BASELINE.md): hash on the full pair key declusters
+    # same-AOI runs (measured 29.9 s vs 35-40 s round-robin at sf0.1).
     paired = paired.repartition(
-        max(64, 4 * ndvi_df.sparkSession.sparkContext.defaultParallelism)
+        max(64, 8 * ndvi_df.sparkSession.sparkContext.defaultParallelism),
+        F.col("url"), F.col("feature_index"), F.col("season"), F.col("year_to"),
     )
 
     key_cols = ["url", "feature_index", "season", "year_from", "year_to"]
