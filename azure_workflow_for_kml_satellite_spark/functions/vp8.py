@@ -124,24 +124,34 @@ class BoolDecoder:
         self.bit_count = 0
 
     def read_bool(self, prob: int) -> int:
-        split = 1 + (((self.range - 1) * prob) >> 8)
+        rng = self.range
+        value = self.value
+        split = 1 + (((rng - 1) * prob) >> 8)
         big = split << 8
-        if self.value >= big:
+        if value >= big:
             ret = 1
-            self.range -= split
-            self.value -= big
+            rng -= split
+            value -= big
         else:
             ret = 0
-            self.range = split
-        while self.range < 128:
-            self.value = (self.value << 1) & 0xFFFF
-            self.range <<= 1
-            self.bit_count += 1
-            if self.bit_count == 8:
-                self.bit_count = 0
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                self.pos += 1
-                self.value |= nxt
+            rng = split
+        if rng < 128:
+            bit_count = self.bit_count
+            data = self.data
+            pos = self.pos
+            ndata = len(data)
+            while rng < 128:
+                value = (value << 1) & 0xFFFF
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    value |= data[pos] if pos < ndata else 0
+                    pos += 1
+            self.bit_count = bit_count
+            self.pos = pos
+        self.range = rng
+        self.value = value
         return ret
 
     def read_literal(self, n: int) -> int:
@@ -516,7 +526,12 @@ def decode_frame(data: bytes):
     width, height = w_code & 0x3FFF, h_code & 0x3FFF
     if width == 0 or height == 0:
         raise ValueError("bad VP8 dimensions")
-    if width * height > (1 << 24):
+    if width * height > (1 << 22):
+        # same policy as the other from-scratch decoders (vp8l.py): the
+        # bound is sized for TIME as much as memory — token decode is
+        # per-coefficient Python, so the cap keeps a worst-case crafted
+        # (or merely huge) frame to tens of seconds, not minutes; bigger
+        # frames quarantine per-row with this message
         raise ValueError("VP8 dimensions exceed decoder budget")
     part1 = data[10 : 10 + part1_size]
     if len(part1) < part1_size:
