@@ -21,8 +21,6 @@ YUV are supported — that is the entire lossy-WebP universe.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 from azure_workflow_for_kml_satellite_spark.functions.vp8_tables import (

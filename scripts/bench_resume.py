@@ -15,7 +15,6 @@ Prints one JSON line; paste the numbers into BASELINE.md.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import signal

@@ -400,3 +400,28 @@ def test_animated_webp_demux_and_compositing():
     bad = _mux_anim((8, 8), [(6, 6, 10, 0x02, f3)])
     with _pytest.raises(ValueError, match="outside canvas"):
         decode_webp_frames(bad)
+
+
+def test_image_metadata_animated_webp(spark):
+    """Animated WebP payloads flow through image_metadata via the
+    first-composited-frame view (same convention as animated GIF)."""
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        image_metadata,
+        image_thumbnails,
+    )
+
+    base = np.zeros((12, 10, 4), dtype=np.uint8)
+    base[..., 0] = 90
+    base[..., 3] = 255
+    anim = _mux_anim((10, 12), [(0, 0, 40, 0x02, encode_webp_lossless(base))])
+    df = spark.createDataFrame(
+        [("anim", bytearray(anim))], "asset_id string, payload binary"
+    )
+    r = image_metadata(df).collect()[0]
+    assert r.decode_error is None
+    assert (r.width, r.height, r.channels) == (10, 12, 4)
+    t = image_thumbnails(df, max_side=8).collect()[0]
+    assert t.decode_error is None and (t.thumb_width, t.thumb_height) == (7, 8)
