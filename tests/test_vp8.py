@@ -124,6 +124,12 @@ def test_differential_vs_system_libwebp():
     mixed[..., 2] = (128 + 90 * np.sin(xx / 5.0) * np.sin(yy / 9.0)).astype(np.uint8)
     for q in (12, 55, 92):
         cases.append((mixed, q))
+    # degenerate strips + extreme qualities (round-5 adversarial sweep:
+    # 30/30 shapes x qualities passed; keep the nastiest here)
+    strip = rng.integers(0, 256, (1, 16, 3), dtype=np.uint8)
+    cases.append((strip, 0))
+    cases.append((rng.integers(0, 256, (16, 1, 3), dtype=np.uint8), 100))
+    cases.append((rng.integers(0, 256, (17, 17, 3), dtype=np.uint8), 0))
     for rgb, q in cases:
         data = _encode_rgb(lib, rgb, q)
         Yr, Ur, Vr = _decode_yuv(lib, data)
