@@ -204,6 +204,14 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     return result
 
 
+# Idle-box calibration reference for memcpy_gbs_8p (BASELINE.md, 5 probes
+# on 2026-08-17: range 41.5-47.6). FLOOR gates "is the box in a degraded
+# band right now"; REF (the range midpoint) is the denominator of the
+# attribution rule's band adjustment.
+BAND_FLOOR_8P = 41.5
+BAND_REF_8P = 44.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -223,12 +231,64 @@ def main() -> None:
         core_plan = [cpus] if repeats == 1 else ([16, cpus] * ((repeats + 1) // 2))[:repeats]
     else:
         core_plan = [cpus] * repeats
-    cal = calibrate()  # before any Spark session — an idle-box reading
-    runs = [run_bench(sf_dir, c) for c in core_plan]
+
+    # Band-proof protocol (round-6 task 1): the box's shared-bus band
+    # drifts 1.5-2x suite-to-suite on identical code, so a single timing
+    # is not evidence. (a) Gate the suite on the pre-probe: if the bus
+    # reads below the idle-box floor, cool down and re-probe (bounded);
+    # (b) bracket every suite pass with probes and record ALL of them;
+    # (c) if the pass still ran in a degraded band, re-run the whole suite
+    # once; (d) emit band_adjusted_value via BASELINE.md's attribution
+    # rule (suite * measured_8p / reference_8p) so the recorded number is
+    # interpretable regardless of the band the driver happened to hit.
+    max_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "2")))
+    cooldown_s = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "45"))
+    probes: list[dict] = []
+
+    def probe(tag: str) -> dict:
+        c = calibrate()
+        c["when"] = tag
+        probes.append(c)
+        return c
+
+    runs: list[dict] = []
+    pass_bands: list[float] = []  # per-pass max(pre, post) memcpy_gbs_8p
+    for pass_no in range(1, max_passes + 1):
+        cal = probe(f"pass{pass_no}_pre")
+        retries = 0
+        while cal["memcpy_gbs_8p"] < BAND_FLOOR_8P and retries < 2:
+            retries += 1
+            time.sleep(cooldown_s)
+            cal = probe(f"pass{pass_no}_pre_retry{retries}")
+        first_run_of_pass = len(runs)
+        for c in core_plan:
+            runs.append(run_bench(sf_dir, c))
+        post = probe(f"pass{pass_no}_post")
+        band = max(cal["memcpy_gbs_8p"], post["memcpy_gbs_8p"])
+        for r in runs[first_run_of_pass:]:
+            r["pass_band_8p"] = band
+        pass_bands.append(band)
+        if band >= BAND_FLOOR_8P:
+            break  # this pass ran in a normal band — its numbers stand
+        if pass_no < max_passes:
+            time.sleep(cooldown_s)
+
     best = min(runs, key=lambda r: r["value"])
+    measured_8p = best["pass_band_8p"]
     best["all_run_totals_sec"] = [r["value"] for r in runs]
     best["all_run_cores"] = [r["cores"] for r in runs]
-    best["calibration"] = cal
+    best["calibration"] = max(probes, key=lambda p: p["memcpy_gbs_8p"])
+    best["calibration_probes"] = probes
+    best["band_floor_8p"] = BAND_FLOOR_8P
+    best["band_reference_8p"] = BAND_REF_8P
+    best["band_measured_8p"] = measured_8p
+    best["band_adjusted_value"] = round(best["value"] * measured_8p / BAND_REF_8P, 3)
+    best["band_note"] = (
+        "band_adjusted_value = value * band_measured_8p / band_reference_8p "
+        "(BASELINE.md attribution rule); band_measured_8p is the best "
+        "pass's bracketing probe max. Probes below band_floor_8p mark a "
+        "degraded shared-bus band on this box."
+    )
     print(json.dumps(best))
 
 
