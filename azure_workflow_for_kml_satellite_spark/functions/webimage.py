@@ -130,10 +130,11 @@ def decode_webp(data: bytes) -> "np.ndarray":
 
 
 def decode_webp_luma(data: bytes) -> "np.ndarray":
-    """Luma plane of a WebP payload, HxW uint8 — the cheap path for
-    mean_luma/phash metadata: lossy VP8 returns its native (bit-exact) Y
-    plane with no chroma upsampling or RGB conversion; VP8L converts its
-    RGBA to the same BT.601 luma integers used by image_metadata."""
+    """Luma plane of a WebP payload, HxW uint8. Convenience helper used by
+    the VP8 differential tests (tests/test_vp8.py) to compare the native Y
+    plane against libwebp without chroma upsampling or RGB conversion.
+    NOT on the metadata path — image_metadata computes mean_luma over the
+    full decode_webp RGBA, matching every other format's pipeline."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
@@ -425,31 +426,42 @@ def _alpha_unfilter(a: np.ndarray, method: int) -> np.ndarray:
     if method == 0:
         return a
     h, w = a.shape
-    out = a.astype(np.int32)
-    if method == 1:
-        for y in range(h):
-            out[y, 0] += out[y - 1, 0] if y > 0 else 0
-            for x in range(1, w):
-                out[y, x] = (out[y, x] + out[y, x - 1]) & 0xFF
-            out[y, 0] &= 0xFF
-        return out.astype(np.uint8)
-    if method == 2:
-        for x in range(1, w):
-            out[0, x] = (out[0, x] + out[0, x - 1]) & 0xFF
-        for y in range(1, h):
-            out[y] = (out[y] + out[y - 1]) & 0xFF
-        return out.astype(np.uint8)
+    # (x + y) mod 256 chained along an axis == prefix sum mod 256, so the
+    # purely-directional filters are np.cumsum — the alpha plane can be up
+    # to 4M pixels under the decode bound and per-pixel Python loops here
+    # cost minutes (round-5 ADVICE).
+    if method == 1:  # left; first column predicts from above
+        res = a.astype(np.int64)
+        res[:, 0] = np.cumsum(res[:, 0]) & 0xFF
+        return (np.cumsum(res, axis=1) & 0xFF).astype(np.uint8)
+    if method == 2:  # above; first row predicts from left
+        res = a.astype(np.int64)
+        res[0] = np.cumsum(res[0]) & 0xFF
+        return (np.cumsum(res, axis=0) & 0xFF).astype(np.uint8)
     if method == 3:
-        for y in range(h):
-            for x in range(w):
-                if y == 0:
-                    pred = out[0, x - 1] if x > 0 else 0
-                elif x == 0:
-                    pred = out[y - 1, 0]
-                else:
-                    g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
-                    pred = min(255, max(0, g))
-                out[y, x] = (out[y, x] + pred) & 0xFF
+        # gradient clip() breaks prefix-sum linearity and carries a true
+        # sequential dependence on the left neighbour, so rows iterate in
+        # Python — but over plain int lists (row 0 is pure-horizontal →
+        # cumsum), ~30x the throughput of per-pixel numpy scalar indexing.
+        res = a.astype(np.int64)
+        out = np.empty((h, w), dtype=np.int64)
+        out[0] = np.cumsum(res[0]) & 0xFF
+        prev = out[0].tolist()
+        for y in range(1, h):
+            row = res[y].tolist()
+            cur = [0] * w
+            left = (row[0] + prev[0]) & 0xFF
+            cur[0] = left
+            for x in range(1, w):
+                g = left + prev[x] - prev[x - 1]
+                if g < 0:
+                    g = 0
+                elif g > 255:
+                    g = 255
+                left = (row[x] + g) & 0xFF
+                cur[x] = left
+            out[y] = cur
+            prev = cur
         return out.astype(np.uint8)
     raise ValueError(f"unknown ALPH filter method {method}")
 

@@ -56,6 +56,47 @@ LEDGER_SCHEMA = (
 
 _COMMIT_RETRIES = 100
 
+# Hive/Spark writes null partition values under this directory name
+_HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition(name: str) -> str:
+    """Decode the %XX escaping Spark applies to partition directory names
+    (Hive ``FileUtils.unescapePathName`` semantics, used by Spark's
+    ``ExternalCatalogUtils``): ``%`` followed by two hex digits is the
+    escaped character; anything else passes through literally."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        if name[i] == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
+def _partition_dir(out: Path, partition_col: str, val) -> Path | None:
+    """The on-disk directory Spark wrote (or would have written) for this
+    partition value, or None. Located by LISTING the stage output and
+    decoding each directory name — naive ``f"{col}={val}"`` formatting
+    misses Spark's %XX escaping of special characters and would leave
+    crash leftovers with e.g. ':' or '%' in the value undetected."""
+    if not out.exists():
+        return None
+    prefix = f"{partition_col}="
+    want = _HIVE_NULL_PARTITION if val is None else str(val)
+    for entry in out.iterdir():
+        if not entry.is_dir() or not entry.name.startswith(prefix):
+            continue
+        if _unescape_partition(entry.name[len(prefix) :]) == want:
+            return entry
+    return None
+
 
 class CheckpointManager:
     def __init__(
@@ -377,21 +418,29 @@ class CheckpointManager:
         return back
 
     def partitioned_stage(
-        self, name: str, df: DataFrame, partition_col: str
+        self,
+        name: str,
+        df: DataFrame,
+        partition_col: str,
+        commit_grain: int | None = None,
     ) -> DataFrame:
         """Checkpoint a stage partitioned by a column, resuming mid-stage:
         already-completed partition values are skipped via left-anti join of
         the INPUT against the ledger (only missing partitions recompute).
 
-        Each partition value commits INDIVIDUALLY — its parquet write and
-        ledger row land before the next value starts — so a hard kill
-        (SIGKILL, node loss) mid-stage durably keeps every finished
-        partition and the resume recomputes only the missing ones
+        Partition values commit in groups of ``commit_grain`` — each group's
+        parquet write and ledger rows land before the next group starts — so
+        a hard kill (SIGKILL, node loss) mid-stage durably keeps every
+        finished group and the resume recomputes only the missing values
         (demonstrated end-to-end at the bench operating point in
-        scripts/bench_resume.py). The per-value Spark jobs cost a few
-        hundred ms each over the single-write formulation — the price of
-        mid-stage durability; with 1000 executors you would instead raise
-        the commit grain (e.g. bucket years into task groups)."""
+        scripts/bench_resume.py). Each commit is a job barrier costing a few
+        hundred ms over the single-write formulation — the price of
+        mid-stage durability. The default grain scales with cluster
+        parallelism (1 value per commit up to 32 cores — the finest
+        durability, right for this box — rising to ~parallelism/32 values on
+        a large cluster, where per-value barriers would idle executors and a
+        lost group is cheap to recompute relative to the fleet's throughput).
+        """
         out = self.run_dir / name
         done = self.completed_partitions(name)
         todo = df
@@ -400,45 +449,66 @@ class CheckpointManager:
                 [(v,) for v in done], [partition_col]
             )
             todo = df.join(F.broadcast(done_df), partition_col, "left_anti")
-        # cache the pruned input once: each per-value pass filters it
+        # cache the pruned input once: each per-group pass filters it
         todo = todo.persist()
         try:
-            missing = [
-                r[0] for r in todo.select(partition_col).distinct().collect()
-            ]
+            missing = sorted(
+                (
+                    r[0]
+                    for r in todo.select(partition_col).distinct().collect()
+                ),
+                key=str,
+            )
+            grain = commit_grain or max(
+                1, self.spark.sparkContext.defaultParallelism // 32
+            )
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
-            for val in sorted(missing, key=str):
+            for i in range(0, len(missing), grain):
+                group = missing[i : i + grain]
                 t0 = time.time()
-                # a crash BETWEEN a value's parquet write and its ledger row
-                # leaves committed-looking files with no ledger entry; wipe
-                # them before recomputing or append would double the rows
-                leftover = out / f"{partition_col}={val}"
-                if leftover.exists():
-                    import shutil as _shutil
+                for val in group:
+                    # a crash BETWEEN a group's parquet write and its ledger
+                    # rows leaves committed-looking files with no ledger
+                    # entry; wipe them before recomputing or append would
+                    # double those rows. Spark escapes special characters
+                    # (':', '%', control chars, ...) in partition directory
+                    # names, so the leftover is located by DECODING directory
+                    # names, never by formatting the value ourselves.
+                    leftover = _partition_dir(out, partition_col, val)
+                    if leftover is not None:
+                        import shutil as _shutil
 
-                    _shutil.rmtree(leftover)
-                part = todo.filter(F.col(partition_col) == val)
+                        _shutil.rmtree(leftover)
+                part = todo.filter(F.col(partition_col).isin(group))
                 part.write.mode("append").partitionBy(partition_col).parquet(
                     str(out)
                 )
-                n = self.spark.read.parquet(str(out)).filter(
-                    F.col(partition_col) == val
-                )
-                self._append_ledger(
-                    [
+                dt = time.time() - t0
+                rows = []
+                for val in group:
+                    # verification count reads ONLY the just-written
+                    # subdirectory — reading the whole stage output here is
+                    # O(P^2) file listing as committed partitions accumulate
+                    sub = _partition_dir(out, partition_col, val)
+                    n = (
+                        self.spark.read.parquet(str(sub)).count()
+                        if sub is not None
+                        else 0
+                    )
+                    rows.append(
                         {
                             "run_id": self.run_id,
                             "stage": name,
                             "partition": str(val),
-                            "rows": n.count(),
-                            "duration_s": round(time.time() - t0, 3),
+                            "rows": n,
+                            "duration_s": round(dt / len(group), 3),
                             "status": "completed",
                             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                         }
-                    ]
-                )
+                    )
+                self._append_ledger(rows)
         finally:
             todo.unpersist()
         return self.spark.read.parquet(str(out))

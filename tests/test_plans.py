@@ -39,6 +39,58 @@ def test_checkpoint_partitioned_resume(spark, tmp_path):
     assert rows == {(1, "a"), (2, "a"), (3, "b"), (4, "c")}
 
 
+def test_partitioned_stage_escaped_leftover_wipe(spark, tmp_path):
+    """Crash-window leftovers must be found through Spark's %XX partition
+    directory escaping: a value containing ':' lands in 'part=x%3Ay', which
+    a naive f'{col}={val}' wipe path misses — resume would then append a
+    second copy of that partition's rows."""
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="esc")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x:y"), (3, "x:y")], ["id", "part"]
+    )
+    # simulate the crash window: the x:y partition's parquet landed but its
+    # ledger row did not
+    out = tmp_path / "esc" / "st"
+    df.filter(F.col("part") == "x:y").write.partitionBy("part").parquet(str(out))
+    assert not (out / "part=x:y").exists()  # Spark escaped the ':'
+    assert any("%3A" in p.name for p in out.iterdir())
+    res = cm.partitioned_stage("st", df, "part")
+    rows = sorted((r["id"], r["part"]) for r in res.collect())
+    assert rows == [(1, "a b"), (2, "x:y"), (3, "x:y")]  # no doubled x:y rows
+    assert cm.completed_partitions("st") == {"a b", "x:y"}
+
+
+def test_partitioned_stage_commit_grain_resume(spark, tmp_path):
+    """commit_grain > 1: values commit in groups; a crash after the first
+    group's ledger append leaves that group durable, and the resume
+    recomputes only the remaining values with per-value ledger rows."""
+    from azure_workflow_for_kml_satellite_spark.plans.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, str(tmp_path), run_id="grain")
+    df = spark.range(40).withColumn("grp", (F.col("id") % 4).cast("string"))
+    orig = cm._append_ledger
+    calls = {"n": 0}
+
+    def dying(rows):
+        orig(rows)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after first commit group")
+
+    cm._append_ledger = dying
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cm.partitioned_stage("st", df, "grp", commit_grain=2)
+    assert cm.completed_partitions("st") == {"0", "1"}  # first group durable
+    cm2 = CheckpointManager(spark, str(tmp_path), run_id="grain")
+    out = cm2.partitioned_stage("st", df, "grp", commit_grain=2)
+    assert out.count() == 40
+    ledger = [r for r in cm2.ledger_rows() if r["stage"] == "st"]
+    assert {r["partition"] for r in ledger} == {"0", "1", "2", "3"}
+    assert all(r["rows"] == 10 for r in ledger)  # per-value verified counts
+
+
 def test_salting_spreads_hot_cell(spark):
     from azure_workflow_for_kml_satellite_spark.plans.skew import (
         apply_salt_big,

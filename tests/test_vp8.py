@@ -431,3 +431,44 @@ def test_image_metadata_animated_webp(spark):
     assert (r.width, r.height, r.channels) == (10, 12, 4)
     t = image_thumbnails(df, max_side=8).collect()[0]
     assert t.decode_error is None and (t.thumb_width, t.thumb_height) == (7, 8)
+
+
+def test_alpha_unfilter_vectorized_matches_per_pixel_reference():
+    """The cumsum/list-based _alpha_unfilter (vectorized in round 6 — the
+    per-pixel numpy version cost minutes on 4M-pixel planes) must match a
+    straight per-pixel transcription of the container-spec recurrences for
+    every method, including 1-wide / 1-tall edge shapes."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import (
+        _alpha_unfilter,
+    )
+
+    def reference(a, method):
+        h, w = a.shape
+        out = a.astype(np.int64)
+        for y in range(h):
+            for x in range(w):
+                if method == 1:
+                    pred = out[y, x - 1] if x > 0 else (out[y - 1, 0] if y > 0 else 0)
+                elif method == 2:
+                    pred = out[y - 1, x] if y > 0 else (out[0, x - 1] if x > 0 else 0)
+                else:
+                    if y == 0:
+                        pred = out[0, x - 1] if x > 0 else 0
+                    elif x == 0:
+                        pred = out[y - 1, 0]
+                    else:
+                        g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
+                        pred = min(255, max(0, g))
+                out[y, x] = (out[y, x] + pred) & 0xFF
+        return out.astype(np.uint8)
+
+    rng = np.random.default_rng(6)
+    for h, w in [(1, 1), (1, 7), (7, 1), (5, 5), (13, 31), (64, 48)]:
+        a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert (_alpha_unfilter(a.copy(), 0) == a).all()
+        for method in (1, 2, 3):
+            got = _alpha_unfilter(a.copy(), method)
+            want = reference(a, method)
+            assert (got == want).all(), (h, w, method)
