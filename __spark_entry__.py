@@ -1266,20 +1266,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-sharing twins (same oracle SQL as their base query) and
     # multi-round-green trivial queries sit past the 50-entry window.
     return {
-        # — round 5 rotation: q_cluster_star (the one entry with no driver
-        # row ever) and the new q_image_thumbnails lead; q_page_text and
-        # q_coord_csv (green r3+r4, trivial) rotate past the window —
+        # — round 6 rotation (VERDICT r5 task 3): the stale-green queries
+        # whose last driver row was r2/r3 rotate back INTO the window;
+        # multi-round-green r4+r5 entries (events/sessionize/pricing/
+        # top-customers/ANN trio/exact-cosine baseline) rotate out. The
+        # r5-first-green entries stay in for a second consecutive row. —
+        "q_page_text": _q_page_text,
+        "q_coord_csv": _q_coord_csv,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_sample_stratified": _q_sample_stratified,
+        "q_quality_score": _q_quality_score,
+        "q_simhash": _q_simhash,
+        "q_sample_hash": _q_sample_hash,
+        "q_fingerprint": _q_fingerprint,
         "q_cluster_star": _q_cluster_star,
         "q_image_thumbnails": _q_image_thumbnails,
-        # — first driver-verified in round 4 —
-        "q_ann_lsh": _q_ann_lsh,
-        "q_ann_ivf": _q_ann_ivf,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
-        "q_ann_topk": _q_ann_topk,
-        "q_events_hourly": _q_events_hourly,
-        "q_sessionize": _q_sessionize,
-        "q_pricing_summary": _q_pricing_summary,
-        "q_top_customers": _q_top_customers,
         # — previously green (CORRECTNESS_r03) —
         "q_extract_features": _q_extract_features,
         "q_quarantine": _q_quarantine,
@@ -1320,21 +1322,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_csv": _q_frame_csv,
         "q_aoi_csv": _q_aoi_csv,
         "q_cell_density": _q_cell_density,
-        "q_embed_near_dup": _q_embed_near_dup,
         # ── entries below are PAST the driver's 50-query window ──
         # oracle-sharing twins (identical oracle SQL to their base query,
-        # base query is in-window) + trivial queries green in r2 AND r3.
+        # base query is in-window) + queries green in BOTH r4 and r5; the
+        # full-set local gate (scripts/check_correctness.py --exact) keeps
+        # covering all of them every round.
         "q_knn_gauges_cells": _q_knn_gauges_cells,
         "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "q_dedup_clusters_star": _q_dedup_clusters_star,
-        "q_page_text": _q_page_text,
-        "q_coord_csv": _q_coord_csv,
-        "q_dedup_exact": _q_dedup_exact,
-        "q_sample_stratified": _q_sample_stratified,
-        "q_quality_score": _q_quality_score,
-        "q_simhash": _q_simhash,
-        "q_sample_hash": _q_sample_hash,
-        "q_fingerprint": _q_fingerprint,
+        "q_events_hourly": _q_events_hourly,
+        "q_sessionize": _q_sessionize,
+        "q_pricing_summary": _q_pricing_summary,
+        "q_top_customers": _q_top_customers,
+        "q_ann_lsh": _q_ann_lsh,
+        "q_ann_ivf": _q_ann_ivf,
+        "q_ann_topk": _q_ann_topk,
+        "q_embed_near_dup": _q_embed_near_dup,
     }
 
 

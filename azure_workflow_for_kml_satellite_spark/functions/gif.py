@@ -242,6 +242,53 @@ def decode_gif(data: bytes) -> np.ndarray:
     return img
 
 
+def encode_gif_anim(
+    screen_wh: tuple[int, int],
+    palette: np.ndarray,
+    frames: list[dict],
+) -> bytes:
+    """Animated-GIF writer with the per-frame controls ``encode_gif``
+    lacks — offsets, disposal methods and per-frame transparency — so
+    synth assets and tests can exercise the decoder's compositing paths.
+    Each frame dict: ``indices`` (HxW uint8 into ``palette``), optional
+    ``left``/``top`` (default 0), ``delay_ms`` (default 100),
+    ``transparent`` (index or None), ``disposal`` (0-3, applied AFTER the
+    frame is shown, per GIF89a)."""
+    n = len(palette)
+    if n & (n - 1) or n < 4 or n > 256:
+        raise ValueError("palette size must be a power of two in [4, 256]")
+    w, h = screen_wh
+    depth = n.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += palette.astype(np.uint8).tobytes()
+    mcs = max(2, depth)
+    for spec in frames:
+        idx = np.asarray(spec["indices"], dtype=np.uint8)
+        fh, fw = idx.shape
+        left = int(spec.get("left", 0))
+        top = int(spec.get("top", 0))
+        if left + fw > w or top + fh > h:
+            raise ValueError("frame exceeds logical screen")
+        transparent = spec.get("transparent")
+        disposal = int(spec.get("disposal", 0))
+        gce = bytes([((disposal & 7) << 2) | (1 if transparent is not None else 0)])
+        gce += struct.pack("<H", int(spec.get("delay_ms", 100)) // 10)
+        gce += bytes([transparent if transparent is not None else 0])
+        out += bytes([0x21, 0xF9, len(gce)]) + gce + b"\x00"
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0])
+        out += bytes([mcs])
+        lzw = _lzw_encode(mcs, idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            sub = lzw[i : i + 255]
+            out += bytes([len(sub)]) + sub
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def encode_gif(
     frames: list[np.ndarray],
     palette: np.ndarray,

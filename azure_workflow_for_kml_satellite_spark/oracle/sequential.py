@@ -363,7 +363,7 @@ def compute_image_thumbnails(out_dir: Path, max_side: int = 32) -> None:
         ths.append(th)
         md5s.append(hashlib.md5(png).hexdigest())
         quar.append(False)
-    for bad in ("img_corrupt_png", "img_corrupt_webp"):
+    for bad in ("img_corrupt_png", "img_corrupt_webp", "img_corrupt_gif"):
         ids.append(bad)
         ws.append(None)
         hs.append(None)

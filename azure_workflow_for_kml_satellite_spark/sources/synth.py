@@ -756,22 +756,132 @@ def _hash_bytes(i: int, n: int) -> bytes:
     return bytes(out[:n])
 
 
+IMAGE_KINDS = ("png_rgba", "png_rgb", "png_ga", "webp", "gif_anim", "webp_anim")
+
+
 def image_kind(i: int) -> str:
-    return ("png_rgba", "png_rgb", "png_ga", "webp")[i % 4]
+    return IMAGE_KINDS[i % len(IMAGE_KINDS)]
+
+
+def _image_dims(i: int) -> tuple[int, int]:
+    h = 16 + (_mix(223, i, 5) % 60)  # 16..75 — some below the 32px thumb side
+    w = 16 + (_mix(227, i, 3) % 60)
+    return h, w
+
+
+def _gif_anim_parts(i: int, h: int, w: int):
+    """Deterministic recipe for animated-GIF asset ``i``: (palette 64x3,
+    frame specs for encode_gif_anim). Frame 0 — the one image_metadata /
+    image_thumbnails composite — covers the full canvas on even i and an
+    inset subrect (transparent margins → RGBA path) on odd i, with a
+    transparent index when i%4==1. Frames 1-2 exercise disposal 2
+    (restore-background) and 3 (restore-previous) plus transparency."""
+    import numpy as np
+
+    pal = np.frombuffer(_hash_bytes(_mix(401, i), 64 * 3), np.uint8).reshape(64, 3)
+    variant = _mix(443, i) % 4  # i%6==4 for every gif_anim, so derive the
+    # layout from the hash, not from i's (constant) parity
+    if variant in (1, 3):
+        left, top = 3, 2
+        fh, fw = h - 6, w - 5
+    else:
+        left = top = 0
+        fh, fw = h, w
+    idx0 = (
+        np.frombuffer(_hash_bytes(_mix(409, i), fh * fw), np.uint8).reshape(fh, fw)
+        % 64
+    )
+    frames = [
+        {
+            "indices": idx0,
+            "left": left,
+            "top": top,
+            "transparent": 7 if variant in (2, 3) else None,
+            "disposal": (1, 2, 3)[i % 3],
+            "delay_ms": 40,
+        },
+        {
+            "indices": np.frombuffer(
+                _hash_bytes(_mix(419, i), (h // 2) * (w // 2)), np.uint8
+            ).reshape(h // 2, w // 2)
+            % 64,
+            "left": 1,
+            "top": 1,
+            "transparent": 5,
+            "disposal": 2,
+            "delay_ms": 50,
+        },
+        {
+            "indices": np.frombuffer(
+                _hash_bytes(_mix(421, i), (h // 3) * (w // 3)), np.uint8
+            ).reshape(h // 3, w // 3)
+            % 64,
+            "left": 2,
+            "top": 0,
+            "disposal": 3,
+            "delay_ms": 60,
+        },
+    ]
+    return pal, frames
+
+
+def _webp_anim_frames(i: int, h: int, w: int):
+    """Deterministic recipe for animated-WebP asset ``i``:
+    [(x, y, dur_ms, flags, rgba)] for the ANMF muxer. Frame 0 overwrites
+    the full canvas (so the first-frame composite equals its pixels);
+    frames 1-2 exercise alpha-blend and dispose-to-background at offsets."""
+    import numpy as np
+
+    f0 = np.frombuffer(_hash_bytes(_mix(431, i), h * w * 4), np.uint8).reshape(
+        h, w, 4
+    )
+    f1 = np.frombuffer(
+        _hash_bytes(_mix(433, i), (h // 2) * (w // 2) * 4), np.uint8
+    ).reshape(h // 2, w // 2, 4)
+    f2 = np.frombuffer(
+        _hash_bytes(_mix(439, i), (h // 3) * (w // 3) * 4), np.uint8
+    ).reshape(h // 3, w // 3, 4)
+    return [
+        (0, 0, 40, 0x02, f0),  # overwrite full canvas
+        (2, 4, 50, 0x00, f1),  # alpha-blend at (2,4)
+        (4, 2, 60, 0x02 | 0x01, f2),  # overwrite, then dispose rect to bg
+    ]
 
 
 def image_pixels(i: int):
     """Source pixels of synthetic image asset ``i`` (uint8 HxWxC; C=4 for
-    png_rgba/webp, 3 for png_rgb, 2 for gray+alpha). The single source of
-    truth shared by ``write_images`` (which encodes them into containers)
-    and the sequential oracle (which recomputes expected thumbnails from
-    the same pixels WITHOUT the engine's decoders — so the engine's
-    container decode is part of what the oracle checks)."""
+    png_rgba/webp/webp_anim, 3 for png_rgb, 2 for gray+alpha; gif_anim /
+    webp_anim yield the FIRST-FRAME COMPOSITE the engine's animation
+    decoders must produce). The single source of truth shared by
+    ``write_images`` (which encodes them into containers) and the
+    sequential oracle (which recomputes expected thumbnails from the same
+    pixels WITHOUT the engine's decoders — so the engine's container
+    decode, including animation compositing, is part of what the oracle
+    checks)."""
     import numpy as np
 
-    h = 16 + (_mix(223, i, 5) % 60)  # 16..75 — some below the 32px thumb side
-    w = 16 + (_mix(227, i, 3) % 60)
-    c = {"png_rgba": 4, "png_rgb": 3, "png_ga": 2, "webp": 4}[image_kind(i)]
+    kind = image_kind(i)
+    h, w = _image_dims(i)
+    if kind == "gif_anim":
+        pal, frames = _gif_anim_parts(i, h, w)
+        f0 = frames[0]
+        idx = f0["indices"]
+        fh, fw = idx.shape
+        canvas = np.zeros((h, w, 4), dtype=np.uint8)
+        opaque = (
+            np.ones((fh, fw), dtype=bool)
+            if f0["transparent"] is None
+            else idx != f0["transparent"]
+        )
+        region = canvas[f0["top"] : f0["top"] + fh, f0["left"] : f0["left"] + fw]
+        region[..., :3][opaque] = pal[idx][opaque]
+        region[..., 3][opaque] = 255
+        if bool((canvas[..., 3] == 255).all()):
+            return np.ascontiguousarray(canvas[..., :3])  # decode_gif RGB path
+        return canvas
+    if kind == "webp_anim":
+        return _webp_anim_frames(i, h, w)[0][4]
+    c = {"png_rgba": 4, "png_rgb": 3, "png_ga": 2, "webp": 4}[kind]
     noise = np.frombuffer(_hash_bytes(i, h * w * c), dtype=np.uint8).reshape(h, w, c)
     # blend a smooth gradient into channel 0 so thumbnails exercise real
     # bilinear mixing, not just noise averaging
@@ -806,10 +916,51 @@ def _encode_png(arr, color_type: int) -> bytes:
     )
 
 
+def _mux_webp_anim(cw: int, ch: int, frames) -> bytes:
+    """Animated-WebP container (VP8X + ANIM/ANMF) from RGBA frames, each
+    VP8L-encoded. frames: [(x, y, dur_ms, flags, rgba)]; x/y must be even
+    (the ANMF header stores them halved)."""
+    from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            tag
+            + len(body).to_bytes(4, "little")
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    vp8x = (
+        bytes([0x02, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+    )
+    out = chunk(b"VP8X", vp8x)
+    out += chunk(b"ANIM", bytes([0, 0, 0, 0]) + (0).to_bytes(2, "little"))
+    for x, y, dur, flags, px in frames:
+        still = encode_webp_lossless(px)
+        fh, fw = px.shape[:2]
+        body = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([flags])
+            + still[12:]  # strip RIFF....WEBP, keep the image chunks
+        )
+        out += chunk(b"ANMF", body)
+    return b"RIFF" + (4 + len(out)).to_bytes(4, "little") + b"WEBP" + out
+
+
 def write_images(out_dir: str | Path) -> Path:
     """Deterministic image-asset table (asset_id, payload) across lossless
     containers the engine decodes from scratch (PNG colour types 2/4/6,
-    WebP-lossless), plus corrupt payloads for the per-row quarantine path."""
+    WebP-lossless, animated GIF, animated WebP), plus corrupt payloads for
+    the per-row quarantine path."""
+    from azure_workflow_for_kml_satellite_spark.functions.gif import encode_gif_anim
     from azure_workflow_for_kml_satellite_spark.functions.vp8l import (
         encode_webp_lossless,
     )
@@ -817,18 +968,25 @@ def write_images(out_dir: str | Path) -> Path:
     ids, payloads = [], []
     for i in range(IMAGE_COUNT):
         kind = image_kind(i)
-        px = image_pixels(i)
+        h, w = _image_dims(i)
         if kind == "webp":
-            payload = encode_webp_lossless(px)
+            payload = encode_webp_lossless(image_pixels(i))
+        elif kind == "gif_anim":
+            pal, frames = _gif_anim_parts(i, h, w)
+            payload = encode_gif_anim((w, h), pal, frames)
+        elif kind == "webp_anim":
+            payload = _mux_webp_anim(w, h, _webp_anim_frames(i, h, w))
         else:
             ct = {"png_rgba": 6, "png_rgb": 2, "png_ga": 4}[kind]
-            payload = _encode_png(px, ct)
+            payload = _encode_png(image_pixels(i), ct)
         ids.append(f"img{i:03d}_{kind}")
         payloads.append(payload)
     ids.append("img_corrupt_png")
     payloads.append(b"\x89PNG\r\n\x1a\n" + _hash_bytes(9001, 40))
     ids.append("img_corrupt_webp")
     payloads.append(b"RIFF\x20\x00\x00\x00WEBPVP8L\x08\x00\x00\x00" + b"\x00" * 8)
+    ids.append("img_corrupt_gif")
+    payloads.append(b"GIF89a" + _hash_bytes(9002, 40))
     out = Path(out_dir) / "images.parquet"
     pq.write_table(
         pa.table({"asset_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())}),

@@ -23,13 +23,18 @@ def test_queries_oracles_consistent():
     for name in ("q_minhash_lsh", "q_simhash", "q_simhash_pairs", "q_fingerprint",
                  "q_portfolio", "q_embed_near_dup_lsh"):
         assert name in qs and name in oracles
-    # round-5 rotation: the driver verifies the FIRST 50 entries; the two
-    # entries that had no driver row yet must lead, and the rotated-out
-    # trivial queries stay present (full-set local gate keeps covering them)
+    # round-6 rotation: the driver verifies the FIRST 50 entries; the
+    # stale-green r2/r3 queries are back in the window, the r5-first-green
+    # entries stay in for a second row, and the rotated-out r4+r5
+    # multi-green entries stay present (full-set local gate covers them)
     in_window = list(qs)[:50]
-    for name in ("q_cluster_star", "q_image_thumbnails"):
+    for name in (
+        "q_page_text", "q_coord_csv", "q_dedup_exact", "q_sample_stratified",
+        "q_quality_score", "q_simhash", "q_sample_hash", "q_fingerprint",
+        "q_cluster_star", "q_image_thumbnails", "q_embed_near_dup_lsh",
+    ):
         assert name in in_window
-    for name in ("q_page_text", "q_coord_csv"):
+    for name in ("q_events_hourly", "q_ann_topk", "q_embed_near_dup"):
         assert name in qs
 
 

@@ -1458,3 +1458,91 @@ def test_image_thumbnails_gray_alpha_quarantine_not_crash(spark):
     # gray channel replicated to RGB, channel 1 carried as alpha
     assert (timg[..., 0] == timg[..., 1]).all() and (timg[..., 1] == timg[..., 2]).all()
     assert rows["rgba"].decode_error is None  # normal 4-channel path unaffected
+
+
+def test_gif_anim_disposal_methods_composite():
+    """encode_gif_anim → decode_gif_frames: per-frame composites asserted
+    analytically for disposal 1 (leave), 2 (restore-background) and 3
+    (restore-previous), frame offsets and transparency — the GIF twin of
+    test_animated_webp_demux_and_compositing."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+    )
+    gif = encode_gif_anim(
+        (8, 8),
+        pal,
+        [
+            {"indices": np.full((8, 8), 1, np.uint8), "disposal": 1},
+            {
+                "indices": np.full((4, 4), 2, np.uint8),
+                "left": 2,
+                "top": 2,
+                "disposal": 2,  # rect restored to (transparent) background
+            },
+            {
+                "indices": np.array([[3, 2], [2, 3]], np.uint8),
+                "transparent": 3,
+                "disposal": 3,  # whole canvas restored to pre-frame state
+            },
+            {"indices": np.full((1, 1), 0, np.uint8), "left": 7, "top": 7},
+        ],
+    )
+    w, h, frames = decode_gif_frames(gif)
+    assert (w, h) == (8, 8) and len(frames) == 4
+    c0, c1, c2, c3 = (f for _, f in frames)
+    assert (c0[..., :3] == pal[1]).all() and (c0[..., 3] == 255).all()
+    assert (c1[2:6, 2:6, :3] == pal[2]).all()
+    assert (c1[0, 0, :3] == pal[1]).all()
+    # after f1: disposal 2 wiped its rect; f2 drew at (0,0) with index 3
+    # transparent — those pixels keep the underlying frame-0 color
+    assert (c2[3, 3] == 0).all()  # restored-background hole, alpha 0
+    assert tuple(c2[0, 1, :3]) == tuple(pal[2]) and c2[0, 1, 3] == 255
+    assert tuple(c2[0, 0, :3]) == tuple(pal[1])  # transparent idx: underlying
+    # f2's disposal 3 restored the pre-f2 canvas before f3 drew one pixel
+    assert tuple(c3[0, 1, :3]) == tuple(pal[1])
+    assert tuple(c3[7, 7, :3]) == tuple(pal[0])
+    assert (c3[3, 3] == 0).all()  # the disposal-2 hole persists
+    # decode_gif = first composite; fully opaque → RGB path
+    first = decode_gif(gif)
+    assert first.shape == (8, 8, 3) and (first == pal[1]).all()
+
+
+def test_synth_animated_assets_first_frame_composite():
+    """The images.parquet animated assets: the engine's decoders must
+    composite the first frame to EXACTLY synth.image_pixels(i) — the same
+    invariant the byte-oracled q_image_thumbnails gate rides on, pinned
+    here at the pixel level (including the subrect-RGBA gif path)."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.gif import (
+        decode_gif,
+        encode_gif_anim,
+    )
+    from azure_workflow_for_kml_satellite_spark.functions.webimage import decode_webp
+    from azure_workflow_for_kml_satellite_spark.sources import synth
+
+    seen_rgb = seen_rgba = False
+    for i in range(synth.IMAGE_COUNT):
+        kind = synth.image_kind(i)
+        h, w = synth._image_dims(i)
+        want = synth.image_pixels(i)
+        if kind == "gif_anim":
+            pal, frames = synth._gif_anim_parts(i, h, w)
+            got = decode_gif(encode_gif_anim((w, h), pal, frames))
+            assert got.shape == want.shape and (got == want).all(), i
+            seen_rgb |= want.shape[2] == 3
+            seen_rgba |= want.shape[2] == 4
+        elif kind == "webp_anim":
+            got = decode_webp(
+                synth._mux_webp_anim(w, h, synth._webp_anim_frames(i, h, w))
+            )
+            assert got.shape == want.shape and (got == want).all(), i
+    assert seen_rgb and seen_rgba  # both gif composite paths exercised
