@@ -161,11 +161,42 @@ def lsh_band_shape(
     return r, min(max_bands, b)
 
 
+def lsh_bucket_skew(
+    bucketed: DataFrame,
+    skew_factor: float = 8.0,
+    min_hot_bucket: int = 256,
+) -> dict:
+    """Band-bucket skew probe for the LSH guard: one map-combinable
+    groupBy-count plus a 2-scalar aggregate (bounded control-plane
+    collect). Returns {max, mean, hot_threshold, salted} where ``salted``
+    says whether the bucket self-join must route through plans/skew.py.
+
+    A healthy embedding distribution keeps the largest bucket a few
+    percent of all entries (measured 3.2 % at sf0.1, BASELINE.md); a
+    mode-collapsed embedder (many near-identical vectors) concentrates one
+    band bucket and would turn the bucket equi-join into a single
+    straggler partition at 100 TB. The threshold is relative to the mean
+    bucket (``skew_factor`` × mean) with an absolute floor so tiny tables
+    never trip it."""
+    row = (
+        bucketed.groupBy("bucket")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .first()
+    )
+    mx = int(row["mx"] or 0)
+    mean = float(row["mean"] or 0.0)
+    hot = max(min_hot_bucket, int(skew_factor * mean))
+    return {"max": mx, "mean": mean, "hot_threshold": hot, "salted": mx > hot}
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
     target_recall: float = 0.99999,
     shape: tuple[int, int] | None = None,
+    skew_factor: float = 8.0,
+    min_hot_bucket: int = 256,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: banded random-hyperplane
     buckets → candidate pairs → EXACT cosine verify.
@@ -176,7 +207,16 @@ def embedding_near_dup_lsh(
     with the true cosine); recall ≥ target_recall for pairs AT the threshold
     and higher for pairs above it. Output schema matches
     embedding_near_dup_pairs.
-    """
+
+    Skew guard (automated round 6): the band-bucket histogram is measured
+    on every run (lsh_bucket_skew); when one bucket exceeds
+    ``skew_factor`` × the mean (floor ``min_hot_bucket``) — the
+    mode-collapsed-embedder shape — the self-join routes through
+    plans/skew.salted_equi_join, which spreads the hot bucket across salt
+    sub-keys while meeting every intra-bucket pair exactly once, so the
+    result set is IDENTICAL to the unsalted join (pytest-pinned against
+    the exact all-pairs baseline). lsh_topk needs no such guard: its
+    query side is broadcast, so no bucket key ever shuffles."""
     rows, bands = shape if shape is not None else lsh_band_shape(threshold, target_recall)
     planes = rows * bands
     emb = embeddings.select(
@@ -184,8 +224,21 @@ def embedding_near_dup_lsh(
     ).withColumn("bucket", F.explode(_rh_band_buckets("emb", planes, bands)))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("e_a"), "bucket")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("e_b"), "bucket")
+    skew = lsh_bucket_skew(emb, skew_factor, min_hot_bucket)
+    if skew["salted"]:
+        from azure_workflow_for_kml_satellite_spark.plans.skew import salted_equi_join
+
+        joined = salted_equi_join(
+            a,
+            b,
+            identity_cols=["id_a"],
+            cell_col="bucket",
+            hot_threshold=skew["hot_threshold"],
+        )
+    else:
+        joined = a.join(b, "bucket")
     return (
-        a.join(b, "bucket")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", _cosine_expr("e_a", "e_b"))

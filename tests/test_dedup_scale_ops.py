@@ -523,3 +523,60 @@ def test_ann_pruned_operating_points_recall_floors(spark):
     assert r_curve == sorted(r_curve), r_curve  # more probes never hurt
     assert r_curve[2] == 1.0  # full probe == exact (provable-equality point)
     assert recall(lsh_topk(emb, qids, 10, planes=12).collect()) >= 0.3
+
+
+def test_lsh_skew_guard_fires_on_mode_collapse_and_stays_exact(spark):
+    """Round-6 automation of the BASELINE.md manual rule: a mode-collapsed
+    embedder (many near-identical vectors) concentrates one band bucket;
+    the in-operator histogram must detect it, route the self-join through
+    plans/skew.py salting, and return EXACTLY the unsalted/exact result."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.operators.similarity import (
+        _rh_band_buckets,
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+        lsh_band_shape,
+        lsh_bucket_skew,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    # 360 near-copies of one vector (the collapsed mode) + 40 random tails
+    vecs = [
+        (base + rng.normal(scale=0.01, size=8)).tolist() for _ in range(360)
+    ] + [rng.normal(size=8).tolist() for _ in range(40)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    # the probe sees the collapse
+    rows, bands = lsh_band_shape(0.9)
+    bucketed = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn(
+        "bucket", F.explode(_rh_band_buckets("emb", rows * bands, bands))
+    )
+    skew = lsh_bucket_skew(bucketed, min_hot_bucket=100)
+    assert skew["salted"] and skew["max"] >= 300
+    # a healthy table must NOT trip the guard
+    ok = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding").alias("emb")).withColumn(
+        "bucket", F.explode(_rh_band_buckets("emb", rows * bands, bands))
+    )
+    assert not lsh_bucket_skew(ok, min_hot_bucket=100)["salted"]
+    # salted route returns the identical pair set + cosines
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_lsh(
+            emb, threshold=0.9, min_hot_bucket=100
+        ).collect()
+    }
+    assert len(exact) > 300  # the collapsed mode really is near-dup-dense
+    assert got == exact
