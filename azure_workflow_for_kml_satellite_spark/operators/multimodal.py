@@ -1057,16 +1057,99 @@ def _parse_mp3(data: bytes) -> dict:
     }
 
 
+def _ogg_crc_table() -> list[int]:
+    # CRC-32 poly 0x04C11DB7, NON-reflected, init 0, no final xor (RFC 3533
+    # Annex A) — deliberately not zlib's reflected CRC-32
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def _vorbis_comment_block(packet: bytes, off: int, framing: bool) -> None:
+    """Validate the Vorbis-comment structure (vendor string + user comment
+    list [+ framing bit]) shared by Vorbis comment headers and OpusTags.
+    Raises ValueError on any length escaping the packet."""
+    if off + 4 > len(packet):
+        raise ValueError("truncated comment header")
+    (vlen,) = struct.unpack_from("<I", packet, off)
+    off += 4 + vlen
+    if off + 4 > len(packet):
+        raise ValueError("comment vendor string escapes packet")
+    (count,) = struct.unpack_from("<I", packet, off)
+    off += 4
+    if count > len(packet):  # each comment needs ≥4 bytes; cheap bomb guard
+        raise ValueError("comment count exceeds packet capacity")
+    for _ in range(count):
+        if off + 4 > len(packet):
+            raise ValueError("truncated user comment length")
+        (clen,) = struct.unpack_from("<I", packet, off)
+        off += 4 + clen
+        if off > len(packet):
+            raise ValueError("user comment escapes packet")
+    if framing and (off >= len(packet) or not packet[off] & 1):
+        raise ValueError("comment header framing bit missing")
+
+
+# Opus TOC config → frame duration in 48 kHz samples (RFC 6716 §3.1):
+# SILK NB/MB/WB 10/20/40/60 ms, Hybrid SWB/FB 10/20 ms, CELT 2.5/5/10/20 ms
+_OPUS_FRAME_SAMPLES = (
+    [480, 960, 1920, 2880] * 3 + [480, 960] * 2 + [120, 240, 480, 960] * 4
+)
+
+
+def _opus_packet_samples(packet: bytes) -> int:
+    """48 kHz sample count of one Opus packet from its TOC byte (frame
+    duration × frame count). Raises on the RFC's invalid layouts."""
+    if not packet:
+        raise ValueError("empty Opus packet")
+    toc = packet[0]
+    per_frame = _OPUS_FRAME_SAMPLES[toc >> 3]
+    code = toc & 3
+    if code == 0:
+        n = 1
+    elif code in (1, 2):
+        n = 2
+    else:
+        if len(packet) < 2:
+            raise ValueError("truncated Opus code-3 packet")
+        n = packet[1] & 0x3F
+        if n == 0:
+            raise ValueError("Opus code-3 packet with zero frames")
+    if n * per_frame > 5760:  # RFC 6716: a packet may not exceed 120 ms
+        raise ValueError("Opus packet exceeds 120 ms")
+    return n * per_frame
+
+
 def _parse_ogg(data: bytes) -> dict:
-    """Real Ogg page walk: identification header (Vorbis or Opus) for
-    sample rate/channels, final granule position for the true sample count
-    and duration. Samples are not decoded (no codec here) → rms/peak null."""
+    """Real Ogg demux with page CRCs and header verification: every
+    complete page's CRC-32 (RFC 3533 polynomial) is checked, packets are
+    reassembled through the lacing values (spanning pages), and the codec
+    headers are validated in depth — Vorbis identification (version,
+    blocksizes, framing bit) + comment header structure, or OpusHead
+    (version, pre-skip, mapping family) + OpusTags + per-packet TOC sample
+    accounting cross-checked against the granule position. Samples are not
+    decoded (no Vorbis/Opus codec here) → rms/peak null."""
     if data[:4] != b"OggS":
         raise ValueError("not an Ogg payload")
     pos = 0
-    rate = None
-    channels = None
     last_granule = 0
+    packets: list[bytes] = []
+    current = bytearray()
+    saw_page = False
     while pos + 27 <= len(data):
         if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
             break
@@ -1079,29 +1162,75 @@ def _parse_ogg(data: bytes) -> dict:
         size = sum(lacing)
         if body + size > len(data):
             raise ValueError("truncated Ogg page body")
-        if rate is None:
-            packet = data[body : body + size]
-            if packet[:7] == b"\x01vorbis" and size >= 16:
-                channels = packet[11]
-                (rate,) = struct.unpack_from("<I", packet, 12)
-            elif packet[:8] == b"OpusHead" and size >= 10:
-                channels = packet[9]
-                rate = 48000  # Opus always decodes at 48 kHz
-            else:
-                raise ValueError("unsupported Ogg codec (not Vorbis/Opus)")
-            if channels <= 0 or not 0 < rate <= 10_000_000:
-                raise ValueError("invalid Ogg identification header")
+        page = bytearray(data[pos : body + size])
+        (crc_stored,) = struct.unpack_from("<I", page, 22)
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_stored:
+            raise ValueError("Ogg page CRC mismatch")
+        saw_page = True
+        off = body
+        for lace in lacing:
+            current += data[off : off + lace]
+            off += lace
+            if lace < 255:
+                packets.append(bytes(current))
+                current = bytearray()
         if granule > 0:
             last_granule = max(last_granule, granule)
         pos = body + size
-    if rate is None:
+    if not saw_page or not packets:
         raise ValueError("Ogg payload has no complete pages")
+    ident = packets[0]
+    pre_skip = 0
+    if ident[:7] == b"\x01vorbis":
+        if len(ident) < 30:
+            raise ValueError("truncated Vorbis identification header")
+        (version,) = struct.unpack_from("<I", ident, 7)
+        if version != 0:
+            raise ValueError("unsupported Vorbis version")
+        channels = ident[11]
+        (rate,) = struct.unpack_from("<I", ident, 12)
+        bs0, bs1 = ident[28] & 0x0F, ident[28] >> 4
+        if not (6 <= bs0 <= 13 and bs0 <= bs1 <= 13):
+            raise ValueError("invalid Vorbis blocksizes")
+        if not ident[29] & 1:
+            raise ValueError("Vorbis identification framing bit missing")
+        if len(packets) > 1:
+            if packets[1][:7] != b"\x03vorbis":
+                raise ValueError("second Vorbis packet is not a comment header")
+            _vorbis_comment_block(packets[1], 7, framing=True)
+        n_samples = last_granule
+    elif ident[:8] == b"OpusHead":
+        if len(ident) < 19:
+            raise ValueError("truncated OpusHead")
+        if ident[8] >> 4 != 0:  # major version must be 0 (RFC 7845 §5.1)
+            raise ValueError("unsupported Opus version")
+        channels = ident[9]
+        (pre_skip,) = struct.unpack_from("<H", ident, 10)
+        mapping_family = ident[18]
+        if mapping_family != 0 and len(ident) < 21 + channels:
+            raise ValueError("truncated Opus channel mapping table")
+        if mapping_family == 0 and channels > 2:
+            raise ValueError("Opus mapping family 0 allows at most 2 channels")
+        rate = 48000  # Opus always decodes at 48 kHz
+        if len(packets) > 1 and packets[1][:8] != b"OpusTags":
+            raise ValueError("second Opus packet is not OpusTags")
+        if len(packets) > 1:
+            _vorbis_comment_block(packets[1], 8, framing=False)
+        toc_samples = sum(_opus_packet_samples(p) for p in packets[2:])
+        if last_granule > toc_samples + pre_skip:
+            raise ValueError("Ogg Opus granule exceeds TOC sample budget")
+        n_samples = max(0, last_granule - pre_skip)
+    else:
+        raise ValueError("unsupported Ogg codec (not Vorbis/Opus)")
+    if channels <= 0 or not 0 < rate <= 10_000_000:
+        raise ValueError("invalid Ogg identification header")
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
         "bits_per_sample": None,
-        "n_samples": int(last_granule),
-        "duration_ms": int(round(1000.0 * last_granule / rate)),
+        "n_samples": int(n_samples),
+        "duration_ms": int(round(1000.0 * n_samples / rate)),
         "rms": None,
         "peak": None,
     }

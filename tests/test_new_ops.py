@@ -970,9 +970,22 @@ def test_audio_metadata_real_mp3_ogg(spark):
     mp3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 20]) + b"\x00" * 20
     mp3 += (hdr + b"\x00" * (flen - 4)) * 10 + b"TAG" + b"\x00" * 125
 
-    def ogg_page(granule, packet, seq):
-        lac = [255] * (len(packet) // 255) + [len(packet) % 255]
-        return (
+    def crc_ref(buf):
+        # independent bitwise RFC 3533 CRC (poly 0x04C11DB7, unreflected) —
+        # NOT the production table implementation, so the page-CRC check is
+        # differentially tested, not round-tripped through one codebase
+        crc = 0
+        for byte in buf:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000 else crc << 1) & 0xFFFFFFFF
+        return crc
+
+    def ogg_page(granule, pkts, seq):
+        lac = []
+        for p in pkts:
+            lac += [255] * (len(p) // 255) + [len(p) % 255]
+        page = bytearray(
             b"OggS"
             + bytes([0, 2 if seq == 0 else 0])
             + s.pack("<q", granule)
@@ -980,15 +993,33 @@ def test_audio_metadata_real_mp3_ogg(spark):
             + b"\x00" * 4
             + bytes([len(lac)])
             + bytes(lac)
-            + packet
+            + b"".join(pkts)
         )
+        page[22:26] = s.pack("<I", crc_ref(bytes(page)))
+        return bytes(page)
 
     vorbis_ident = (
-        b"\x01vorbis" + s.pack("<I", 0) + bytes([2]) + s.pack("<I", 44100) + b"\x00" * 8
+        b"\x01vorbis" + s.pack("<I", 0) + bytes([2]) + s.pack("<I", 44100)
+        + s.pack("<iii", 0, 0, 0) + bytes([0x88, 0x01])  # blocksizes 256/256, framing
     )
-    ogg = ogg_page(0, vorbis_ident, 0) + ogg_page(22050, b"\x05" * 300, 1)
-    opus = ogg_page(0, b"OpusHead" + bytes([1, 2]) + b"\x00" * 9, 0) + ogg_page(
-        48000, b"\x05" * 10, 1
+    vorbis_comment = (
+        b"\x03vorbis" + s.pack("<I", 4) + b"test"
+        + s.pack("<I", 1) + s.pack("<I", 3) + b"A=B" + b"\x01"
+    )
+    ogg = (
+        ogg_page(0, [vorbis_ident], 0)
+        + ogg_page(22050, [vorbis_comment, b"\x05" * 300], 1)
+    )
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + s.pack("<H", 312)
+        + s.pack("<I", 48000) + s.pack("<h", 0) + bytes([0])
+    )
+    opus_tags = b"OpusTags" + s.pack("<I", 4) + b"test" + s.pack("<I", 0)
+    # 50 CELT-FB 20 ms packets (TOC 0xF8) = 48000 samples; granule counts
+    # pre-skip too, and n_samples must subtract it back out
+    opus = (
+        ogg_page(0, [opus_head], 0)
+        + ogg_page(48312, [opus_tags] + [b"\xf8\x00\x00"] * 50, 1)
     )
     df = spark.createDataFrame(
         [
@@ -1546,3 +1577,113 @@ def test_synth_animated_assets_first_frame_composite():
             )
             assert got.shape == want.shape and (got == want).all(), i
     assert seen_rgb and seen_rgba  # both gif composite paths exercised
+
+
+def _ogg_fixture_tools():
+    import struct as s
+
+    def crc_ref(buf):
+        crc = 0
+        for byte in buf:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000 else crc << 1) & 0xFFFFFFFF
+        return crc
+
+    def page(granule, pkts, seq, corrupt_crc=False):
+        lac = []
+        for p in pkts:
+            lac += [255] * (len(p) // 255) + [len(p) % 255]
+        pg = bytearray(
+            b"OggS" + bytes([0, 2 if seq == 0 else 0]) + s.pack("<q", granule)
+            + s.pack("<II", 1, seq) + b"\x00" * 4
+            + bytes([len(lac)]) + bytes(lac) + b"".join(pkts)
+        )
+        pg[22:26] = s.pack("<I", crc_ref(bytes(pg)) ^ (0xDEAD if corrupt_crc else 0))
+        return bytes(pg)
+
+    ident = (
+        b"\x01vorbis" + s.pack("<I", 0) + bytes([2]) + s.pack("<I", 44100)
+        + s.pack("<iii", 0, 0, 0) + bytes([0x88, 0x01])
+    )
+    comment = (
+        b"\x03vorbis" + s.pack("<I", 4) + b"test"
+        + s.pack("<I", 1) + s.pack("<I", 3) + b"A=B" + b"\x01"
+    )
+    return s, page, ident, comment
+
+
+def test_ogg_page_crc_and_header_strictness():
+    """Round-6 Ogg depth: page CRCs (RFC 3533 polynomial, differentially
+    tested against an independent bitwise CRC), Vorbis ident/comment
+    framing validation, OpusHead/OpusTags structure, and the Opus
+    granule-vs-TOC sample budget — each violation must raise ValueError,
+    each valid stream must parse."""
+    import pytest
+
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _parse_ogg,
+    )
+
+    s, page, ident, comment = _ogg_fixture_tools()
+    good = page(0, [ident], 0) + page(22050, [comment, b"\x05" * 40], 1)
+    meta = _parse_ogg(good)
+    assert (meta["sample_rate"], meta["channels"], meta["n_samples"]) == (44100, 2, 22050)
+
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_ogg(page(0, [ident], 0, corrupt_crc=True))
+    # ident framing bit cleared
+    bad_ident = ident[:-1] + b"\x00"
+    with pytest.raises(ValueError, match="framing"):
+        _parse_ogg(page(0, [bad_ident], 0))
+    # invalid blocksizes (bs0 > bs1)
+    bad_bs = ident[:28] + bytes([0x6D, 0x01])
+    with pytest.raises(ValueError, match="blocksize"):
+        _parse_ogg(page(0, [bad_bs], 0))
+    # comment whose declared vendor length escapes the packet
+    bomb = b"\x03vorbis" + s.pack("<I", 0xFFFFFF) + b"xx"
+    with pytest.raises(ValueError, match="vendor|truncated|escapes"):
+        _parse_ogg(page(0, [ident], 0) + page(0, [bomb], 1))
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + s.pack("<H", 312)
+        + s.pack("<I", 48000) + s.pack("<h", 0) + bytes([0])
+    )
+    opus_tags = b"OpusTags" + s.pack("<I", 4) + b"test" + s.pack("<I", 0)
+    ok = page(0, [opus_head], 0) + page(
+        1272, [opus_tags, b"\xf8\x00", b"\xf8\x00"], 1  # 2x960 + 312 pre-skip
+    )
+    meta = _parse_ogg(ok)
+    assert meta["n_samples"] == 960  # granule 1272 - pre_skip 312
+    # granule promises more samples than the packets' TOC bytes supply
+    with pytest.raises(ValueError, match="TOC"):
+        _parse_ogg(
+            page(0, [opus_head], 0) + page(90000, [opus_tags, b"\xf8\x00"], 1)
+        )
+    # mapping family 0 with 3 channels is invalid
+    bad_map = opus_head[:9] + bytes([3]) + opus_head[10:]
+    with pytest.raises(ValueError, match="mapping family|channels|at most"):
+        _parse_ogg(page(0, [bad_map], 0))
+
+
+def test_ogg_hostile_fuzz_decode_or_valueerror():
+    """Byte-flip fuzz over a valid Vorbis stream: every mutation either
+    parses or raises ValueError — no other exception type, no hang (the
+    audio_metadata quarantine contract)."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _parse_ogg,
+    )
+
+    _, page, ident, comment = _ogg_fixture_tools()
+    good = bytearray(page(0, [ident], 0) + page(22050, [comment, b"\x05" * 40], 1))
+    rng = np.random.default_rng(8)
+    for _ in range(400):
+        buf = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            _parse_ogg(bytes(buf))
+        except ValueError:
+            pass
