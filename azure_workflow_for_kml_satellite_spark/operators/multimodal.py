@@ -989,9 +989,14 @@ _MP3_BITRATES[(0, 1)] = _MP3_BITRATES[(2, 1)]
 def _parse_mp3(data: bytes) -> dict:
     """Real MPEG-audio frame-header walk: skips an ID3v2 tag, then steps
     frame to frame (version/layer/bitrate/samplerate/padding → frame
-    length), accumulating sample counts for the true duration. The PCM
-    samples themselves are not decoded (no codec here), so rms/peak are
-    null — header metadata is real."""
+    length), accumulating sample counts for the true duration.
+
+    Round 6: MPEG-1 Layer III streams additionally get their SAMPLES
+    decoded through the from-scratch functions/mp3.py decoder (validated
+    Huffman subset + analytic near-PR filterbank — see that module's
+    honesty notes), yielding real rms/peak. Streams outside the decodable
+    subset (MPEG-2/2.5, Layers I/II, escape Huffman tables, intensity
+    stereo) keep real header timing with null rms/peak, as before."""
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
         tag_size = (
@@ -1046,14 +1051,27 @@ def _parse_mp3(data: bytes) -> dict:
         pos += max(frame_len, 4)
     if n_frames == 0:
         raise ValueError("no MPEG audio frames found")
+    rms = peak = None
+    try:
+        from azure_workflow_for_kml_satellite_spark.functions.mp3 import decode_mp3
+
+        samples, _dec_rate = decode_mp3(data)
+        if samples.size:
+            # drop the synthesis filter's warm-up delay before statistics
+            body = samples[min(512, samples.shape[0] - 1) :]
+            if body.size:
+                rms = float(np.sqrt((body.astype(np.float64) ** 2).mean()))
+                peak = float(np.abs(body).max())
+    except ValueError:
+        pass  # outside the decodable subset: honest header-only row
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
         "bits_per_sample": None,
         "n_samples": int(n_samples),
         "duration_ms": int(round(1000.0 * n_samples / rate)),
-        "rms": None,
-        "peak": None,
+        "rms": rms,
+        "peak": peak,
     }
 
 

@@ -1035,7 +1035,9 @@ def test_audio_metadata_real_mp3_ogg(spark):
     assert m.decode_error is None
     assert (m.sample_rate, m.channels, m.n_samples) == (44100, 2, 10 * 1152)
     assert m.duration_ms == round(1000 * 10 * 1152 / 44100)
-    assert m.rms is None and m.bits_per_sample is None  # headers real, PCM not decoded
+    # round 6: all-zero Layer III payloads are VALID silent frames and now
+    # really decode (functions/mp3.py) — rms is real 0.0, no longer null
+    assert m.rms == 0.0 and m.peak == 0.0 and m.bits_per_sample is None
     v = out["ogg"]
     assert (v.sample_rate, v.channels, v.n_samples, v.duration_ms) == (44100, 2, 22050, 500)
     o = out["opus"]
