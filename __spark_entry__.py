@@ -643,6 +643,55 @@ def _q_eudr_report(spark, sf_dir):
     )
 
 
+def _q_audio_metadata(spark, sf_dir):
+    """Audio decode gate (round 6): WAV-PCM16, FLAC, MPEG-1 Layer III and
+    G.711 µ-law sines decoded by the from-scratch codecs; timing columns
+    are exact-matched against the spec-derived oracle rows, and
+    rms_ok/peak_ok assert the DECODED statistics sit inside per-kind
+    tolerance bands around the analytic sine amplitude (lossless 2 %,
+    µ-law 4 %, mp3 12 % + padding dilution) — a broken decoder flips the
+    booleans and the driver hash mismatches."""
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        audio_metadata,
+    )
+    from azure_workflow_for_kml_satellite_spark.sources import synth
+
+    ed = engine_dir(sf_dir)
+    aud = spark.read.parquet(f"{ed}/audio.parquet").repartition(8)
+    meta = audio_metadata(aud)
+    tol = {"wav16": (0.02, 0.02), "flac": (0.02, 0.02),
+           "ulaw": (0.04, 0.06), "mp3": (0.12, 0.30)}
+    rows = []
+    for i in range(synth.AUDIO_COUNT):
+        sp = synth.audio_spec(i)
+        rt, pt = tol[sp["kind"]]
+        rows.append((
+            f"aud{i:03d}_{sp['kind']}",
+            sp["amp"] / 2.0 ** 0.5,
+            sp["amp"],
+            rt,
+            pt,
+        ))
+    exp = spark.createDataFrame(
+        rows, "asset_id string, exp_rms double, exp_peak double, "
+              "rms_tol double, peak_tol double"
+    )
+    quarantined = F.col("decode_error").isNotNull()
+    ok = lambda col, expc, tolc: F.when(quarantined | F.col(col).isNull(), F.lit(False)).otherwise(
+        F.abs(F.col(col) - F.col(expc)) <= F.col(tolc) * F.col(expc)
+    )
+    return meta.join(F.broadcast(exp), "asset_id", "left").select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        quarantined.alias("quarantined"),
+        ok("rms", "exp_rms", "rms_tol").alias("rms_ok"),
+        ok("peak", "exp_peak", "peak_tol").alias("peak_ok"),
+    )
+
+
 def _q_image_thumbnails(spark, sf_dir):
     """Training-data RESIZE op, byte-oracled: md5 of each re-encoded
     thumbnail PNG over the deterministic image-asset table (PNG colour
@@ -1270,7 +1319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose last driver row was r2/r3 rotate back INTO the window;
         # multi-round-green r4+r5 entries (events/sessionize/pricing/
         # top-customers/ANN trio/exact-cosine baseline) rotate out. The
-        # r5-first-green entries stay in for a second consecutive row. —
+        # r5-first-green entries stay in for a second consecutive row.
+        # q_audio_metadata is NEW in round 6 (mp3/flac/wav/µ-law decode)
+        # and leads the window. —
+        "q_audio_metadata": _q_audio_metadata,
         "q_page_text": _q_page_text,
         "q_coord_csv": _q_coord_csv,
         "q_dedup_exact": _q_dedup_exact,
@@ -1287,7 +1339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quarantine": _q_quarantine,
         "q_aoi_prep": _q_aoi_prep,
         "q_spatial_join": _q_spatial_join,
-        "q_tile_assignment": _q_tile_assignment,
         "q_display_scene": _q_display_scene,
         "q_ndvi_stats": _q_ndvi_stats,
         "q_ndvi_utm": _q_ndvi_utm,
@@ -1328,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-set local gate (scripts/check_correctness.py --exact) keeps
         # covering all of them every round.
         "q_knn_gauges_cells": _q_knn_gauges_cells,
+        "q_tile_assignment": _q_tile_assignment,
         "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "q_dedup_clusters_star": _q_dedup_clusters_star,
         "q_events_hourly": _q_events_hourly,
@@ -1500,6 +1552,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT asset_id, width, height, thumb_width, thumb_height, "
         "thumb_md5, quarantined "
         f"FROM read_parquet('{_E}/expected/image_thumbnails.parquet')"
+    )
+    sql["q_audio_metadata"] = (
+        "SELECT asset_id, sample_rate, channels, n_samples, duration_ms, "
+        "quarantined, rms_ok, peak_ok "
+        f"FROM read_parquet('{_E}/expected/audio_metadata.parquet')"
     )
 
     # — genuine SQL re-derivations over engine tables —

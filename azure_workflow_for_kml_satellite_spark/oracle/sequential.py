@@ -386,12 +386,61 @@ def compute_image_thumbnails(out_dir: Path, max_side: int = 32) -> None:
     )
 
 
+def compute_audio_metadata(out_dir: Path) -> None:
+    """Expected rows for q_audio_metadata, derived purely from the synth
+    SPEC (no decoder involved): exact timing columns per kind (the mp3
+    frame count follows the encoder's documented padding formula) and
+    rms_ok/peak_ok = True — the engine side computes those booleans by
+    checking its DECODED statistics against the same spec's analytic
+    amplitude within per-kind tolerance bands, so a broken decoder flips
+    them to False and the driver hash mismatches."""
+    from azure_workflow_for_kml_satellite_spark.sources import synth
+
+    ids, rates, chans, nss, durs, quar, rok, pok = [], [], [], [], [], [], [], []
+    for i in range(synth.AUDIO_COUNT):
+        sp = synth.audio_spec(i)
+        n = sp["n"]
+        if sp["kind"] == "mp3":
+            n = max(1, -(-n // 1152)) * 1152  # encoder pads to frame grid
+        ids.append(f"aud{i:03d}_{sp['kind']}")
+        rates.append(sp["rate"])
+        chans.append(1)
+        nss.append(n)
+        durs.append(int(round(1000.0 * n / sp["rate"])))
+        quar.append(False)
+        rok.append(True)
+        pok.append(True)
+    ids.append("aud_corrupt")
+    rates.append(None)
+    chans.append(None)
+    nss.append(None)
+    durs.append(None)
+    quar.append(True)
+    rok.append(False)
+    pok.append(False)
+    _write(
+        out_dir,
+        "audio_metadata",
+        {
+            "asset_id": pa.array(ids, pa.string()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "channels": pa.array(chans, pa.int64()),
+            "n_samples": pa.array(nss, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "quarantined": pa.array(quar, pa.bool_()),
+            "rms_ok": pa.array(rok, pa.bool_()),
+            "peak_ok": pa.array(pok, pa.bool_()),
+        },
+    )
+
+
 def build_expected(sf_dir: str | Path) -> Path:
     sf_dir = Path(sf_dir)
     out_dir = sf_dir / "expected"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     compute_image_thumbnails(out_dir)
+    compute_audio_metadata(out_dir)
 
     # per-url visible-text bytes (north-rule invariant): md5 of the
     # INDEPENDENT scanner extraction (kernels.visible_text), compared by the

@@ -40,6 +40,7 @@ def engine_dir(sf_dir: str) -> str:
         "csv_points.parquet": "write_csv_points",
         "utm_scenes.parquet": "write_utm_scenes",
         "images.parquet": "write_images",
+        "audio.parquet": "write_audio",
     }
     for fname, writer in aux.items():
         if not (out / fname).exists():

@@ -995,6 +995,90 @@ def write_images(out_dir: str | Path) -> Path:
     return out
 
 
+AUDIO_COUNT = 40
+AUDIO_KINDS = ("wav16", "flac", "mp3", "ulaw")
+
+
+def audio_kind(i: int) -> str:
+    return AUDIO_KINDS[i % len(AUDIO_KINDS)]
+
+
+def audio_spec(i: int) -> dict:
+    """Deterministic recipe for audio asset ``i``: a pure sine with known
+    analytic amplitude/rms — the oracle side of q_audio_metadata derives
+    expected timing exactly and rms/peak tolerance bands from this spec,
+    independent of any decoder."""
+    kind = audio_kind(i)
+    if kind == "mp3":
+        rate = (44100, 48000, 32000)[_mix(501, i) % 3]
+        seconds = 0.5
+    else:
+        rate = (8000, 16000, 44100)[_mix(501, i) % 3]
+        seconds = 0.25
+    n = int(rate * seconds)
+    freq = 200.0 + (_mix(503, i) % 2000)
+    # keep the tone away from Nyquist so analytic rms ≈ amp/sqrt(2) holds
+    freq = min(freq, rate / 2.5)
+    amp = 0.2 + (_mix(509, i) % 60) / 100.0
+    return {"kind": kind, "rate": rate, "n": n, "freq": freq, "amp": amp}
+
+
+def audio_samples(i: int):
+    import numpy as np
+
+    sp = audio_spec(i)
+    t = np.arange(sp["n"], dtype=np.float64)
+    return sp["amp"] * np.sin(2.0 * np.pi * sp["freq"] * t / sp["rate"])
+
+
+def _wav_container(fmt_code: int, channels: int, rate: int, bits: int,
+                   body: bytes) -> bytes:
+    byte_rate = rate * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, rate, byte_rate,
+                      max(1, channels * bits // 8), bits)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def write_audio(out_dir: str | Path) -> Path:
+    """Deterministic audio-asset table (asset_id, payload): PCM16 WAV,
+    FLAC, MPEG-1 Layer III (the round-6 from-scratch codec) and G.711
+    µ-law WAV sines, plus a corrupt payload for the quarantine path."""
+    import numpy as np
+
+    from azure_workflow_for_kml_satellite_spark.functions.flac import encode_flac
+    from azure_workflow_for_kml_satellite_spark.functions.mp3 import encode_mp3
+    from azure_workflow_for_kml_satellite_spark.functions.pcm_codecs import (
+        mulaw_encode,
+    )
+
+    ids, payloads = [], []
+    for i in range(AUDIO_COUNT):
+        sp = audio_spec(i)
+        x = audio_samples(i)
+        pcm16 = np.round(x * 32767.0).astype(np.int16)
+        if sp["kind"] == "wav16":
+            payload = _wav_container(1, 1, sp["rate"], 16, pcm16.tobytes())
+        elif sp["kind"] == "flac":
+            payload = encode_flac(pcm16.astype(np.int64), rate=sp["rate"])
+        elif sp["kind"] == "mp3":
+            payload = encode_mp3(x, sp["rate"])
+        else:  # ulaw
+            payload = _wav_container(7, 1, sp["rate"], 8, mulaw_encode(pcm16))
+        ids.append(f"aud{i:03d}_{sp['kind']}")
+        payloads.append(payload)
+    ids.append("aud_corrupt")
+    payloads.append(b"RIFF\x10\x00\x00\x00WAVEjunk" + _hash_bytes(9003, 32))
+    out = Path(out_dir) / "audio.parquet"
+    pq.write_table(
+        pa.table({"asset_id": pa.array(ids, pa.string()),
+                  "payload": pa.array(payloads, pa.binary())}),
+        out,
+    )
+    return out
+
+
 # ── top-level ───────────────────────────────────────────────────────────────
 
 SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000, "sf1": 300000, "sf10": 3000000}
@@ -1015,4 +1099,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_csv_points(out_dir)
     write_utm_scenes(out_dir)
     write_images(out_dir)
+    write_audio(out_dir)
     return out_dir
