@@ -1243,14 +1243,30 @@ def _parse_ogg(data: bytes) -> dict:
         raise ValueError("unsupported Ogg codec (not Vorbis/Opus)")
     if channels <= 0 or not 0 < rate <= 10_000_000:
         raise ValueError("invalid Ogg identification header")
+    rms = peak = None
+    if ident[:7] == b"\x01vorbis":
+        # round 6: from-scratch Vorbis I sample decode (functions/vorbis.py)
+        # — outside the decodable subset (floor0 etc.) the row stays an
+        # honest header-only one, mirroring the MP3 tiering.
+        try:
+            from azure_workflow_for_kml_satellite_spark.functions.vorbis import (
+                decode_vorbis_stream,
+            )
+
+            samples, _r, _c = decode_vorbis_stream(packets, last_granule)
+            if samples.size:
+                rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                peak = float(np.abs(samples).max())
+        except ValueError:
+            pass
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
         "bits_per_sample": None,
         "n_samples": int(n_samples),
         "duration_ms": int(round(1000.0 * n_samples / rate)),
-        "rms": None,
-        "peak": None,
+        "rms": rms,
+        "peak": peak,
     }
 
 

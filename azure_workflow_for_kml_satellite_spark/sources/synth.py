@@ -996,7 +996,7 @@ def write_images(out_dir: str | Path) -> Path:
 
 
 AUDIO_COUNT = 40
-AUDIO_KINDS = ("wav16", "flac", "mp3", "ulaw")
+AUDIO_KINDS = ("wav16", "flac", "mp3", "ulaw", "vorbis")
 
 
 def audio_kind(i: int) -> str:
@@ -1012,6 +1012,9 @@ def audio_spec(i: int) -> dict:
     if kind == "mp3":
         rate = (44100, 48000, 32000)[_mix(501, i) % 3]
         seconds = 0.5
+    elif kind == "vorbis":
+        rate = (44100, 48000, 32000)[_mix(501, i) % 3]
+        seconds = 0.25
     else:
         rate = (8000, 16000, 44100)[_mix(501, i) % 3]
         seconds = 0.25
@@ -1043,14 +1046,18 @@ def _wav_container(fmt_code: int, channels: int, rate: int, bits: int,
 
 def write_audio(out_dir: str | Path) -> Path:
     """Deterministic audio-asset table (asset_id, payload): PCM16 WAV,
-    FLAC, MPEG-1 Layer III (the round-6 from-scratch codec) and G.711
-    µ-law WAV sines, plus a corrupt payload for the quarantine path."""
+    FLAC, MPEG-1 Layer III, Ogg Vorbis (both round-6 from-scratch
+    codecs) and G.711 µ-law WAV sines, plus a corrupt payload for the
+    quarantine path."""
     import numpy as np
 
     from azure_workflow_for_kml_satellite_spark.functions.flac import encode_flac
     from azure_workflow_for_kml_satellite_spark.functions.mp3 import encode_mp3
     from azure_workflow_for_kml_satellite_spark.functions.pcm_codecs import (
         mulaw_encode,
+    )
+    from azure_workflow_for_kml_satellite_spark.functions.vorbis import (
+        encode_vorbis,
     )
 
     ids, payloads = [], []
@@ -1064,6 +1071,8 @@ def write_audio(out_dir: str | Path) -> Path:
             payload = encode_flac(pcm16.astype(np.int64), rate=sp["rate"])
         elif sp["kind"] == "mp3":
             payload = encode_mp3(x, sp["rate"])
+        elif sp["kind"] == "vorbis":
+            payload = encode_vorbis(x, sp["rate"])
         else:  # ulaw
             payload = _wav_container(7, 1, sp["rate"], 8, mulaw_encode(pcm16))
         ids.append(f"aud{i:03d}_{sp['kind']}")
