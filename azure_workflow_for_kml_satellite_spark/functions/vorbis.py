@@ -877,7 +877,7 @@ def _write_code(bw: _BitsW, code: int, length: int) -> None:
 
 
 def _enc_write_codebook(bw: _BitsW, dim: int, entries: int, length: int,
-                        lookup=None) -> None:
+                        lookup=None, lookup_type: int = 1) -> None:
     bw.write(0x564342, 24)
     bw.write(dim, 16)
     bw.write(entries, 24)
@@ -889,7 +889,7 @@ def _enc_write_codebook(bw: _BitsW, dim: int, entries: int, length: int,
         bw.write(0, 4)
     else:
         minimum, delta, value_bits, mults = lookup
-        bw.write(1, 4)
+        bw.write(lookup_type, 4)
         bw.write(float32_pack(minimum), 32)
         bw.write(float32_pack(delta), 32)
         bw.write(value_bits - 1, 4)
@@ -898,17 +898,33 @@ def _enc_write_codebook(bw: _BitsW, dim: int, entries: int, length: int,
             bw.write(m, value_bits)
 
 
-def _enc_setup_packet(pass_params: list) -> bytes:
+def _enc_setup_packet(pass_params: list, residue_type: int = 2,
+                      lookup_type: int = 1, value_dim: int = 1,
+                      channels: int = 1) -> bytes:
+    """Setup header. Variants exist purely to light up decoder paths:
+    residue_type 0/1/2 (all three partition layouts), lookup_type 1
+    (implicit lattice) vs 2 (explicit multiplicand table, same decoded
+    values), value_dim 1 vs 2 (multi-dimension VQ add loops), channels 2
+    (square-polar coupling). All combinations stay spec-conformant."""
+    n_vals = 64
+    entries = n_vals ** value_dim
+    length = 6 * value_dim
     bw = _BitsW()
     bw.write(4, 8)  # 5 codebooks
     # book0: floor Y values (128 entries, scalar)
     _enc_write_codebook(bw, 1, 128, 7)
     # book1: residue classbook (16 entries = 2 classes ** 4 classwords)
     _enc_write_codebook(bw, _ENC_CWORDS, 16, 4)
-    # books 2..4: cascade value books (64-level scalar lattices)
+    # books 2..4: cascade value books (64-level lattices per dimension)
+    if lookup_type == 1:
+        mults = list(range(n_vals))
+    else:  # explicit table reproducing the lattice values exactly
+        mults = [(e // n_vals ** j) % n_vals
+                 for e in range(entries) for j in range(value_dim)]
     for minimum, delta in pass_params:
-        _enc_write_codebook(bw, 1, 64, 6,
-                            lookup=(minimum, delta, 6, list(range(64))))
+        _enc_write_codebook(bw, value_dim, entries, length,
+                            lookup=(minimum, delta, 6, mults),
+                            lookup_type=lookup_type)
     bw.write(0, 6)  # 1 time transform
     bw.write(0, 16)
     bw.write(0, 6)  # 1 floor
@@ -923,9 +939,9 @@ def _enc_setup_packet(pass_params: list) -> bytes:
     bw.write(85, 8)  # X values beyond [0, 256]
     bw.write(170, 8)
     bw.write(0, 6)  # 1 residue
-    bw.write(2, 16)  # residue type 2
+    bw.write(residue_type, 16)
     bw.write(0, 24)  # begin
-    bw.write(_ENC_N // 2, 24)  # end
+    bw.write(_ENC_N // 2 * channels, 24)  # end (covers the type-2 interleave)
     bw.write(_ENC_PSIZE - 1, 24)
     bw.write(1, 6)  # 2 classifications
     bw.write(1, 8)  # classbook = book1
@@ -938,7 +954,13 @@ def _enc_setup_packet(pass_params: list) -> bytes:
     bw.write(0, 6)  # 1 mapping
     bw.write(0, 16)  # mapping type 0
     bw.write(0, 1)  # 1 submap
-    bw.write(0, 1)  # no coupling
+    if channels == 2:
+        bw.write(1, 1)  # coupling present
+        bw.write(0, 8)  # 1 step
+        bw.write(0, 1)  # magnitude = channel 0 (ilog(1) = 1 bit)
+        bw.write(1, 1)  # angle = channel 1
+    else:
+        bw.write(0, 1)  # no coupling
     bw.write(0, 2)  # reserved
     bw.write(0, 8)  # time config (unused)
     bw.write(0, 8)  # floor 0
@@ -953,42 +975,63 @@ def _enc_setup_packet(pass_params: list) -> bytes:
     return b"\x05vorbis" + bw.tobytes()
 
 
-def _enc_audio_packet(resid: np.ndarray, passes: list, blockflag: int = 0,
-                      prev_flag: int = 1, next_flag: int = 1) -> bytes:
-    """resid: length-512 residue targets (the residue config's end=512
-    caps both block sizes at 16 partitions); passes: [(min, delta), ...]
-    exact decoder reconstruction levels. A None resid emits the
-    floor-unused (silent) packet shape."""
-    n2 = _ENC_N // 2
+def _enc_audio_packet(flat: np.ndarray | None, passes: list,
+                      blockflag: int = 0, prev_flag: int = 1,
+                      next_flag: int = 1, channels: int = 1,
+                      residue_type: int = 2, value_dim: int = 1) -> bytes:
+    """flat: the residue vector as the DECODER's residue stage sees it —
+    length 512 for mono, 512*channels channel-interleaved for the
+    type-2 stereo layout; None emits the floor-unused (silent) packet.
+    passes: [(min, delta), ...] exact decoder reconstruction levels."""
     bw = _BitsW()
     bw.write(0, 1)  # audio packet
     bw.write(blockflag, 1)  # mode number (2 modes -> 1 bit; index == flag)
     if blockflag:
         bw.write(prev_flag, 1)
         bw.write(next_flag, 1)
-    if resid is None:
-        bw.write(0, 1)  # floor unused -> channel silent, no residue data
+    for _ in range(channels):
+        if flat is None:
+            bw.write(0, 1)  # floor unused -> channel silent
+        else:
+            bw.write(1, 1)  # floor nonzero
+            bw.write(127, 7)  # Y0
+            bw.write(127, 7)  # Y1
+            _write_code(bw, 0, 7)  # partition Y vals: 0 -> predicted (flat)
+            _write_code(bw, 0, 7)
+    if flat is None:
         return bw.tobytes()
-    bw.write(1, 1)  # floor nonzero
-    bw.write(127, 7)  # Y0
-    bw.write(127, 7)  # Y1
-    _write_code(bw, 0, 7)  # partition Y values: val 0 -> predicted (flat)
-    _write_code(bw, 0, 7)
-    parts = n2 // _ENC_PSIZE
+    size = len(flat)
+    parts = size // _ENC_PSIZE
     # greedy cascade quantization against the decoder's exact levels
-    approx = np.zeros(n2)
+    approx = np.zeros(size)
     idxs = []
     for minimum, delta in passes:
-        idx = np.clip(np.round((resid - approx - minimum) / delta), 0, 63)
+        idx = np.clip(np.round((flat - approx - minimum) / delta), 0, 63)
         idx = idx.astype(np.int64)
         idxs.append(idx)
         approx = approx + minimum + idx * delta
     tiny = passes[-1][1]  # ~ delta2: silence threshold for class-0 partitions
     cls = np.array([
-        1 if np.abs(resid[p * _ENC_PSIZE:(p + 1) * _ENC_PSIZE]).max() > tiny
+        1 if np.abs(flat[p * _ENC_PSIZE:(p + 1) * _ENC_PSIZE]).max() > tiny
         else 0
         for p in range(parts)
     ])
+
+    def write_partition(levels: np.ndarray, off: int) -> None:
+        # group elements into dim-sized VQ codewords matching the decode
+        # loops: sequential for types 1/2, strided for type 0
+        if residue_type == 0:
+            step = _ENC_PSIZE // value_dim
+            for i in range(step):
+                e = sum(int(levels[off + i + j * step]) * 64 ** j
+                        for j in range(value_dim))
+                _write_code(bw, e, 6 * value_dim)
+        else:
+            for i in range(0, _ENC_PSIZE, value_dim):
+                e = sum(int(levels[off + i + j]) * 64 ** j
+                        for j in range(value_dim))
+                _write_code(bw, e, 6 * value_dim)
+
     for p in range(3):
         pcount = 0
         while pcount < parts:
@@ -1001,9 +1044,7 @@ def _enc_audio_packet(resid: np.ndarray, passes: list, blockflag: int = 0,
                 if pcount >= parts:
                     break
                 if cls[pcount]:
-                    off = pcount * _ENC_PSIZE
-                    for i in range(_ENC_PSIZE):
-                        _write_code(bw, int(idxs[p][off + i]), 6)
+                    write_partition(idxs[p], pcount * _ENC_PSIZE)
                 pcount += 1
     return bw.tobytes()
 
@@ -1052,9 +1093,24 @@ def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
     return page[:22] + struct.pack("<I", crc) + page[26:]
 
 
+def forward_couple(x: np.ndarray, y: np.ndarray):
+    """Inverse of inverse_couple: channel pair -> (magnitude, angle).
+    inverse_couple(forward_couple(x, y)) == (x, y) exactly over the
+    reals; in float64 the round trip is within 1 ulp of |x|+|y|
+    (re-association in m+a), negligible against quantization
+    (property-tested)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    m = np.where(np.abs(x) >= np.abs(y), x, y)
+    a = np.where(m > 0, x - y, y - x)
+    return m, a
+
+
 def encode_vorbis(pcm: np.ndarray, sample_rate: int = 44100,
                   serial: int = 0x6B6D6C31,
-                  block_plan: list | None = None) -> bytes:
+                  block_plan: list | None = None,
+                  residue_type: int = 2, value_dim: int = 1,
+                  lookup_type: int = 1) -> bytes:
     """Mono float PCM in [-1, 1] -> a complete Ogg Vorbis byte stream
     decodable by decode_vorbis_stream (and by any conformant decoder).
     The final page's granule position equals len(pcm) so decode trims to
@@ -1067,9 +1123,22 @@ def encode_vorbis(pcm: np.ndarray, sample_rate: int = 44100,
     config's end) — an encoder-side lowpass, irrelevant for signals
     below sample_rate/4. Frames whose windowed spectrum is exactly zero
     are emitted as floor-unused (silent) packets, covering the
-    do-not-decode residue path."""
-    pcm = np.asarray(pcm, np.float64).ravel()
-    n_in = len(pcm)
+    do-not-decode residue path.
+
+    ``residue_type``/``value_dim``/``lookup_type`` select spec-conformant
+    stream variants that exercise the decoder's three residue layouts,
+    multi-dimension VQ grouping, and both lookup-table forms. A 2-D pcm
+    of shape (n, 2) encodes coupled stereo (square-polar, type 2 only)."""
+    pcm = np.asarray(pcm, np.float64)
+    channels = 2 if pcm.ndim == 2 and pcm.shape[1] == 2 else 1
+    if channels == 1:
+        pcm = pcm.ravel()[:, None]
+    if channels == 2 and residue_type != 2:
+        raise ValueError("stereo coupling requires the type-2 residue layout")
+    if residue_type not in (0, 1, 2) or value_dim not in (1, 2) \
+            or lookup_type not in (1, 2):
+        raise ValueError("unsupported encoder variant")
+    n_in = pcm.shape[0]
     if n_in == 0:
         raise ValueError("empty PCM input")
     bs = (_ENC_N, 2 * _ENC_N)
@@ -1085,7 +1154,7 @@ def encode_vorbis(pcm: np.ndarray, sample_rate: int = 44100,
     if centers[-1] < n_in:
         raise ValueError("block plan does not cover the input")
     off = bs[1] // 2  # front pad: largest half-block
-    xpad = np.zeros(off + centers[-1] + bs[1], np.float64)
+    xpad = np.zeros((off + centers[-1] + bs[1], channels), np.float64)
     xpad[off:off + n_in] = pcm
     floor_amp = float(_INV_DB[254])
     spectra: list = []
@@ -1096,12 +1165,19 @@ def encode_vorbis(pcm: np.ndarray, sample_rate: int = 44100,
         next_flag = plan[f + 1] if f + 1 < len(plan) else 1
         w, _ls, _re = _frame_window(n, bs[0], bf, prev_flag, next_flag)
         sl = xpad[off + centers[f] - n // 2:off + centers[f] + n // 2]
-        X = mdct(w * sl)[: _ENC_N // 2] / floor_amp
-        if np.abs(X).max() == 0.0:
+        per_ch = [mdct(w * sl[:, c])[: _ENC_N // 2] / floor_amp
+                  for c in range(channels)]
+        if channels == 2:
+            m, a = forward_couple(per_ch[0], per_ch[1])
+            flat = np.empty(2 * len(m), np.float64)
+            flat[0::2], flat[1::2] = m, a
+        else:
+            flat = per_ch[0]
+        if np.abs(flat).max() == 0.0:
             spectra.append(None)  # silent frame -> floor-unused packet
         else:
-            spectra.append(X)
-            peak = max(peak, float(np.abs(X).max()))
+            spectra.append(flat)
+            peak = max(peak, float(np.abs(flat).max()))
     m0 = max(peak, 1e-6)
     passes = []
     for _ in range(3):
@@ -1109,13 +1185,14 @@ def encode_vorbis(pcm: np.ndarray, sample_rate: int = 44100,
         delta = float32_unpack(float32_pack(2.0 * m0 / 63.0))
         passes.append((minimum, delta))
         m0 = delta  # next pass covers one coarse step (+ slack)
-    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
              + struct.pack("<I", sample_rate) + struct.pack("<iii", 0, 0, 0)
              + bytes([(11 << 4) | 10]) + bytes([1]))
     vendor = b"kmlsat-vorbis"
     comment = (b"\x03vorbis" + struct.pack("<I", len(vendor)) + vendor
                + struct.pack("<I", 0) + bytes([1]))
-    setup = _enc_setup_packet(passes)
+    setup = _enc_setup_packet(passes, residue_type, lookup_type, value_dim,
+                              channels)
     pages = [_ogg_page(serial, 0, 0, 0x02, [ident]),
              _ogg_page(serial, 1, 0, 0x00, [comment, setup])]
     seq = 2
@@ -1124,7 +1201,8 @@ def encode_vorbis(pcm: np.ndarray, sample_rate: int = 44100,
         prev_flag = plan[f - 1] if f > 0 else 1
         next_flag = plan[f + 1] if f + 1 < len(plan) else 1
         batch.append(_enc_audio_packet(spectra[f], passes, bf,
-                                       prev_flag, next_flag))
+                                       prev_flag, next_flag, channels,
+                                       residue_type, value_dim))
         last = f == len(plan) - 1
         if len(batch) == 8 or last:
             # clamp to n_in: page granules must be non-decreasing and the

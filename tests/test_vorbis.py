@@ -294,3 +294,77 @@ def test_parse_ogg_emits_real_vorbis_sample_stats():
     assert meta["n_samples"] == len(pcm)
     assert meta["rms"] == pytest.approx(amp / np.sqrt(2), rel=5e-3)
     assert meta["peak"] == pytest.approx(amp, rel=5e-3)
+
+
+# ── encoder variants: full decoder-path coverage ───────────────────────────
+
+
+def test_forward_inverse_couple_roundtrip():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-5, 5, 20000)
+    y = rng.uniform(-5, 5, 20000)
+    m, a = V.forward_couple(x, y)
+    xx, yy = V.inverse_couple(m, a)
+    scale = np.abs(x) + np.abs(y) + 1e-30
+    assert np.abs(xx - x).max() == 0.0 or np.max(np.abs(xx - x) / scale) < 1e-15
+    assert np.max(np.abs(yy - y) / scale) < 1e-15
+    # integer lattices round-trip bit-exactly (no re-association error)
+    xi = rng.integers(-50, 50, 5000).astype(np.float64)
+    yi = rng.integers(-50, 50, 5000).astype(np.float64)
+    mi, ai = V.forward_couple(xi, yi)
+    xxi, yyi = V.inverse_couple(mi, ai)
+    assert np.array_equal(xxi, xi) and np.array_equal(yyi, yi)
+
+
+@pytest.mark.parametrize("kw", [
+    {"residue_type": 0},
+    {"residue_type": 1},
+    {"value_dim": 2},
+    {"lookup_type": 2},
+    {"residue_type": 0, "value_dim": 2},
+    {"residue_type": 1, "value_dim": 2, "lookup_type": 2},
+])
+def test_roundtrip_stream_variants(kw):
+    """Every spec residue layout (0 interleaved / 1 sequential / 2
+    channel-interleaved), VQ dimension grouping and both lookup-table
+    forms decode to the same signal."""
+    pcm = _sine(seconds=0.2)
+    pk, gran = _packets_of(V.encode_vorbis(pcm, 44100, **kw))
+    x = V.decode_vorbis_stream(pk, gran)[0][:, 0]
+    assert len(x) == len(pcm)
+    assert np.abs(x - pcm).max() < 5e-3
+
+
+def test_roundtrip_coupled_stereo():
+    rate = 44100
+    t = np.arange(int(0.2 * rate))
+    left = 0.6 * np.sin(2 * np.pi * 440 * t / rate)
+    right = 0.3 * np.sin(2 * np.pi * 660 * t / rate + 0.8)
+    st = np.stack([left, right], axis=1)
+    pk, gran = _packets_of(V.encode_vorbis(st, rate))
+    out, r, ch = V.decode_vorbis_stream(pk, gran)
+    assert (r, ch) == (rate, 2)
+    assert out.shape == st.shape
+    assert np.abs(out[:, 0] - left).max() < 5e-3
+    assert np.abs(out[:, 1] - right).max() < 5e-3
+    # per-channel rms against the analytic values
+    assert np.sqrt((out[:, 0] ** 2).mean()) == pytest.approx(
+        0.6 / np.sqrt(2), rel=5e-3)
+    assert np.sqrt((out[:, 1] ** 2).mean()) == pytest.approx(
+        0.3 / np.sqrt(2), rel=5e-3)
+
+
+def test_parse_ogg_stereo_stats():
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _parse_ogg,
+    )
+
+    rate = 48000
+    t = np.arange(int(0.15 * rate))
+    st = np.stack([0.5 * np.sin(2 * np.pi * 500 * t / rate),
+                   0.2 * np.sin(2 * np.pi * 750 * t / rate)], axis=1)
+    meta = _parse_ogg(V.encode_vorbis(st, rate))
+    assert meta["channels"] == 2
+    assert meta["n_samples"] == len(t)
+    assert meta["rms"] == pytest.approx(float(np.sqrt((st ** 2).mean())),
+                                        rel=5e-3)
