@@ -696,6 +696,32 @@ def _q_audio_metadata(spark, sf_dir):
     )
 
 
+def _q_video_frames(spark, sf_dir):
+    """Video decode gate (round 6): avc1-in-MP4 clips sampled at a fixed
+    cadence through video_frame_sample — ISO-BMFF demux, stsd→avcC
+    extradata, and the from-scratch H.264 baseline-intra decoder
+    (functions/h264.py: CAVLC, all intra modes, I_PCM, multi-slice,
+    deblocking). The oracle recomputes timing from the synth spec and
+    pixel hashes from the ENCODER's reconstruction via independent scalar
+    YUV→RGB + average-hash kernels — the decoder must match the encoder
+    recon bit-exactly (and the demux must find the right bytes) for the
+    driver hash to agree. The corrupt payload pins the quarantine path."""
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+    from azure_workflow_for_kml_satellite_spark.sources.synth import VIDEO_EVERY_MS
+
+    ed = engine_dir(sf_dir)
+    vids = spark.read.parquet(f"{ed}/videos.parquet").repartition(8)
+    return video_frame_sample(vids, every_ms=VIDEO_EVERY_MS).select(
+        "asset_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.col("frame_phash").cast("long").alias("frame_phash"),
+        F.col("decode_error").isNotNull().alias("quarantined"),
+    )
+
+
 def _q_image_thumbnails(spark, sf_dir):
     """Training-data RESIZE op, byte-oracled: md5 of each re-encoded
     thumbnail PNG over the deterministic image-asset table (PNG colour
@@ -1324,9 +1350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-round-green r4+r5 entries (events/sessionize/pricing/
         # top-customers/ANN trio/exact-cosine baseline) rotate out. The
         # r5-first-green entries stay in for a second consecutive row.
-        # q_audio_metadata is NEW in round 6 (mp3/flac/wav/µ-law decode)
-        # and leads the window. —
+        # q_audio_metadata and q_video_frames are NEW in round 6
+        # (mp3/flac/wav/µ-law/vorbis and H.264 decode gates) and lead
+        # the window. —
         "q_audio_metadata": _q_audio_metadata,
+        "q_video_frames": _q_video_frames,
         "q_page_text": _q_page_text,
         "q_coord_csv": _q_coord_csv,
         "q_dedup_exact": _q_dedup_exact,
@@ -1561,6 +1589,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT asset_id, sample_rate, channels, n_samples, duration_ms, "
         "quarantined, rms_ok, peak_ok "
         f"FROM read_parquet('{_E}/expected/audio_metadata.parquet')"
+    )
+    sql["q_video_frames"] = (
+        "SELECT asset_id, frame_index, ts_ms, frame_phash, quarantined "
+        f"FROM read_parquet('{_E}/expected/video_frames.parquet')"
     )
 
     # — genuine SQL re-derivations over engine tables —

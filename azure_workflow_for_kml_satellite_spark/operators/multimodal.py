@@ -14,15 +14,18 @@ decoded, as are ICO containers (PNG or doubled-height DIB entries); WebP
 headers and SVG root dimensions are really parsed (dims real, pixels/
 rasterization honestly stubbed). WAV (RIFF/PCM) and AIFF (big-endian PCM incl. the 80-bit
 extended sample rate) audio are really parsed
-(``audio_metadata`` — header + sample statistics), MP3 frame headers,
-Ogg (Vorbis/Opus) pages and FLAC STREAMINFO are really walked (true
-rate/channels/duration; compressed samples stay undecoded), MJPEG-in-AVI
+(``audio_metadata`` — header + sample statistics), MP3 (MPEG-1 Layer
+III, functions/mp3.py) and Ogg Vorbis (functions/vorbis.py) samples are
+really DECODED (true rms/peak; Opus pages walked for timing only),
+FLAC frames really decoded, MJPEG-in-AVI
 video is really demuxed + decoded (``video_frame_sample`` — RIFF walk →
-movi JPEG chunks → per-frame pixel hash), and MP4/MOV (ISO-BMFF sample
-tables) and Matroska (EBML element walk) are really demuxed too — true
-frame timing/byte ranges, with 'jpeg'/'V_MJPEG' payloads decoding to
-true pixel hashes. Only the compressed A/V codec payloads themselves
-(h264/aac/vorbis bitstreams — no PIL/ffmpeg in this container) emit an
+movi JPEG chunks → per-frame pixel hash), MP4/MOV (ISO-BMFF sample
+tables) and Matroska (EBML element walk) are really demuxed — true
+frame timing/byte ranges — with 'jpeg'/'V_MJPEG' payloads decoding to
+true pixel hashes and MP4 `avc1` decoded by the from-scratch H.264
+baseline-intra decoder (functions/h264.py). Only the remaining
+compressed A/V codec payloads (aac/opus samples, CABAC/inter H.264,
+hvc1/VP9 — no PIL/ffmpeg in this container) emit an
 honest per-row decode_error; unrecognized containers keep the
 clearly-marked deterministic stand-in: swapping ``_fake_decode_image``
 for a PIL call is a one-function change; schemas, Arrow batch shape,
@@ -131,13 +134,16 @@ def _fake_decode_image(data: bytes) -> np.ndarray:
 
 
 def _phash(img: np.ndarray) -> int:
-    """Tiny average-hash over an 8x8 downsample of the luma plane."""
-    luma = img.mean(axis=2)
+    """Tiny average-hash over an 8x8 downsample of the luma plane.
+    All-integer arithmetic (channel sum, ``64*s > total`` threshold) so the
+    hash is exactly reproducible by any transcription — float means would
+    tie-break differently under different summation orders."""
+    luma = img.astype(np.int64).sum(axis=2)
     hh, ww = luma.shape
     ys = (np.arange(8) * hh // 8).clip(0, hh - 1)
     xs = (np.arange(8) * ww // 8).clip(0, ww - 1)
     block = luma[np.ix_(ys, xs)]
-    bits = (block > block.mean()).flatten()
+    bits = (block * 64 > block.sum()).flatten()
     v = 0
     for i, b in enumerate(bits[:63]):  # 63 bits to stay in signed int64
         if b:
@@ -511,12 +517,23 @@ def _parse_mp4_video_trak(data: bytes, s: int, e: int) -> dict | None:
     for need in (b"stsd", b"stts", b"stsz", b"stsc"):
         if need not in tables:
             raise ValueError(f"MP4 stbl missing {need.decode()}")
-    # stsd: first sample-entry fourcc is the codec
+    # stsd: first sample-entry fourcc is the codec; for avc1 the entry's
+    # child avcC box carries the SPS/PPS the decoder needs
     sp = tables[b"stsd"][0]
     (n_desc,) = struct.unpack_from(">I", data, sp + 4)
     if n_desc < 1:
         raise ValueError("MP4 stsd has no sample descriptions")
     codec = data[sp + 12 : sp + 16].decode("latin-1")
+    avcc = None
+    if codec == "avc1":
+        (entry_size,) = struct.unpack_from(">I", data, sp + 8)
+        entry_end = min(sp + 8 + entry_size, tables[b"stsd"][1])
+        # VisualSampleEntry fixed fields span 78 bytes after the fourcc
+        child = sp + 16 + 78
+        if child < entry_end:
+            found = _mp4_child(data, child, entry_end, b"avcC")
+            if found is not None:
+                avcc = data[found[0] : found[1]]
     # stsz: sizes
     sp = tables[b"stsz"][0]
     fixed, n_samples = struct.unpack_from(">II", data, sp + 4)
@@ -574,7 +591,7 @@ def _parse_mp4_video_trak(data: bytes, s: int, e: int) -> dict | None:
     if si < n_samples:
         raise ValueError("MP4 chunk tables cover fewer samples than stsz")
     duration_ms = t * 1000 // timescale
-    return {"codec": codec, "samples": samples, "duration_ms": duration_ms}
+    return {"codec": codec, "samples": samples, "duration_ms": duration_ms, "avcc": avcc}
 
 
 # MP4 sample-entry fourccs whose payloads are plain JPEG streams our codec
@@ -723,8 +740,13 @@ def video_frame_sample(
     element walk → video TrackEntry + Cluster blocks). Animated GIFs are
     fully decoded (functions/gif.py — LZW + disposal compositing, GCE
     delays as true frame timing). 'jpeg'/'mjpa'/'V_MJPEG' payloads decode
-    to true pixel hashes, while compressed codecs (avc1/hvc1/V_MPEG4/… —
-    no ffmpeg here) emit rows with real timing but a per-row decode_error
+    to true pixel hashes, and MP4 `avc1` frames decode through the
+    from-scratch H.264 baseline-intra decoder (functions/h264.py — avcC
+    extradata from the stsd sample entry, length-prefixed NALs per
+    sample) to true pixel hashes too; H.264 sub-features this decoder
+    rejects (CABAC, P/B slices) surface as per-FRAME decode errors on
+    real timing rows. Remaining compressed codecs (hvc1/V_MPEG4/… — no
+    ffmpeg here) emit rows with real timing but a per-row decode_error
     naming the undecodable codec. Unrecognized containers keep the
     deterministic stand-in; the explode shape (1 asset → N frame rows) is
     the real UDTF-style contract either way."""
@@ -772,6 +794,32 @@ def video_frame_sample(
                         jpeg_phash(data[samples[fi][0] : samples[fi][0] + samples[fi][1]]),
                         None,
                     )
+                elif info["codec"] == "avc1" and info.get("avcc"):
+                    # real from-scratch H.264 baseline-intra decode
+                    # (functions/h264.py); unsupported sub-features (CABAC,
+                    # P/B slices) stay per-FRAME decode errors so the true
+                    # demux timing rows survive
+                    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+                        decode_h264_sample,
+                        parse_avcc,
+                    )
+                    from azure_workflow_for_kml_satellite_spark.functions.vp8 import (
+                        yuv_to_rgb,
+                    )
+
+                    cfg = parse_avcc(info["avcc"])
+
+                    def h264_phash(fi, _cfg=cfg, _samples=samples, _data=data):
+                        off, size, _ = _samples[fi]
+                        try:
+                            yp, up, vp = decode_h264_sample(
+                                _data[off : off + size], _cfg
+                            )
+                        except ValueError as exc:
+                            return None, f"avc1 frame decode failed: {exc}"
+                        return _phash(yuv_to_rgb(yp, up, vp)), None
+
+                    frame_fn = h264_phash
                 else:
                     frame_fn = stub_fn(info["codec"])
                 return (
@@ -1408,11 +1456,12 @@ def audio_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
     (header + per-sample statistics), and FLAC frames are REALLY decoded
     (functions/flac.py: Rice/FIXED/LPC subframes, stereo decorrelation,
     CRC-verified) so rms/peak are true statistics for
-    compressed formats too. MP3 frame headers and Ogg (Vorbis/Opus) pages
-    are walked for true sample_rate/channels/duration; their compressed
-    samples aren't decodable here, so rms/peak stay null. Unrecognized or
-    corrupt payloads quarantine per-row with a decode_error, the same
-    contract as image_metadata."""
+    compressed formats too. MPEG-1 Layer III (functions/mp3.py) and Ogg
+    Vorbis (functions/vorbis.py) sample data are really decoded from
+    scratch — true rms/peak for both; Ogg Opus pages are CRC-walked for
+    true sample_rate/channels/duration with rms/peak honestly null.
+    Unrecognized or corrupt payloads quarantine per-row with a
+    decode_error, the same contract as image_metadata."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_META_SCHEMA.fields]

@@ -1303,3 +1303,50 @@ def png_rgba_bytes(img: np.ndarray) -> bytes:
         + _chunk(b"IDAT", _zlib.compress(bytes(scanlines), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+# ── video-frame oracle kernels (q_video_frames) ────────────────────────────
+
+
+def yuv420_to_rgb_scalar(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Independent scalar transcription of the engine's fixed-point BT.601
+    conversion (functions/vp8.yuv_to_rgb: nearest-neighbour chroma
+    upsample; r = y + 91881*v>>16, g = y - (22554*u + 46802*v)>>16,
+    b = y + 116130*u>>16, clamped) — per-pixel Python loops, no numpy
+    vector ops, so the engine's vectorized path is genuinely under test."""
+    h, w = y.shape
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for yy in range(h):
+        for xx in range(w):
+            Y = int(y[yy, xx])
+            U = int(u[yy // 2, xx // 2]) - 128
+            V = int(v[yy // 2, xx // 2]) - 128
+            r = Y + ((91881 * V) >> 16)
+            g = Y - ((22554 * U + 46802 * V) >> 16)
+            b = Y + ((116130 * U) >> 16)
+            out[yy, xx, 0] = 0 if r < 0 else (255 if r > 255 else r)
+            out[yy, xx, 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[yy, xx, 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return out
+
+
+def phash64_scalar(img: np.ndarray) -> int:
+    """Independent scalar transcription of the engine's 8x8 average-hash
+    (operators/multimodal._phash): integer channel-sum luma, 8x8
+    nearest-index downsample (i*dim//8), exact ``64*s > total`` threshold,
+    63 bits little-endian. All-integer so both implementations agree on
+    ties by construction."""
+    h, w = img.shape[:2]
+    samples = []
+    for by in range(8):
+        sy = min(by * h // 8, h - 1)
+        for bx in range(8):
+            sx = min(bx * w // 8, w - 1)
+            px = img[sy, sx]
+            samples.append(int(px[0]) + int(px[1]) + int(px[2]))
+    total = sum(samples)
+    val = 0
+    for i in range(63):
+        if samples[i] * 64 > total:
+            val |= 1 << i
+    return val

@@ -434,6 +434,55 @@ def compute_audio_metadata(out_dir: Path) -> None:
     )
 
 
+def compute_video_frames(out_dir: Path, every_ms: int | None = None) -> None:
+    """Expected rows for q_video_frames. Timing derives purely from
+    synth.video_spec; pixel hashes derive from the ENCODER's deterministic
+    reconstruction (shared input generation, functions/h264
+    encode_h264_frames) pushed through the INDEPENDENT scalar YUV→RGB and
+    average-hash kernels (kernels.yuv420_to_rgb_scalar/phash64_scalar).
+    The from-scratch H.264 decoder is never consulted here: the engine's
+    MP4 demux → avcC parse → CAVLC/intra/deblock decode must reproduce the
+    encoder reconstruction BIT-exactly for the driver hashes to match."""
+    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+        encode_h264_frames,
+    )
+    from azure_workflow_for_kml_satellite_spark.sources import synth
+
+    if every_ms is None:
+        every_ms = synth.VIDEO_EVERY_MS
+    ids, fidx, tss, phs, quar = [], [], [], [], []
+    for i in range(synth.VIDEO_COUNT):
+        sp = synth.video_spec(i)
+        recons = encode_h264_frames(synth.video_frames(i), **sp["enc"])["recons"]
+        duration = sp["n_frames"] * sp["delta_ms"]
+        n_rows = max(1, duration // every_ms + (1 if duration % every_ms else 0))
+        for r in range(n_rows):
+            ts = r * every_ms
+            fi = min(ts // sp["delta_ms"], sp["n_frames"] - 1)
+            rgb = K.yuv420_to_rgb_scalar(*recons[fi])
+            ids.append(f"vid{i:03d}_avc1")
+            fidx.append(fi)
+            tss.append(ts)
+            phs.append(K.phash64_scalar(rgb))
+            quar.append(False)
+    ids.append("vid_corrupt")
+    fidx.append(None)
+    tss.append(None)
+    phs.append(None)
+    quar.append(True)
+    _write(
+        out_dir,
+        "video_frames",
+        {
+            "asset_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "ts_ms": pa.array(tss, pa.int64()),
+            "frame_phash": pa.array(phs, pa.int64()),
+            "quarantined": pa.array(quar, pa.bool_()),
+        },
+    )
+
+
 def build_expected(sf_dir: str | Path) -> Path:
     sf_dir = Path(sf_dir)
     out_dir = sf_dir / "expected"
@@ -441,6 +490,7 @@ def build_expected(sf_dir: str | Path) -> Path:
 
     compute_image_thumbnails(out_dir)
     compute_audio_metadata(out_dir)
+    compute_video_frames(out_dir)
 
     # per-url visible-text bytes (north-rule invariant): md5 of the
     # INDEPENDENT scanner extraction (kernels.visible_text), compared by the

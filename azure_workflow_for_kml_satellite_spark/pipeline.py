@@ -41,6 +41,7 @@ def engine_dir(sf_dir: str) -> str:
         "utm_scenes.parquet": "write_utm_scenes",
         "images.parquet": "write_images",
         "audio.parquet": "write_audio",
+        "videos.parquet": "write_videos",
     }
     for fname, writer in aux.items():
         if not (out / fname).exists():

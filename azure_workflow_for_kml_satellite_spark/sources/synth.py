@@ -1088,6 +1088,139 @@ def write_audio(out_dir: str | Path) -> Path:
     return out
 
 
+# ── video assets (avc1-in-MP4, round-6 H.264 decode gate) ──────────────────
+
+VIDEO_COUNT = 14
+VIDEO_EVERY_MS = 250  # sampling cadence q_video_frames uses
+
+
+def video_spec(i: int) -> dict:
+    """Deterministic recipe for video asset ``i``: frame geometry/timing
+    plus the exact encoder options (functions/h264.encode_h264_frames).
+    The oracle side of q_video_frames re-derives expected timing from this
+    spec and expected pixel hashes from the ENCODER's reconstruction —
+    the from-scratch H.264 *decoder* is never consulted by the oracle, so
+    a decode bug (entropy parse, context modeling, prediction, dequant,
+    deblock) hash-mismatches at the driver."""
+    w = 24 + (_mix(601, i) % 5) * 8  # 24..56 px, even
+    h = 16 + (_mix(602, i) % 4) * 10  # 16/26/36/46 px, even
+    n_frames = 2 + _mix(603, i) % 3
+    delta_ms = 200 + (_mix(604, i) % 3) * 100
+    qp = 12 + (_mix(605, i) % 8) * 5  # 12..47
+    enc = {"qp": qp, "seed": i}
+    variant = i % 5
+    if variant == 1:
+        enc["pcm_every"] = 3
+    elif variant == 2:
+        enc["n_slices"] = 2
+    elif variant == 3:
+        enc["deblock"] = False
+    elif variant == 4:
+        enc["qp_jitter"] = 5
+        enc["chroma_qp_off"] = 6 - (_mix(607, i) % 13)
+    return {"w": w, "h": h, "n_frames": n_frames, "delta_ms": delta_ms,
+            "blocky": _mix(606, i) % 2 == 1, "enc": enc}
+
+
+def video_frames(i: int) -> list:
+    """Deterministic (y, u, v) source planes per frame: moving gradients,
+    optionally hard 8x8 block edges (exercises cbp / deblock paths)."""
+    import numpy as np
+
+    sp = video_spec(i)
+    h, w = sp["h"], sp["w"]
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for f in range(sp["n_frames"]):
+        base = (xx * 3 + yy * 2 + f * 37 + i * 11) % 256
+        if sp["blocky"]:
+            base = np.where((xx // 8 + yy // 8 + f) % 2 == 0, base, 255 - base)
+        y = base.astype(np.uint8)
+        u = ((xx[::2, ::2] * 5 + f * 13 + i * 7) % 256).astype(np.uint8)
+        v = ((yy[::2, ::2] * 4 + f * 29 + i * 3) % 256).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def mux_avc1_mp4(sps: bytes, pps: bytes, samples: list, width: int,
+                 height: int, delta_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal conformant ISO-BMFF mux: ftyp + mdat + moov with one video
+    trak (stsd avc1+avcC, stts/stsz/stsc/stco), 4-byte NAL lengths."""
+    avcc = (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+            + struct.pack(">H", len(sps)) + sps
+            + bytes([1]) + struct.pack(">H", len(pps)) + pps)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomavc1")
+    base = len(ftyp) + 8
+    offs, sizes = [], []
+    off = base
+    for s in samples:
+        offs.append(off)
+        sizes.append(len(s))
+        off += len(s)
+    mdat = _box(b"mdat", b"".join(samples))
+    vse = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+           + struct.pack(">HH", width, height)
+           + struct.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+           + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">H", 24)
+           + struct.pack(">h", -1))
+    avc1 = _box(b"avc1", vse + _box(b"avcC", avcc))
+    n = len(samples)
+    delta = delta_ms * timescale // 1000
+    stbl = _box(
+        b"stbl",
+        _box(b"stsd", struct.pack(">II", 0, 1) + avc1)
+        + _box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n, delta))
+        + _box(b"stsz", struct.pack(">III", 0, 0, n)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+        + _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 1, 1))
+        + _box(b"stco", struct.pack(">II", 0, n)
+               + b"".join(struct.pack(">I", o) for o in offs)),
+    )
+    mdhd = _box(b"mdhd", struct.pack(">I", 0)
+                + struct.pack(">IIIIHH", 0, 0, timescale, n * delta, 0, 0))
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    return ftyp + mdat + _box(b"moov", _box(b"trak", mdia))
+
+
+def write_videos(out_dir: str | Path) -> Path:
+    """Deterministic video-asset table (asset_id, payload): avc1-in-MP4
+    clips encoded by the in-repo conformant all-intra H.264 encoder
+    across QP / I_PCM / multi-slice / no-deblock / QP-jitter variants,
+    plus a corrupt payload for the quarantine path."""
+    import struct as _struct
+
+    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+        encode_h264_frames,
+    )
+
+    ids, payloads = [], []
+    for i in range(VIDEO_COUNT):
+        sp = video_spec(i)
+        enc = encode_h264_frames(video_frames(i), **sp["enc"])
+        samples = [
+            b"".join(_struct.pack(">I", len(n)) + n for n in nals)
+            for nals in enc["samples"]
+        ]
+        payload = mux_avc1_mp4(enc["sps"], enc["pps"], samples,
+                               sp["w"], sp["h"], sp["delta_ms"])
+        ids.append(f"vid{i:03d}_avc1")
+        payloads.append(payload)
+    ids.append("vid_corrupt")
+    payloads.append(b"\x00\x00\x00\x20ftypisom" + _hash_bytes(9005, 64))
+    out = Path(out_dir) / "videos.parquet"
+    pq.write_table(
+        pa.table({"asset_id": pa.array(ids, pa.string()),
+                  "payload": pa.array(payloads, pa.binary())}),
+        out,
+    )
+    return out
+
+
 # ── top-level ───────────────────────────────────────────────────────────────
 
 SF_PAGES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000, "sf1": 300000, "sf10": 3000000}
@@ -1109,4 +1242,5 @@ def generate_sf(data_root: str | Path, sf: str) -> Path:
     write_utm_scenes(out_dir)
     write_images(out_dir)
     write_audio(out_dir)
+    write_videos(out_dir)
     return out_dir

@@ -29,6 +29,7 @@ def test_queries_oracles_consistent():
     # multi-green entries stay present (full-set local gate covers them)
     in_window = list(qs)[:50]
     for name in (
+        "q_audio_metadata", "q_video_frames",  # new round-6 decode gates
         "q_page_text", "q_coord_csv", "q_dedup_exact", "q_sample_stratified",
         "q_quality_score", "q_simhash", "q_sample_hash", "q_fingerprint",
         "q_cluster_star", "q_image_thumbnails", "q_embed_near_dup_lsh",
