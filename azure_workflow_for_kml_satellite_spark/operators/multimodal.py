@@ -638,12 +638,14 @@ def _parse_mkv(data: bytes) -> dict:
     (ts_ms, payload). Laced blocks raise (quarantined upstream)."""
     if data[:4] != b"\x1aE\xdf\xa3":
         raise ValueError("not an EBML/Matroska payload")
-    state = {"timescale": 1_000_000, "track": None, "codec": "", "dur_ticks": None}
+    state = {"timescale": 1_000_000, "track": None, "codec": "",
+             "dur_ticks": None, "avcc": None}
     frames: list[tuple[int, bytes]] = []
 
     def parse_track_entry(s: int, e: int) -> None:
         num = ttype = None
         cid = ""
+        priv = None
         pos = s
         while pos < e:
             eid, p = _ebml_id(data, pos)
@@ -657,10 +659,13 @@ def _parse_mkv(data: bytes) -> dict:
                 ttype = int.from_bytes(body, "big")
             elif eid == 0x86:  # CodecID
                 cid = body.decode("latin-1").rstrip("\x00")
+            elif eid == 0x63A2:  # CodecPrivate (avcC for V_MPEG4/ISO/AVC)
+                priv = bytes(body)
             pos = p + size
         if ttype == 1 and num is not None and state["track"] is None:
             state["track"] = num
             state["codec"] = cid
+            state["avcc"] = priv
 
     def parse_block(body: bytes, cluster_ts: int) -> None:
         if not body:
@@ -719,7 +724,8 @@ def _parse_mkv(data: bytes) -> dict:
         duration_ms = samples[-1][0] + (samples[-1][0] - samples[-2][0])
     else:
         duration_ms = samples[-1][0] + 1
-    return {"codec": state["codec"], "samples": samples, "duration_ms": duration_ms}
+    return {"codec": state["codec"], "samples": samples,
+            "duration_ms": duration_ms, "avcc": state["avcc"]}
 
 
 # Matroska codec ids that are plain JPEG per-frame payloads
@@ -848,6 +854,28 @@ def video_frame_sample(
             ts_list = [s[0] for s in samples]
             if info["codec"] in _MKV_JPEG_CODECS:
                 frame_fn = lambda fi: (jpeg_phash(samples[fi][1]), None)
+            elif info["codec"] == "V_MPEG4/ISO/AVC" and info.get("avcc"):
+                # CodecPrivate carries the same avcC record as MP4 stsd;
+                # block payloads are length-prefixed NALs — same decode
+                # path as the avc1 branch above
+                from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+                    decode_h264_sample,
+                    parse_avcc,
+                )
+                from azure_workflow_for_kml_satellite_spark.functions.vp8 import (
+                    yuv_to_rgb,
+                )
+
+                cfg = parse_avcc(info["avcc"])
+
+                def mkv_h264_phash(fi, _cfg=cfg, _samples=samples):
+                    try:
+                        yp, up, vp = decode_h264_sample(_samples[fi][1], _cfg)
+                    except ValueError as exc:
+                        return None, f"avc1 frame decode failed: {exc}"
+                    return _phash(yuv_to_rgb(yp, up, vp)), None
+
+                frame_fn = mkv_h264_phash
             else:
                 frame_fn = stub_fn(info["codec"])
             return (

@@ -306,3 +306,38 @@ def test_video_frame_sample_avc1_matches_oracle(spark, tmp_path):
             assert err is not None and phash is None
         else:
             assert err is None and phash == row["frame_phash"], key
+
+
+def test_mkv_avc1_codecprivate_decode():
+    """Matroska V_MPEG4/ISO/AVC: CodecPrivate carries the avcC record and
+    SimpleBlock payloads are length-prefixed NALs — the demux must hand
+    both to the H.264 decoder and reproduce the encoder recon exactly."""
+    from tests.test_new_ops import _mkv_bytes
+
+    from azure_workflow_for_kml_satellite_spark.functions.vp8 import yuv_to_rgb
+    from azure_workflow_for_kml_satellite_spark.operators.multimodal import (
+        _parse_mkv,
+        _phash,
+    )
+
+    frames = [_mk(32, 48, k, seed=40 + i) for i, k in enumerate(("noise", "grad"))]
+    out = H.encode_h264_frames(frames, qp=26)
+    sps, pps = out["sps"], out["pps"]
+    avcc = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps
+    )
+    payloads = [
+        b"".join(struct.pack(">I", len(n)) + n for n in nals)
+        for nals in out["samples"]
+    ]
+    mkv = _mkv_bytes(payloads, codec=b"V_MPEG4/ISO/AVC", codec_private=avcc)
+    info = _parse_mkv(mkv)
+    assert info["codec"] == "V_MPEG4/ISO/AVC" and info["avcc"] == avcc
+    cfg = H.parse_avcc(info["avcc"])
+    for i, (_ts, blob) in enumerate(info["samples"]):
+        yp, up, vp = H.decode_h264_sample(blob, cfg)
+        ry, ru, rv = out["recons"][i]
+        assert np.array_equal(yp, ry) and np.array_equal(up, ru) and np.array_equal(vp, rv)
+        assert isinstance(_phash(yuv_to_rgb(yp, up, vp)), int)

@@ -1045,7 +1045,8 @@ def test_audio_metadata_real_mp3_ogg(spark):
     assert out["bad"].decode_error is not None
 
 
-def _mkv_bytes(frames, delta_ms=100, codec=b"V_MJPEG", timescale=1_000_000):
+def _mkv_bytes(frames, delta_ms=100, codec=b"V_MJPEG", timescale=1_000_000,
+               codec_private=None):
     """Minimal valid Matroska file: EBML header + Segment(Info, Tracks,
     two Clusters of no-lacing SimpleBlocks) — exercises vint sizes,
     TimestampScale, cluster-relative timestamps."""
@@ -1069,9 +1070,10 @@ def _mkv_bytes(frames, delta_ms=100, codec=b"V_MJPEG", timescale=1_000_000):
         elem(b"\x2a\xd7\xb1", uint(timescale))
         + elem(b"\x44\x89", s.pack(">d", len(frames) * delta_ms)),
     )
-    track = elem(
-        b"\xae", elem(b"\xd7", uint(1)) + elem(b"\x83", uint(1)) + elem(b"\x86", codec)
-    )
+    track_body = elem(b"\xd7", uint(1)) + elem(b"\x83", uint(1)) + elem(b"\x86", codec)
+    if codec_private is not None:
+        track_body += elem(b"\x63\xa2", codec_private)
+    track = elem(b"\xae", track_body)
     tracks = elem(b"\x16\x54\xae\x6b", track)
     clusters = b""
     half = len(frames) // 2
