@@ -1,22 +1,38 @@
-"""H.264/AVC baseline intra: from-scratch decoder + conformant encoder.
+"""H.264/AVC baseline (CAVLC, I+P): from-scratch decoder + conformant encoder.
 
 Round-6 resolution of the last judge-named "null pixel stats" surface
 (VERDICT r5 missing item 3): MP4 `avc1` samples previously demuxed with a
-per-row decode_error stub; this module decodes them for real.
+per-row decode_error stub; this module decodes them for real — including
+P (inter) frames, the dominant frame type of real-web baseline streams.
 
 Scope (honest, documented):
 
-- **Decoded**: baseline-profile all-intra content — NAL units (Annex B or
-  avcC length-prefixed), SPS/PPS, I/IDR slices (multi-slice pictures
-  included), macroblock types I_4x4 / I_16x16 / I_PCM, CAVLC entropy
-  coding, all 9 Intra_4x4 + 4 Intra_16x16 + 4 chroma prediction modes,
-  flat-matrix dequantization, the exact integer inverse transforms (4x4
-  core, 4x4 luma-DC Hadamard, 2x2 chroma-DC), and the full in-loop
-  deblocking filter (bS 3/4 paths, luma strong/normal + chroma).
+- **Decoded**: baseline-profile CAVLC content — NAL units (Annex B or
+  avcC length-prefixed), SPS/PPS, I/IDR AND P slices (multi-slice
+  pictures included), macroblock types I_4x4 / I_16x16 / I_PCM and
+  P_Skip / P_L0 16x16 / 16x8 / 8x16 / P_8x8(+ref0) with 8x4/4x8/4x4
+  sub-partitions, CAVLC entropy coding, all 9 Intra_4x4 + 4 Intra_16x16
+  + 4 chroma prediction modes, quarter-sample luma motion compensation
+  (6-tap half-pel + the unrounded centre position + averaged quarters,
+  8.4.2.2) with eighth-sample bilinear chroma and unrestricted (edge
+  clamped) MVs, median/directional MV prediction with the P_Skip
+  special cases (8.4.1), a sliding-window DPB (H264StreamDecoder, up to
+  the SPS reference count, IDR reset, broken-chain poisoning until the
+  next IDR), flat-matrix dequantization, the exact integer inverse
+  transforms (4x4 core, 4x4 luma-DC Hadamard, 2x2 chroma-DC), and the
+  full in-loop deblocking filter with per-edge-segment boundary
+  strengths (intra / coded-residual / ref- or MV-difference, 8.7.2.1).
 - **Rejected with ValueError** (→ per-row decode_error upstream, never a
   wrong decode): CABAC (entropy_coding_mode_flag=1 — Main/High profile
-  streams), P/B slices, scaling matrices, 8x8 transform, field coding,
-  slice groups, chroma formats other than 4:2:0, SVC/MVC NAL types.
+  streams), B slices, weighted prediction, reference-list modification,
+  adaptive marking (MMCO), scaling matrices, 8x8 transform, field
+  coding, slice groups, non-4:2:0 chroma, SVC/MVC NAL types.
+  CABAC is deferred on the same evidence rule that kept mp3.py's
+  256-entry escape code tables out: its ~460x2 context-initialization
+  constants are arbitrary values with no structural validity check and
+  no oracle in this container to verify a transcription against — a
+  silent mis-transcription would decode plausible-but-wrong pixels,
+  which is worse than an honest per-frame error.
 
 Validation tiers (this container has NO H.264 codec binary or library to
 differential against — filesystem-scanned; the libwebp used for the VP8
@@ -55,6 +71,7 @@ from azure_workflow_for_kml_satellite_spark.functions.h264_tables import (
     ALPHA,
     BETA,
     BLK4_POS,
+    CBP_INTER,
     CBP_INTRA,
     CHROMA_QP,
     DEQUANT_V,
@@ -303,7 +320,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         br.se()  # offset_for_top_to_bottom_field
         for _ in range(br.ue()):
             br.se()
-    br.ue()  # max_num_ref_frames
+    max_num_ref_frames = br.ue()
     br.read(1)  # gaps_in_frame_num_value_allowed
     width_mbs = br.ue() + 1
     height_units = br.ue() + 1
@@ -331,6 +348,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         "width_mbs": width_mbs,
         "height_mbs": height_units,
         "crop": crop,
+        "max_num_ref_frames": max_num_ref_frames,
     }
 
 
@@ -343,9 +361,9 @@ def _parse_pps(rbsp: bytes) -> dict:
     bottom_field_poc = br.read(1)
     if br.ue() != 0:
         raise ValueError("slice groups unsupported")
-    br.ue()  # num_ref_idx_l0_active_minus1
+    num_ref_idx_l0 = br.ue() + 1
     br.ue()  # num_ref_idx_l1_active_minus1
-    br.read(1)  # weighted_pred_flag
+    weighted_pred = br.read(1)
     br.read(2)  # weighted_bipred_idc
     pic_init_qp = 26 + br.se()
     br.se()  # pic_init_qs
@@ -367,6 +385,8 @@ def _parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_off": chroma_qp_off,
         "deblock_ctrl": deblock_ctrl,
         "redundant": redundant,
+        "num_ref_idx_l0": num_ref_idx_l0,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -742,6 +762,100 @@ def _pred_chroma(mode, top, left, corner, avail_top, avail_left):
         raise ValueError(f"bad chroma pred mode {mode}")
     return p
 
+# ── inter prediction (8.4.2.2): quarter-pel luma, eighth-pel chroma ────────
+
+
+def _filt6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def _interp_luma(ref: np.ndarray, x_qpel: int, y_qpel: int, w: int, h: int) -> np.ndarray:
+    """Motion-compensated w×h luma block at quarter-sample position
+    (x_qpel, y_qpel) of reference plane ``ref`` (int32, full frame).
+    Unrestricted MVs: sample coordinates clamp to the picture edge.
+    Spec 8.4.2.2.1-2: 6-tap (1,-5,20,20,-5,1) half-sample filters, the
+    centre position from unrounded intermediates (>>10), quarter samples
+    as rounded averages per Table 8-12."""
+    xi, yi = x_qpel >> 2, y_qpel >> 2
+    fx, fy = x_qpel & 3, y_qpel & 3
+    H_, W_ = ref.shape
+    # padded integer window: rows yi-2 .. yi+h+3, cols xi-2 .. xi+w+3
+    ys = np.clip(np.arange(yi - 2, yi + h + 3), 0, H_ - 1)
+    xs = np.clip(np.arange(xi - 2, xi + w + 3), 0, W_ - 1)
+    G = ref[np.ix_(ys, xs)].astype(np.int64)  # (h+5) x (w+5)
+
+    def crop(a, dy, dx):
+        return a[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
+
+    if fx == 0 and fy == 0:
+        return crop(G, 0, 0).astype(np.int32)
+
+    def havg(a, b):
+        return (a + b + 1) >> 1
+
+    # full-precision horizontal intermediates b1[y][x] at (x+0.5, y)
+    if fx:
+        b1 = _filt6(G[:, :-5], G[:, 1:-4], G[:, 2:-3], G[:, 3:-2], G[:, 4:-1], G[:, 5:])
+        B = np.clip((b1 + 16) >> 5, 0, 255)  # (h+5) x w — at col offset 0..w-1
+    if fy:
+        h1 = _filt6(G[:-5, :], G[1:-4, :], G[2:-3, :], G[3:-2, :], G[4:-1, :], G[5:, :])
+        Hh = np.clip((h1 + 16) >> 5, 0, 255)  # h x (w+5)
+    if fx and fy and (fx == 2 or fy == 2):
+        # centre j from unrounded horizontal intermediates filtered vertically
+        j1 = _filt6(b1[:-5, :], b1[1:-4, :], b1[2:-3, :], b1[3:-2, :], b1[4:-1, :], b1[5:, :])
+        J = np.clip((j1 + 512) >> 10, 0, 255)  # h x w
+
+    # helpers to place sub-arrays on the w x h output grid
+    Bat = lambda dy, dx: B[2 + dy : 2 + dy + h, dx : dx + w]
+    Hat = lambda dy, dx: Hh[dy : dy + h, 2 + dx : 2 + dx + w]
+    if fy == 0:
+        if fx == 1:
+            out = havg(crop(G, 0, 0), Bat(0, 0))
+        elif fx == 2:
+            out = Bat(0, 0)
+        else:
+            out = havg(Bat(0, 0), crop(G, 0, 1))
+    elif fx == 0:
+        if fy == 1:
+            out = havg(crop(G, 0, 0), Hat(0, 0))
+        elif fy == 2:
+            out = Hat(0, 0)
+        else:
+            out = havg(Hat(0, 0), crop(G, 1, 0))
+    elif fx == 2 and fy == 2:
+        out = J
+    elif fx == 2:  # f (fy==1) / q (fy==3)
+        out = havg(J, Bat(0, 0)) if fy == 1 else havg(J, Bat(1, 0))
+    elif fy == 2:  # i (fx==1) / k (fx==3)
+        out = havg(J, Hat(0, 0)) if fx == 1 else havg(J, Hat(0, 1))
+    else:  # diagonal quarters e/g/p/r: average of the two nearest halves
+        out = havg(Bat(0 if fy == 1 else 1, 0), Hat(0, 0 if fx == 1 else 1))
+    return out.astype(np.int32)
+
+
+def _interp_chroma(ref: np.ndarray, x_epel: int, y_epel: int, w: int, h: int) -> np.ndarray:
+    """Eighth-sample bilinear chroma interpolation (8.4.2.2.2) with edge
+    clamping; (x_epel, y_epel) in eighth-chroma-sample units."""
+    xi, yi = x_epel >> 3, y_epel >> 3
+    fx, fy = x_epel & 7, y_epel & 7
+    H_, W_ = ref.shape
+    ys = np.clip(np.arange(yi, yi + h + 1), 0, H_ - 1)
+    xs = np.clip(np.arange(xi, xi + w + 1), 0, W_ - 1)
+    G = ref[np.ix_(ys, xs)].astype(np.int64)
+    A = G[:h, :w]
+    Bb = G[:h, 1 : w + 1]
+    C = G[1 : h + 1, :w]
+    D = G[1 : h + 1, 1 : w + 1]
+    out = (
+        (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bb + (8 - fx) * fy * C + fx * fy * D + 32
+    ) >> 6
+    return out.astype(np.int32)
+
+
+def _median3(a: int, b: int, c: int) -> int:
+    return a + b + c - min(a, b, c) - max(a, b, c)
+
+
 # ── picture decoder ────────────────────────────────────────────────────────
 
 # chroma4x4BlkIdx → (x, y) in 4x4-block units within the 8x8 chroma block
@@ -749,9 +863,12 @@ _CBLK_POS = [(0, 0), (1, 0), (0, 1), (1, 1)]
 
 
 class _PictureDecoder:
-    def __init__(self, sps: dict, pps: dict):
+    def __init__(self, sps: dict, pps: dict, refs: list | None = None):
         self.sps = sps
         self.pps = pps
+        # reference pictures for P slices: newest-first list of uncropped
+        # deblocked (Y, U, V) int32 plane triples
+        self.refs = refs or []
         self.mbw = sps["width_mbs"]
         self.mbh = sps["height_mbs"]
         W, H = self.mbw * 16, self.mbh * 16
@@ -768,6 +885,13 @@ class _PictureDecoder:
         self.mb_qp = np.zeros(n, dtype=np.int32)
         self.mb_is_i4 = np.zeros(n, dtype=bool)
         self.mb_is_pcm = np.zeros(n, dtype=bool)
+        self.mb_intra = np.ones(n, dtype=bool)
+        # per-4x4-block motion state (P slices): qpel MV + ref list index
+        # (-1 = intra / unset); mv_done marks parse-order availability for
+        # MV prediction (intra blocks become available with ref -1, mv 0)
+        self.mv = np.zeros((self.mbh * 4, self.mbw * 4, 2), dtype=np.int32)
+        self.ref_idx = np.full((self.mbh * 4, self.mbw * 4), -1, dtype=np.int8)
+        self.mv_done = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
         # per-MB deblock params from its slice: (disable_idc, offA, offB)
         self.mb_deblock = [(0, 0, 0)] * n
 
@@ -819,6 +943,85 @@ class _PictureDecoder:
             return nB
         return 0
 
+    # — motion-vector prediction (8.4.1.3) —
+
+    def _mv_info(self, bx: int, by: int, slice_id: int):
+        """(available, (mvx, mvy), ref_idx) of a 4x4 block; an unavailable
+        or not-yet-parsed block reports mv 0 / ref -1 (8.4.1.3.2); intra
+        blocks are AVAILABLE with mv 0 / ref -1."""
+        if bx < 0 or by < 0 or bx >= self.mbw * 4 or by >= self.mbh * 4:
+            return False, (0, 0), -1
+        if self.mb_slice[(by // 4) * self.mbw + (bx // 4)] != slice_id:
+            return False, (0, 0), -1
+        if not self.mv_done[by, bx]:
+            return False, (0, 0), -1
+        return True, (int(self.mv[by, bx, 0]), int(self.mv[by, bx, 1])), int(
+            self.ref_idx[by, bx]
+        )
+
+    def _mv_pred(self, bx: int, by: int, w4: int, h4: int, ref: int,
+                 slice_id: int, shape: str | None = None):
+        aA, mvA, rA = self._mv_info(bx - 1, by, slice_id)
+        aB, mvB, rB = self._mv_info(bx, by - 1, slice_id)
+        aC, mvC, rC = self._mv_info(bx + w4, by - 1, slice_id)
+        if not aC:
+            aC, mvC, rC = self._mv_info(bx - 1, by - 1, slice_id)
+        # directional shortcuts for 16x8 / 8x16 partitions (8.4.1.3)
+        if shape == "16x8_top" and rB == ref:
+            return mvB
+        if shape == "16x8_bot" and rA == ref:
+            return mvA
+        if shape == "8x16_left" and rA == ref:
+            return mvA
+        if shape == "8x16_right" and rC == ref:
+            return mvC
+        if not aB and not aC and aA:
+            return mvA
+        matches = [m for a, m, r in ((aA, mvA, rA), (aB, mvB, rB), (aC, mvC, rC)) if r == ref]
+        if len(matches) == 1:
+            return matches[0]
+        return (
+            _median3(mvA[0], mvB[0], mvC[0]),
+            _median3(mvA[1], mvB[1], mvC[1]),
+        )
+
+    def _skip_mv(self, mbx: int, mby: int, slice_id: int):
+        """P_Skip motion vector (8.4.1.1)."""
+        bx0, by0 = mbx * 4, mby * 4
+        aA, mvA, rA = self._mv_info(bx0 - 1, by0, slice_id)
+        aB, mvB, rB = self._mv_info(bx0, by0 - 1, slice_id)
+        if not aA or not aB:
+            return (0, 0)
+        if (rA == 0 and mvA == (0, 0)) or (rB == 0 and mvB == (0, 0)):
+            return (0, 0)
+        return self._mv_pred(bx0, by0, 4, 4, 0, slice_id)
+
+    def _set_mv(self, bx: int, by: int, w4: int, h4: int, mv, ref: int) -> None:
+        self.mv[by : by + h4, bx : bx + w4] = mv
+        self.ref_idx[by : by + h4, bx : bx + w4] = ref
+        self.mv_done[by : by + h4, bx : bx + w4] = True
+
+    def _inter_pred_mb(self, mbx: int, mby: int, parts):
+        """parts: (dx4, dy4, w4, h4, (mvx, mvy), ref_idx) in 4x4 units →
+        (predY 16x16, predU 8x8, predV 8x8) int32 via 8.4.2.2."""
+        predY = np.empty((16, 16), dtype=np.int32)
+        predU = np.empty((8, 8), dtype=np.int32)
+        predV = np.empty((8, 8), dtype=np.int32)
+        for dx4, dy4, w4, h4, mv, ref in parts:
+            refY, refU, refV = self.refs[ref]
+            x0, y0 = mbx * 16 + dx4 * 4, mby * 16 + dy4 * 4
+            predY[dy4 * 4 : dy4 * 4 + h4 * 4, dx4 * 4 : dx4 * 4 + w4 * 4] = _interp_luma(
+                refY, x0 * 4 + mv[0], y0 * 4 + mv[1], w4 * 4, h4 * 4
+            )
+            cx0, cy0 = mbx * 8 + dx4 * 2, mby * 8 + dy4 * 2
+            predU[dy4 * 2 : dy4 * 2 + h4 * 2, dx4 * 2 : dx4 * 2 + w4 * 2] = _interp_chroma(
+                refU, cx0 * 8 + mv[0], cy0 * 8 + mv[1], w4 * 2, h4 * 2
+            )
+            predV[dy4 * 2 : dy4 * 2 + h4 * 2, dx4 * 2 : dx4 * 2 + w4 * 2] = _interp_chroma(
+                refV, cx0 * 8 + mv[0], cy0 * 8 + mv[1], w4 * 2, h4 * 2
+            )
+        return predY, predU, predV
+
     def _blk_recon_avail(self, bx: int, by: int, slice_id: int) -> bool:
         if bx < 0 or by < 0 or bx >= self.mbw * 4 or by >= self.mbh * 4:
             return False
@@ -828,14 +1031,19 @@ class _PictureDecoder:
 
     # — slice decoding —
 
-    def decode_slice(self, rbsp: bytes, nal_type: int, slice_id: int) -> None:
+    def decode_slice(self, rbsp: bytes, nal_type: int, slice_id: int,
+                     ref_idc: int = 3) -> None:
         br = _BitReader(rbsp)
         first_mb = br.ue()
         slice_type = br.ue()
-        if slice_type % 5 != 2:
+        st5 = slice_type % 5
+        if st5 not in (0, 2):
             raise ValueError(
-                f"slice_type {slice_type} unsupported (all-intra decoder: I slices only)"
+                f"slice_type {slice_type} unsupported (I and P slices only)"
             )
+        is_p = st5 == 0
+        if is_p and nal_type == 5:
+            raise ValueError("P slice in an IDR picture")
         pps_id = br.ue()
         if pps_id != self.pps["id"]:
             raise ValueError("slice references unknown PPS")
@@ -854,11 +1062,21 @@ class _PictureDecoder:
         if self.pps["redundant"]:
             if br.ue() != 0:
                 raise ValueError("redundant slices unsupported")
-        if nal_type == 5:
-            br.read(2)  # no_output_of_prior_pics, long_term_reference
-        # (non-IDR I slice in a ref NAL: adaptive marking flag)
-        elif True:
-            br.read(1)
+        num_ref = self.pps["num_ref_idx_l0"]
+        if is_p:
+            if self.pps["weighted_pred"]:
+                raise ValueError("weighted prediction unsupported")
+            if br.read(1):  # num_ref_idx_active_override_flag
+                num_ref = br.ue() + 1
+            if br.read(1):  # ref_pic_list_modification_flag_l0
+                raise ValueError("reference list modification unsupported")
+            if num_ref > len(self.refs):
+                raise ValueError("P slice references more frames than decoded")
+        if ref_idc != 0:
+            if nal_type == 5:
+                br.read(2)  # no_output_of_prior_pics, long_term_reference
+            elif br.read(1):  # adaptive_ref_pic_marking_mode_flag
+                raise ValueError("adaptive reference marking (MMCO) unsupported")
         qp = self.pps["pic_init_qp"] + br.se()
         if not 0 <= qp <= 51:
             raise ValueError("slice QP out of range")
@@ -874,28 +1092,47 @@ class _PictureDecoder:
         mb_addr = first_mb
         if mb_addr >= n_mbs:
             raise ValueError("first_mb_in_slice beyond picture")
+        deblock_params = (disable_idc, off_a, off_b)
         while True:
+            if is_p:
+                skip_run = br.ue()
+                for _ in range(skip_run):
+                    if mb_addr >= n_mbs or self.mb_decoded[mb_addr]:
+                        raise ValueError("mb_skip_run overruns picture")
+                    qp = self._decode_skip_mb(mb_addr, slice_id, qp)
+                    self.mb_deblock[mb_addr] = deblock_params
+                    mb_addr += 1
+                if not br.more_rbsp_data():
+                    break
             if mb_addr >= n_mbs:
                 raise ValueError("slice overruns picture")
             if self.mb_decoded[mb_addr]:
                 raise ValueError("macroblock decoded twice")
-            qp = self._decode_mb(br, mb_addr, slice_id, qp)
-            self.mb_deblock[mb_addr] = (disable_idc, off_a, off_b)
+            qp = self._decode_mb(br, mb_addr, slice_id, qp, is_p, num_ref)
+            self.mb_deblock[mb_addr] = deblock_params
             mb_addr += 1
             if not br.more_rbsp_data():
                 break
         br.check_trailing()
 
-    def _decode_mb(self, br: _BitReader, mb_addr: int, slice_id: int, qp_prev: int) -> int:
+    def _decode_mb(self, br: _BitReader, mb_addr: int, slice_id: int, qp_prev: int,
+                   is_p: bool = False, num_ref: int = 1) -> int:
+        mb_type = br.ue()
+        if is_p:
+            if mb_type <= 4:
+                return self._decode_inter_mb(br, mb_addr, slice_id, qp_prev,
+                                             mb_type, num_ref)
+            mb_type -= 5  # intra macroblock types in P slices
         mbx, mbj = mb_addr % self.mbw, mb_addr // self.mbw
         mby = mbj
         self.mb_slice[mb_addr] = slice_id
         bx0, by0 = mbx * 4, mby * 4
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
-        mb_type = br.ue()
         if mb_type > 25:
             raise ValueError(f"mb_type {mb_type} not an I-slice macroblock type")
+        # intra blocks become MV-pred-available with mv 0 / ref -1
+        self.mv_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
 
         if mb_type == 25:  # I_PCM
             while br.pos % 8:
@@ -1070,6 +1307,153 @@ class _PictureDecoder:
         self.mb_decoded[mb_addr] = True
         return qp
 
+    def _decode_skip_mb(self, mb_addr: int, slice_id: int, qp_prev: int) -> int:
+        """P_Skip: prediction-only 16x16 from ref 0 at the skip MV."""
+        mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+        self.mb_slice[mb_addr] = slice_id
+        if not self.refs:
+            raise ValueError("P_Skip without reference frames")
+        bx0, by0 = mbx * 4, mby * 4
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        mv = self._skip_mv(mbx, mby, slice_id)
+        self._set_mv(bx0, by0, 4, 4, mv, 0)
+        predY, predU, predV = self._inter_pred_mb(mbx, mby, [(0, 0, 4, 4, mv, 0)])
+        self.Y[y0 : y0 + 16, x0 : x0 + 16] = predY
+        self.U[cy0 : cy0 + 8, cx0 : cx0 + 8] = predU
+        self.V[cy0 : cy0 + 8, cx0 : cx0 + 8] = predV
+        self.luma_nz[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+        self.chroma_nz[:, cy0 // 4 : cy0 // 4 + 2, cx0 // 4 : cx0 // 4 + 2] = 0
+        self.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        self.mb_intra[mb_addr] = False
+        self.mb_qp[mb_addr] = qp_prev
+        self.mb_decoded[mb_addr] = True
+        return qp_prev
+
+    # sub_mb_type → list of (sub dx4, dy4, w4, h4) within the 8x8
+    _SUB_SHAPES = {
+        0: [(0, 0, 2, 2)],
+        1: [(0, 0, 2, 1), (0, 1, 2, 1)],  # 8x4
+        2: [(0, 0, 1, 2), (1, 0, 1, 2)],  # 4x8
+        3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+    }
+
+    def _decode_inter_mb(self, br: _BitReader, mb_addr: int, slice_id: int,
+                         qp_prev: int, mb_type: int, num_ref: int) -> int:
+        mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+        self.mb_slice[mb_addr] = slice_id
+        if not self.refs:
+            raise ValueError("inter macroblock without reference frames")
+        bx0, by0 = mbx * 4, mby * 4
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        self.mb_intra[mb_addr] = False
+        num_ref = min(num_ref, len(self.refs))
+
+        def read_te() -> int:
+            if num_ref == 2:
+                return 1 - br.read(1)
+            return br.ue()
+
+        parts = []
+        if mb_type <= 2:
+            shapes = {
+                0: [(0, 0, 4, 4, None)],
+                1: [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+                2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+            }[mb_type]
+            refs = [read_te() if num_ref > 1 else 0 for _ in shapes]
+            for (dx4, dy4, w4, h4, shape), ref in zip(shapes, refs):
+                if not 0 <= ref < num_ref:
+                    raise ValueError("ref_idx out of range")
+                mvd = (br.se(), br.se())
+                pred = self._mv_pred(bx0 + dx4, by0 + dy4, w4, h4, ref, slice_id, shape)
+                mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+                self._set_mv(bx0 + dx4, by0 + dy4, w4, h4, mv, ref)
+                parts.append((dx4, dy4, w4, h4, mv, ref))
+        else:  # P_8x8 (3) / P_8x8ref0 (4)
+            sub_types = [br.ue() for _ in range(4)]
+            if any(s > 3 for s in sub_types):
+                raise ValueError("bad sub_mb_type")
+            if mb_type == 4:
+                refs = [0, 0, 0, 0]
+            else:
+                refs = [read_te() if num_ref > 1 else 0 for _ in range(4)]
+            for k8 in range(4):
+                ref = refs[k8]
+                if not 0 <= ref < num_ref:
+                    raise ValueError("ref_idx out of range")
+                ox4, oy4 = (k8 % 2) * 2, (k8 // 2) * 2
+                for sdx, sdy, w4, h4 in self._SUB_SHAPES[sub_types[k8]]:
+                    dx4, dy4 = ox4 + sdx, oy4 + sdy
+                    mvd = (br.se(), br.se())
+                    pred = self._mv_pred(bx0 + dx4, by0 + dy4, w4, h4, ref, slice_id)
+                    mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+                    self._set_mv(bx0 + dx4, by0 + dy4, w4, h4, mv, ref)
+                    parts.append((dx4, dy4, w4, h4, mv, ref))
+        predY, predU, predV = self._inter_pred_mb(mbx, mby, parts)
+
+        cbp_code = br.ue()
+        if cbp_code >= 48:
+            raise ValueError("bad coded_block_pattern code")
+        cbp = CBP_INTER[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp_chroma == 3:
+            raise ValueError("bad chroma coded_block_pattern")
+        qp = qp_prev
+        if cbp_luma or cbp_chroma:
+            delta = br.se()
+            if not -26 <= delta <= 25:
+                raise ValueError("mb_qp_delta out of range")
+            qp = (qp_prev + delta + 52) % 52
+        self.mb_qp[mb_addr] = qp
+
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            bx, by = bx0 + dx, by0 + dy
+            px, py = x0 + dx * 4, y0 + dy * 4
+            if cbp_luma & (1 << (k // 4)):
+                nC = self._nc_luma(bx, by, slice_id)
+                coeffs, tc = _decode_residual(br, nC, 16)
+                self.luma_nz[by, bx] = tc
+            else:
+                coeffs = [0] * 16
+                self.luma_nz[by, bx] = 0
+            out = _idct4x4_add(
+                coeffs, qp, None, predY[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
+            )
+            self.Y[py : py + 4, px : px + 4] = out
+            self.blk_done[by, bx] = True
+
+        qpc = CHROMA_QP[_clip3(0, 51, qp + self.pps["chroma_qp_off"])]
+        chroma_dc = None
+        if cbp_chroma:
+            chroma_dc = []
+            for _c in range(2):
+                coeffs, _tc = _decode_residual(br, -1, 4)
+                chroma_dc.append(coeffs)
+        for c, (plane, predc) in ((0, (self.U, predU)), (1, (self.V, predV))):
+            dcq = _chroma_dc_transform(chroma_dc[c], qpc) if chroma_dc else [0, 0, 0, 0]
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                cbx, cby = mbx * 2 + dx, mby * 2 + dy
+                if cbp_chroma == 2:
+                    nC = self._nc_chroma(c, cbx, cby, slice_id)
+                    coeffs, tc = _decode_residual(br, nC, 15)
+                    self.chroma_nz[c, cby, cbx] = tc
+                else:
+                    coeffs = None
+                    self.chroma_nz[c, cby, cbx] = 0
+                block16 = [0] + (coeffs if coeffs is not None else [0] * 15)
+                out = _idct4x4_add(
+                    block16, qpc, dcq[dy * 2 + dx],
+                    predc[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4],
+                )
+                plane[cy0 + dy * 4 : cy0 + dy * 4 + 4, cx0 + dx * 4 : cx0 + dx * 4 + 4] = out
+
+        self.mb_decoded[mb_addr] = True
+        return qp
+
     def _i4_infer(self, bx: int, by: int, slice_id: int) -> int:
         """intraMxMPredModeA/B inference (8.3.1.1): 2 (DC) when the
         neighbor block is unavailable or its MB is not Intra_4x4."""
@@ -1082,6 +1466,23 @@ class _PictureDecoder:
         return m if m >= 0 else 2
 
     # — deblocking (8.7) —
+
+    def _bs(self, pbx: int, pby: int, qbx: int, qby: int, mb_edge: bool) -> int:
+        """Boundary strength between 4x4 blocks p and q (8.7.2.1)."""
+        pmb = (pby // 4) * self.mbw + (pbx // 4)
+        qmb = (qby // 4) * self.mbw + (qbx // 4)
+        if self.mb_intra[pmb] or self.mb_intra[qmb]:
+            return 4 if mb_edge else 3
+        if self.luma_nz[pby, pbx] > 0 or self.luma_nz[qby, qbx] > 0:
+            return 2
+        if self.ref_idx[pby, pbx] != self.ref_idx[qby, qbx]:
+            return 1
+        if (
+            abs(int(self.mv[pby, pbx, 0]) - int(self.mv[qby, qbx, 0])) >= 4
+            or abs(int(self.mv[pby, pbx, 1]) - int(self.mv[qby, qbx, 1])) >= 4
+        ):
+            return 1
+        return 0
 
     def deblock(self) -> None:
         for mby in range(self.mbh):
@@ -1104,33 +1505,65 @@ class _PictureDecoder:
                 cx0, cy0 = mbx * 8, mby * 8
                 # vertical edges (left→right), then horizontal (top→bottom)
                 for dx in (0, 4, 8, 12):
-                    if dx == 0:
+                    mb_edge = dx == 0
+                    if mb_edge:
                         if not mb_ok(mbx - 1, mby):
                             continue
                         qp_p = int(self.mb_qp[a - 1])
-                        bs = 4
                     else:
                         qp_p = qp_q
-                        bs = 3
-                    self._filter_luma_v(x0 + dx, y0, qp_p, qp_q, bs, off_a, off_b)
+                    ia, alpha, beta = self._thresholds(qp_p, qp_q, off_a, off_b)
+                    x = x0 + dx
+                    bxq = x // 4
+                    for seg in range(4):
+                        by = mby * 4 + seg
+                        bs = self._bs(bxq - 1, by, bxq, by, mb_edge)
+                        if bs == 0 or alpha == 0:
+                            continue
+                        for y in range(y0 + seg * 4, y0 + seg * 4 + 4):
+                            self._filter_line(self.Y, y, x, 0, 1, alpha, beta, bs, ia, True)
                     if dx in (0, 8):
-                        self._filter_chroma_v(
-                            cx0 + dx // 2, cy0, self._qpc(qp_p), self._qpc(qp_q), bs, off_a, off_b
+                        iac, alc, bec = self._thresholds(
+                            self._qpc(qp_p), self._qpc(qp_q), off_a, off_b
                         )
+                        if alc:
+                            cx = cx0 + dx // 2
+                            for yc in range(cy0, cy0 + 8):
+                                bs = self._bs(bxq - 1, (2 * yc) // 4, bxq, (2 * yc) // 4, mb_edge)
+                                if bs == 0:
+                                    continue
+                                for plane in (self.U, self.V):
+                                    self._filter_line(plane, yc, cx, 0, 1, alc, bec, bs, iac, False)
                 for dy in (0, 4, 8, 12):
-                    if dy == 0:
+                    mb_edge = dy == 0
+                    if mb_edge:
                         if not mb_ok(mbx, mby - 1):
                             continue
                         qp_p = int(self.mb_qp[a - self.mbw])
-                        bs = 4
                     else:
                         qp_p = qp_q
-                        bs = 3
-                    self._filter_luma_h(x0, y0 + dy, qp_p, qp_q, bs, off_a, off_b)
+                    ia, alpha, beta = self._thresholds(qp_p, qp_q, off_a, off_b)
+                    y = y0 + dy
+                    byq = y // 4
+                    for seg in range(4):
+                        bx = mbx * 4 + seg
+                        bs = self._bs(bx, byq - 1, bx, byq, mb_edge)
+                        if bs == 0 or alpha == 0:
+                            continue
+                        for x in range(x0 + seg * 4, x0 + seg * 4 + 4):
+                            self._filter_line(self.Y, y, x, 1, 0, alpha, beta, bs, ia, True)
                     if dy in (0, 8):
-                        self._filter_chroma_h(
-                            cx0, cy0 + dy // 2, self._qpc(qp_p), self._qpc(qp_q), bs, off_a, off_b
+                        iac, alc, bec = self._thresholds(
+                            self._qpc(qp_p), self._qpc(qp_q), off_a, off_b
                         )
+                        if alc:
+                            cy = cy0 + dy // 2
+                            for xc in range(cx0, cx0 + 8):
+                                bs = self._bs((2 * xc) // 4, byq - 1, (2 * xc) // 4, byq, mb_edge)
+                                if bs == 0:
+                                    continue
+                                for plane in (self.U, self.V):
+                                    self._filter_line(plane, cy, xc, 1, 0, alc, bec, bs, iac, False)
 
     def _qpc(self, qp: int) -> int:
         return CHROMA_QP[_clip3(0, 51, qp + self.pps["chroma_qp_off"])]
@@ -1141,38 +1574,6 @@ class _PictureDecoder:
         ia = _clip3(0, 51, qpav + off_a)
         ib = _clip3(0, 51, qpav + off_b)
         return ia, ALPHA[ia], BETA[ib]
-
-    def _filter_luma_v(self, x, y0, qp_p, qp_q, bs, off_a, off_b):
-        ia, alpha, beta = self._thresholds(qp_p, qp_q, off_a, off_b)
-        if alpha == 0:
-            return
-        Y = self.Y
-        for y in range(y0, y0 + 16):
-            self._filter_line(Y, y, x, 0, 1, alpha, beta, bs, ia, luma=True)
-
-    def _filter_luma_h(self, x0, y, qp_p, qp_q, bs, off_a, off_b):
-        ia, alpha, beta = self._thresholds(qp_p, qp_q, off_a, off_b)
-        if alpha == 0:
-            return
-        Y = self.Y
-        for x in range(x0, x0 + 16):
-            self._filter_line(Y, y, x, 1, 0, alpha, beta, bs, ia, luma=True)
-
-    def _filter_chroma_v(self, x, y0, qpc_p, qpc_q, bs, off_a, off_b):
-        ia, alpha, beta = self._thresholds(qpc_p, qpc_q, off_a, off_b)
-        if alpha == 0:
-            return
-        for plane in (self.U, self.V):
-            for y in range(y0, y0 + 8):
-                self._filter_line(plane, y, x, 0, 1, alpha, beta, bs, ia, luma=False)
-
-    def _filter_chroma_h(self, x0, y, qpc_p, qpc_q, bs, off_a, off_b):
-        ia, alpha, beta = self._thresholds(qpc_p, qpc_q, off_a, off_b)
-        if alpha == 0:
-            return
-        for plane in (self.U, self.V):
-            for x in range(x0, x0 + 8):
-                self._filter_line(plane, y, x, 1, 0, alpha, beta, bs, ia, luma=False)
 
     @staticmethod
     def _filter_line(P, y, x, dy, dx, alpha, beta, bs, ia, luma):
@@ -1229,16 +1630,25 @@ class _PictureDecoder:
                 -tc0, tc0, (q[2] + ((p[0] + q[0] + 1) >> 1) - 2 * q[1]) >> 1
             )
 
-    def output(self):
+    def finish(self):
+        """Complete the picture: verify coverage, run the in-loop deblock
+        ONCE, return the uncropped int32 planes (DPB reference form)."""
         if not self.mb_decoded.all():
             raise ValueError("incomplete H.264 picture (missing macroblocks)")
         self.deblock()
+        return self.Y, self.U, self.V
+
+    def crop_output(self):
         cl, cr, ct, cb = self.sps["crop"]
         W, H = self.mbw * 16, self.mbh * 16
         y = self.Y[2 * ct : H - 2 * cb, 2 * cl : W - 2 * cr].astype(np.uint8)
         u = self.U[ct : H // 2 - cb, cl : W // 2 - cr].astype(np.uint8)
         v = self.V[ct : H // 2 - cb, cl : W // 2 - cr].astype(np.uint8)
         return y, u, v
+
+    def output(self):
+        self.finish()
+        return self.crop_output()
 
 
 # ── public decode entries ──────────────────────────────────────────────────
@@ -1253,13 +1663,18 @@ _UNSUPPORTED_NAL = {
 }
 
 
-def decode_nals(nals: list[bytes], sps_map=None, pps_map=None):
+def decode_nals(nals: list[bytes], sps_map=None, pps_map=None, refs=None):
     """Decode one access unit (+ any in-band parameter sets) → (Y, U, V)
-    uint8 planes (Y full size; U/V half size, 4:2:0)."""
-    sps_map = dict(sps_map or {})
-    pps_map = dict(pps_map or {})
+    uint8 planes (Y full size; U/V half size, 4:2:0). ``refs``: newest-first
+    reference planes for P slices (see H264StreamDecoder)."""
+    pic, _idr = _decode_nals_pic(nals, dict(sps_map or {}), dict(pps_map or {}), refs or [])
+    return pic.output()
+
+
+def _decode_nals_pic(nals, sps_map, pps_map, refs):
     pic: _PictureDecoder | None = None
     slice_id = 0
+    is_idr = False
     for nal in nals:
         if not nal:
             continue
@@ -1267,6 +1682,7 @@ def decode_nals(nals: list[bytes], sps_map=None, pps_map=None):
         if hdr & 0x80:
             raise ValueError("forbidden_zero_bit set in NAL header")
         ntype = hdr & 0x1F
+        ref_idc = (hdr >> 5) & 3
         rbsp = _strip_emulation(nal[1:])
         if ntype == 7:
             sps = _parse_sps(rbsp)
@@ -1276,6 +1692,7 @@ def decode_nals(nals: list[bytes], sps_map=None, pps_map=None):
             pps_map[pps["id"]] = pps
         elif ntype in (1, 5):
             if pic is None:
+                is_idr = ntype == 5
                 # peek the PPS id from the slice header to bind parameter sets
                 peek = _BitReader(rbsp)
                 peek.ue()  # first_mb_in_slice
@@ -1286,15 +1703,68 @@ def decode_nals(nals: list[bytes], sps_map=None, pps_map=None):
                 pps = pps_map[pps_id]
                 if pps["sps_id"] not in sps_map:
                     raise ValueError("PPS references missing SPS")
-                pic = _PictureDecoder(sps_map[pps["sps_id"]], pps)
-            pic.decode_slice(rbsp, ntype, slice_id)
+                pic = _PictureDecoder(
+                    sps_map[pps["sps_id"]], pps, refs=[] if is_idr else refs
+                )
+            pic.decode_slice(rbsp, ntype, slice_id, ref_idc)
             slice_id += 1
         elif ntype in _UNSUPPORTED_NAL:
             raise ValueError(f"unsupported NAL type {ntype} ({_UNSUPPORTED_NAL[ntype]})")
         # SEI (6), AUD (9), end-of-seq/stream (10, 11), filler (12): skipped
     if pic is None:
         raise ValueError("no coded slice in H.264 payload")
-    return pic.output()
+    return pic, is_idr
+
+
+class H264StreamDecoder:
+    """Stateful access-unit decoder with a sliding-window DPB, for
+    IDR+P GOPs (the real-web shape of baseline CAVLC MP4s): feed samples
+    in decode order; each returns its cropped frame. An IDR resets the
+    DPB; reference pictures are the deblocked (in-loop) planes. The
+    honest-subset rejections (CABAC, B slices, MMCO, list modification,
+    weighted prediction) raise ValueError per frame."""
+
+    def __init__(self, avcc: dict | None = None):
+        self.sps_map: dict = {}
+        self.pps_map: dict = {}
+        self.dpb: list = []  # newest-first (Y, U, V) int32 uncropped planes
+        if avcc is not None:
+            for raw in avcc["sps"]:
+                sps = _parse_sps(_strip_emulation(raw[1:]))
+                self.sps_map[sps["id"]] = sps
+            for raw in avcc["pps"]:
+                pps = _parse_pps(_strip_emulation(raw[1:]))
+                self.pps_map[pps["id"]] = pps
+        self.len_size = (avcc or {}).get("len_size", 4)
+        self.broken = False  # a failed frame poisons the chain until an IDR
+
+    def decode_nals(self, nals: list[bytes]):
+        is_idr_au = any(n and n[0] & 0x1F == 5 for n in nals)
+        if self.broken and not is_idr_au:
+            raise ValueError(
+                "reference chain broken by an earlier failed frame "
+                "(decoding resumes at the next IDR)"
+            )
+        try:
+            pic, is_idr = _decode_nals_pic(nals, self.sps_map, self.pps_map, self.dpb)
+            planes = pic.finish()
+        except ValueError:
+            self.broken = True
+            raise
+        self.broken = False
+        if is_idr:
+            self.dpb = []
+        out = pic.crop_output()
+        # sliding-window marking: any slice NAL with nal_ref_idc != 0 makes
+        # this a reference picture (our subset: all-or-nothing per AU)
+        if any(n and (n[0] >> 5) & 3 and n[0] & 0x1F in (1, 5) for n in nals):
+            self.dpb.insert(0, planes)
+            del self.dpb[max(1, pic.sps["max_num_ref_frames"]) :]
+        return out
+
+    def decode_sample(self, sample: bytes):
+        """MP4/MKV length-prefixed sample → cropped (Y, U, V)."""
+        return self.decode_nals(split_avcc_sample(sample, self.len_size))
 
 
 def decode_h264_annexb(data: bytes):
@@ -1332,6 +1802,9 @@ from azure_workflow_for_kml_satellite_spark.functions.h264_tables import (  # no
 _CBP_INTRA_INV = [0] * 48
 for _i, _v in enumerate(CBP_INTRA):
     _CBP_INTRA_INV[_v] = _i
+_CBP_INTER_INV = [0] * 48
+for _i, _v in enumerate(CBP_INTER):
+    _CBP_INTER_INV[_v] = _i
 
 _FDCT_C = np.array(
     [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]], dtype=np.int64
@@ -1352,21 +1825,23 @@ def _fdct4x4(res: np.ndarray) -> np.ndarray:
     return _FDCT_C @ res.astype(np.int64) @ _FDCT_C.T
 
 
-def _quant_coeff(w: int, qp: int, cls: int, extra_shift: int = 0) -> int:
+def _quant_coeff(w: int, qp: int, cls: int, extra_shift: int = 0,
+                 intra: bool = True) -> int:
     qbits = 15 + qp // 6 + extra_shift
-    f = (1 << qbits) // 3
+    f = (1 << qbits) // (3 if intra else 6)
     lvl = (abs(int(w)) * QUANT_MF[qp % 6][cls] + f) >> qbits
     return lvl if w >= 0 else -lvl
 
 
-def _quant_block_zigzag(W: np.ndarray, qp: int, first: int) -> list[int]:
+def _quant_block_zigzag(W: np.ndarray, qp: int, first: int,
+                        intra: bool = True) -> list[int]:
     """Quantize a 4x4 transform block → coefficients in zigzag scan order
     starting at scan position ``first`` (0 = include DC, 1 = AC only)."""
     out = []
     for idx in range(first, 16):
         r = ZIGZAG_4x4[idx]
         i, j = r >> 2, r & 3
-        out.append(_quant_coeff(int(W[i, j]), qp, pos_class(i, j)))
+        out.append(_quant_coeff(int(W[i, j]), qp, pos_class(i, j), intra=intra))
     return out
 
 
@@ -1460,7 +1935,8 @@ def _write_residual(bw: _BitWriter, coeffs: list[int], max_coeff: int, nC: int) 
 # — parameter set writing —
 
 
-def _write_sps(width_mbs: int, height_mbs: int, crop: tuple) -> bytes:
+def _write_sps(width_mbs: int, height_mbs: int, crop: tuple,
+               max_num_ref: int = 0) -> bytes:
     bw = _BitWriter()
     bw.write(66, 8)  # profile_idc: Baseline
     bw.write(0xE0, 8)  # constraint_set0/1/2 + reserved
@@ -1468,7 +1944,7 @@ def _write_sps(width_mbs: int, height_mbs: int, crop: tuple) -> bytes:
     bw.ue(0)  # sps_id
     bw.ue(0)  # log2_max_frame_num_minus4
     bw.ue(2)  # pic_order_cnt_type (no POC syntax in slice headers)
-    bw.ue(0)  # max_num_ref_frames
+    bw.ue(max_num_ref)
     bw.write(0, 1)  # gaps_in_frame_num_value_allowed
     bw.ue(width_mbs - 1)
     bw.ue(height_mbs - 1)
@@ -1510,7 +1986,7 @@ def _write_pps(pic_init_qp: int, chroma_qp_off: int) -> bytes:
 
 
 def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
-               qp_prev: int, src, opts: dict) -> int:
+               qp_prev: int, src, opts: dict, is_p: bool = False) -> int:
     src_y, src_u, src_v = src
     mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
     st.mb_slice[mb_addr] = slice_id
@@ -1519,10 +1995,13 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
     cx0, cy0 = mbx * 8, mby * 8
     seed = opts.get("seed", 0)
     h = _det_hash(seed, mb_addr)
+    i_ofs = 5 if is_p else 0  # intra mb_type offset inside P slices
+    # intra blocks are MV-pred-available with mv 0 / ref -1 (mirror decoder)
+    st.mv_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
 
     pcm_every = opts.get("pcm_every", 0)
     if pcm_every and mb_addr % pcm_every == pcm_every - 1:
-        bw.ue(25)  # I_PCM
+        bw.ue(25 + i_ofs)  # I_PCM
         bw.bits.append("0" * ((8 - sum(len(b) for b in bw.bits) % 8) % 8))
         for yy in range(16):
             for xx in range(16):
@@ -1615,10 +2094,10 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
 
     # — syntax: mb_type / pred modes —
     if use_i16:
-        bw.ue(1 + mode16 + 4 * cbp_chroma + (12 if cbp_luma else 0))
+        bw.ue(1 + mode16 + 4 * cbp_chroma + (12 if cbp_luma else 0) + i_ofs)
         st.mb_is_i4[mb_addr] = False
     else:
-        bw.ue(0)
+        bw.ue(0 + i_ofs)
         st.mb_is_i4[mb_addr] = True
         # choose + write the 16 intra4x4 modes; recon happens below in the
         # same pass since prediction needs reconstructed neighbours
@@ -1767,6 +2246,178 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
     return qp_out
 
 
+def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
+                     slice_id: int, qp_prev: int, src, opts: dict,
+                     num_ref: int) -> int:
+    """Encode one inter macroblock (P_L0 16x16 / 16x8 / 8x16 / P_8x8),
+    mirroring the decoder's parse order and reconstruction exactly."""
+    src_y, src_u, src_v = src
+    mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
+    st.mb_slice[mb_addr] = slice_id
+    st.mb_intra[mb_addr] = False
+    bx0, by0 = mbx * 4, mby * 4
+    x0, y0 = mbx * 16, mby * 16
+    cx0, cy0 = mbx * 8, mby * 8
+    h = _det_hash(opts.get("seed", 0), mb_addr, 311)
+    qp_mb = qp_prev + _clip3(-26, 25, opts["qp"] - qp_prev)
+
+    r = (h >> 4) % 10
+    if r < 5:
+        mb_type = 0
+    elif r < 6:
+        mb_type = 1
+    elif r < 7:
+        mb_type = 2
+    else:
+        mb_type = 3 if (h >> 8) % 3 else 4  # P_8x8 / P_8x8ref0
+
+    def pick_mv(bx, by, w4, h4, ref, shape, salt):
+        pred = st._mv_pred(bx, by, w4, h4, ref, slice_id, shape)
+        hh = _det_hash(h, salt)
+        mv = (pred[0] + (hh % 25) - 12, pred[1] + ((hh >> 8) % 25) - 12)
+        return pred, mv
+
+    def pick_ref(salt):
+        if num_ref < 2:
+            return 0
+        return (_det_hash(h, 999, salt) >> 3) % 2
+
+    bw.ue(mb_type)
+    parts = []
+    if mb_type <= 2:
+        shapes = {
+            0: [(0, 0, 4, 4, None)],
+            1: [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+            2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+        }[mb_type]
+        refs = [pick_ref(i) for i in range(len(shapes))]
+        if num_ref > 1:
+            for ref in refs:
+                if num_ref == 2:
+                    bw.write(1 - ref, 1)
+                else:
+                    bw.ue(ref)
+        for (dx4, dy4, w4, h4, shape), ref in zip(shapes, refs):
+            pred, mv = pick_mv(bx0 + dx4, by0 + dy4, w4, h4, ref, shape, dx4 * 8 + dy4)
+            bw.se(mv[0] - pred[0])
+            bw.se(mv[1] - pred[1])
+            st._set_mv(bx0 + dx4, by0 + dy4, w4, h4, mv, ref)
+            parts.append((dx4, dy4, w4, h4, mv, ref))
+    else:
+        sub_types = [(_det_hash(h, 55, k) % 6) % 4 for k in range(4)]
+        sub_types = [t if t <= 3 else 0 for t in sub_types]
+        for t in sub_types:
+            bw.ue(t)
+        refs = [0] * 4 if mb_type == 4 else [pick_ref(10 + k) for k in range(4)]
+        if mb_type == 3 and num_ref > 1:
+            for ref in refs:
+                if num_ref == 2:
+                    bw.write(1 - ref, 1)
+                else:
+                    bw.ue(ref)
+        for k8 in range(4):
+            ox4, oy4 = (k8 % 2) * 2, (k8 // 2) * 2
+            for si, (sdx, sdy, w4, h4) in enumerate(_PictureDecoder._SUB_SHAPES[sub_types[k8]]):
+                dx4, dy4 = ox4 + sdx, oy4 + sdy
+                pred, mv = pick_mv(
+                    bx0 + dx4, by0 + dy4, w4, h4, refs[k8], None, 100 + k8 * 8 + si
+                )
+                bw.se(mv[0] - pred[0])
+                bw.se(mv[1] - pred[1])
+                st._set_mv(bx0 + dx4, by0 + dy4, w4, h4, mv, refs[k8])
+                parts.append((dx4, dy4, w4, h4, mv, refs[k8]))
+
+    predY, predU, predV = st._inter_pred_mb(mbx, mby, parts)
+
+    # residual quantization (inter rounding)
+    resY = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - predY
+    luma_coeffs = [None] * 16
+    per8 = [False] * 4
+    for k in range(16):
+        dx, dy = BLK4_POS[k]
+        W = _fdct4x4(resY[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4])
+        coeffs = _quant_block_zigzag(W, qp_mb, 0, intra=False)
+        luma_coeffs[k] = coeffs
+        if any(coeffs):
+            per8[k // 4] = True
+    cbp_luma = sum(1 << i for i in range(4) if per8[i])
+    qpc = CHROMA_QP[_clip3(0, 51, qp_mb + st.pps["chroma_qp_off"])]
+    c_dc_lvl, c_acs = [], [[None] * 4 for _ in range(2)]
+    c_preds = (predU, predV)
+    any_cdc = any_cac = False
+    for c, sp in ((0, src_u), (1, src_v)):
+        resc = sp[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - c_preds[c]
+        dcs = np.zeros((2, 2), dtype=np.int64)
+        for k in range(4):
+            dx, dy = _CBLK_POS[k]
+            W = _fdct4x4(resc[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4])
+            dcs[dy, dx] = W[0, 0]
+            ac = _quant_block_zigzag(W, qpc, 1, intra=False)
+            c_acs[c][k] = ac
+            any_cac = any_cac or any(ac)
+        f = (
+            dcs[0, 0] + dcs[0, 1] + dcs[1, 0] + dcs[1, 1],
+            dcs[0, 0] - dcs[0, 1] + dcs[1, 0] - dcs[1, 1],
+            dcs[0, 0] + dcs[0, 1] - dcs[1, 0] - dcs[1, 1],
+            dcs[0, 0] - dcs[0, 1] - dcs[1, 0] + dcs[1, 1],
+        )
+        lv = [_quant_coeff(int(x), qpc, 0, 1, intra=False) for x in f]
+        c_dc_lvl.append(lv)
+        any_cdc = any_cdc or any(lv)
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+
+    bw.ue(_CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
+    if cbp_luma or cbp_chroma:
+        bw.se(qp_mb - qp_prev)
+        qp_out = qp_mb
+    else:
+        qp_out = qp_prev
+        qp_mb = qp_prev
+        qpc = CHROMA_QP[_clip3(0, 51, qp_mb + st.pps["chroma_qp_off"])]
+    st.mb_qp[mb_addr] = qp_mb
+
+    for k in range(16):
+        dx, dy = BLK4_POS[k]
+        bx, by = bx0 + dx, by0 + dy
+        if cbp_luma & (1 << (k // 4)):
+            nC = st._nc_luma(bx, by, slice_id)
+            tc = _write_residual(bw, luma_coeffs[k], 16, nC)
+            st.luma_nz[by, bx] = tc
+            coeffs = luma_coeffs[k]
+        else:
+            st.luma_nz[by, bx] = 0
+            coeffs = [0] * 16
+        out = _idct4x4_add(coeffs, qp_mb, None, predY[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4])
+        st.Y[y0 + dy * 4 : y0 + dy * 4 + 4, x0 + dx * 4 : x0 + dx * 4 + 4] = out
+        st.blk_done[by, bx] = True
+
+    if cbp_chroma:
+        for c in range(2):
+            _write_residual(bw, c_dc_lvl[c], 4, -1)
+    for c, plane in ((0, st.U), (1, st.V)):
+        dcq = _chroma_dc_transform(c_dc_lvl[c], qpc) if cbp_chroma else [0, 0, 0, 0]
+        for k in range(4):
+            dx, dy = _CBLK_POS[k]
+            cbx, cby = mbx * 2 + dx, mby * 2 + dy
+            if cbp_chroma == 2:
+                nC = st._nc_chroma(c, cbx, cby, slice_id)
+                tc = _write_residual(bw, c_acs[c][k], 15, nC)
+                st.chroma_nz[c, cby, cbx] = tc
+                ac = c_acs[c][k]
+            else:
+                st.chroma_nz[c, cby, cbx] = 0
+                ac = [0] * 15
+            out = _idct4x4_add(
+                [0] + ac, qpc, dcq[dy * 2 + dx],
+                c_preds[c][dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4],
+            )
+            plane[cy0 + dy * 4 : cy0 + dy * 4 + 4, cx0 + dx * 4 : cx0 + dx * 4 + 4] = out
+
+    st.mb_decoded[mb_addr] = True
+    st.mb_deblock[mb_addr] = opts["deblock_params"]
+    return qp_out
+
+
 def _pad_plane(p: np.ndarray, H: int, W: int) -> np.ndarray:
     out = np.empty((H, W), dtype=np.int32)
     h, w = p.shape
@@ -1779,9 +2430,16 @@ def _pad_plane(p: np.ndarray, H: int, W: int) -> np.ndarray:
 def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
                        pcm_every: int = 0, qp_jitter: int = 0, n_slices: int = 1,
                        chroma_qp_off: int = 0, alpha_off2: int = 0,
-                       beta_off2: int = 0, seed: int = 0):
-    """Encode frames (list of (y, u, v) uint8 planes, all same even WxH)
-    as independent all-intra IDR pictures.
+                       beta_off2: int = 0, seed: int = 0, gop: str = "all-idr",
+                       idr_every: int = 0):
+    """Encode frames (list of (y, u, v) uint8 planes, all same even WxH).
+
+    ``gop='all-idr'``: every frame an independent IDR picture.
+    ``gop='ipp'``: frame 0 IDR, later frames P slices referencing up to 2
+    previous pictures (sliding-window DPB, deterministic MV/partition/skip
+    coverage: P_Skip runs, 16x16/16x8/8x16/P_8x8(+ref0) partitions with
+    sub-blocks, quarter-pel MVs, intra MBs inside P slices); ``idr_every``
+    inserts a fresh IDR every N frames.
 
     Returns dict with raw NAL units ``sps``/``pps``, per-frame ``samples``
     (list of slice-NAL lists) and per-frame ``recons`` — the bit-exact
@@ -1792,9 +2450,10 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
         raise ValueError("encoder requires even frame dimensions (4:2:0 crop units)")
     if u0.shape != (h // 2, w // 2):
         raise ValueError("chroma planes must be half-size (4:2:0)")
+    ipp = gop == "ipp"
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     crop = (0, (mbw * 16 - w) // 2, 0, (mbh * 16 - h) // 2)
-    sps_rbsp = _write_sps(mbw, mbh, crop)
+    sps_rbsp = _write_sps(mbw, mbh, crop, max_num_ref=2 if ipp else 0)
     pps_rbsp = _write_pps(qp, chroma_qp_off)
     sps = _parse_sps(sps_rbsp)  # parse-back: writer/parser consistency
     pps = _parse_pps(pps_rbsp)
@@ -1810,10 +2469,17 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
         "deblock_params": (disable_idc, alpha_off2 * 2, beta_off2 * 2),
     }
     samples, recons = [], []
+    dpb: list = []  # newest-first uncropped reference planes
+    frame_num = 0
     for fi, (fy, fu, fv) in enumerate(frames):
         if fy.shape != (h, w):
             raise ValueError("all frames must share dimensions")
-        st = _PictureDecoder(sps, pps)
+        is_idr = fi == 0 or not ipp or (idr_every and fi % idr_every == 0)
+        if is_idr:
+            dpb = []
+            frame_num = 0
+        is_p = not is_idr
+        st = _PictureDecoder(sps, pps, refs=dpb)
         src = (
             _pad_plane(fy.astype(np.int32), mbh * 16, mbw * 16),
             _pad_plane(fu.astype(np.int32), mbh * 8, mbw * 8),
@@ -1822,18 +2488,27 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
         n_mbs = mbw * mbh
         bounds = [round(i * n_mbs / max(1, n_slices)) for i in range(n_slices + 1)]
         slice_nals = []
+        num_ref = min(2, len(dpb)) if is_p else 0
         for si in range(max(1, n_slices)):
             first, last = bounds[si], bounds[si + 1]
             if first >= last:
                 continue
             bw = _BitWriter()
             bw.ue(first)  # first_mb_in_slice
-            bw.ue(2)  # slice_type I
+            bw.ue(0 if is_p else 2)  # slice_type
             bw.ue(0)  # pps_id
-            bw.write(0, 4)  # frame_num (log2_max_frame_num = 4)
-            bw.ue(fi % 64)  # idr_pic_id
-            bw.write(0, 1)  # no_output_of_prior_pics
-            bw.write(0, 1)  # long_term_reference
+            bw.write(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+            if is_idr:
+                bw.ue(fi % 64)  # idr_pic_id
+            if is_p:
+                bw.write(1, 1)  # num_ref_idx_active_override_flag
+                bw.ue(num_ref - 1)
+                bw.write(0, 1)  # ref_pic_list_modification_flag_l0
+            if is_idr:
+                bw.write(0, 1)  # no_output_of_prior_pics
+                bw.write(0, 1)  # long_term_reference
+            else:
+                bw.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
             bw.se(0)  # slice_qp_delta (slice QP = pic_init_qp)
             bw.ue(disable_idc)
             if disable_idc != 1:
@@ -1841,12 +2516,37 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
                 bw.se(beta_off2)
             qp_prev = qp
             opts["seed"] = _det_hash(seed, fi)
+            skip_run = 0
             for mb_addr in range(first, last):
-                qp_prev = _encode_mb(st, bw, mb_addr, si, qp_prev, src, opts)
+                if is_p:
+                    hh = _det_hash(opts["seed"], mb_addr, 7)
+                    if hh % 5 == 0:  # P_Skip
+                        qp_prev = st._decode_skip_mb(mb_addr, si, qp_prev)
+                        st.mb_deblock[mb_addr] = opts["deblock_params"]
+                        skip_run += 1
+                        continue
+                    bw.ue(skip_run)
+                    skip_run = 0
+                    if hh % 4 == 3:  # intra MB inside the P slice
+                        qp_prev = _encode_mb(st, bw, mb_addr, si, qp_prev, src,
+                                             opts, is_p=True)
+                    else:
+                        qp_prev = _encode_inter_mb(st, bw, mb_addr, si, qp_prev,
+                                                   src, opts, num_ref)
+                else:
+                    qp_prev = _encode_mb(st, bw, mb_addr, si, qp_prev, src, opts)
+            if is_p and skip_run:
+                bw.ue(skip_run)  # trailing skip run ends the slice
             bw.rbsp_trailing()
-            slice_nals.append(b"\x65" + _add_emulation(bw.tobytes()))
+            hdr = 0x65 if is_idr else 0x61  # nal_ref_idc 3
+            slice_nals.append(bytes([hdr]) + _add_emulation(bw.tobytes()))
         samples.append(slice_nals)
-        recons.append(st.output())
+        planes = st.finish()
+        recons.append(st.crop_output())
+        if ipp:
+            dpb.insert(0, planes)
+            del dpb[2:]
+            frame_num += 1
     return {"sps": sps_nal, "pps": pps_nal, "samples": samples, "recons": recons}
 
 

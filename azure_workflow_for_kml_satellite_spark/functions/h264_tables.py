@@ -229,6 +229,14 @@ CBP_INTRA = [
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
 ]
 
+# Column for Inter macroblock prediction modes (P/B slices).
+
+CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+
 # ── quantization (8.5.9 / 8.5.12) — flat scaling lists (Flat_4x4_16) ───────
 # Dequant normAdjust rows by qP % 6; positions classed a=(0,0),(0,2),(2,0),
 # (2,2); b=(1,1),(1,3),(3,1),(3,3); c=rest.
@@ -351,6 +359,7 @@ for _k, _tab in RUN_BEFORE.items():
 # non-VLC structural checks — fail loudly at import, these have no
 # per-stream fallback (every stream needs them)
 assert sorted(CBP_INTRA) == list(range(48)), "CBP_INTRA not a permutation"
+assert sorted(CBP_INTER) == list(range(48)), "CBP_INTER not a permutation"
 assert len(CHROMA_QP) == 52 and all(
     CHROMA_QP[i] <= CHROMA_QP[i + 1] for i in range(51)
 ), "chroma QP map not monotone"

@@ -599,6 +599,47 @@ def _parse_mp4_video_trak(data: bytes, s: int, e: int) -> dict | None:
 # pixel decode is unavailable without ffmpeg and says so per-row
 _MP4_JPEG_CODECS = {"jpeg", "mjpa"}
 
+# total decoded luma samples allowed per AVC asset: P chains decode every
+# frame since the last IDR, so the per-frame budget alone doesn't bound a
+# long clip; beyond this the remaining rows carry an honest decode_error
+_H264_ASSET_SAMPLE_BUDGET = 1 << 24
+
+
+def _h264_seq_decoder(avcc_bytes: bytes, samples, get_sample):
+    """frame_fn factory for AVC tracks: decodes samples SEQUENTIALLY
+    through a sliding-window DPB (functions/h264.H264StreamDecoder) so P
+    frames see their references; memoizes per-frame (phash, error). A
+    failed frame poisons only the frames that depend on it — the next IDR
+    resets the DPB and decoding resumes."""
+    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+        H264StreamDecoder,
+        parse_avcc,
+    )
+    from azure_workflow_for_kml_satellite_spark.functions.vp8 import yuv_to_rgb
+
+    dec = H264StreamDecoder(parse_avcc(avcc_bytes))
+    results: dict[int, tuple] = {}
+    state = {"next": 0, "budget": _H264_ASSET_SAMPLE_BUDGET}
+
+    def frame_fn(fi: int):
+        while state["next"] <= fi:
+            idx = state["next"]
+            if state["budget"] <= 0:
+                results[idx] = (None, "avc1 decode budget exceeded for asset")
+            else:
+                try:
+                    yp, up, vp = dec.decode_sample(bytes(get_sample(idx)))
+                    state["budget"] -= yp.size
+                    results[idx] = (_phash(yuv_to_rgb(yp, up, vp)), None)
+                except ValueError as exc:
+                    results[idx] = (None, f"avc1 frame decode failed: {exc}")
+            state["next"] = idx + 1
+        if fi not in results:  # non-monotonic request: decoded but unmemoized
+            return None, "avc1 frame unavailable (non-monotonic sampling)"
+        return results[fi]
+
+    return frame_fn
+
 
 def _ebml_id(data: bytes, pos: int) -> tuple[int, int]:
     """EBML element ID vint (marker bit kept, per spec)."""
@@ -801,31 +842,17 @@ def video_frame_sample(
                         None,
                     )
                 elif info["codec"] == "avc1" and info.get("avcc"):
-                    # real from-scratch H.264 baseline-intra decode
-                    # (functions/h264.py); unsupported sub-features (CABAC,
-                    # P/B slices) stay per-FRAME decode errors so the true
-                    # demux timing rows survive
-                    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
-                        decode_h264_sample,
-                        parse_avcc,
+                    # real from-scratch H.264 decode (functions/h264.py):
+                    # IDR and P frames, decoded SEQUENTIALLY through a
+                    # sliding-window DPB (P frames need their references);
+                    # unsupported sub-features (CABAC, B slices, MMCO) stay
+                    # per-FRAME decode errors on real timing rows, and the
+                    # chain self-heals at the next IDR (which resets the DPB)
+                    frame_fn = _h264_seq_decoder(
+                        info["avcc"], samples, lambda fi: data[
+                            samples[fi][0] : samples[fi][0] + samples[fi][1]
+                        ]
                     )
-                    from azure_workflow_for_kml_satellite_spark.functions.vp8 import (
-                        yuv_to_rgb,
-                    )
-
-                    cfg = parse_avcc(info["avcc"])
-
-                    def h264_phash(fi, _cfg=cfg, _samples=samples, _data=data):
-                        off, size, _ = _samples[fi]
-                        try:
-                            yp, up, vp = decode_h264_sample(
-                                _data[off : off + size], _cfg
-                            )
-                        except ValueError as exc:
-                            return None, f"avc1 frame decode failed: {exc}"
-                        return _phash(yuv_to_rgb(yp, up, vp)), None
-
-                    frame_fn = h264_phash
                 else:
                     frame_fn = stub_fn(info["codec"])
                 return (
@@ -856,26 +883,11 @@ def video_frame_sample(
                 frame_fn = lambda fi: (jpeg_phash(samples[fi][1]), None)
             elif info["codec"] == "V_MPEG4/ISO/AVC" and info.get("avcc"):
                 # CodecPrivate carries the same avcC record as MP4 stsd;
-                # block payloads are length-prefixed NALs — same decode
-                # path as the avc1 branch above
-                from azure_workflow_for_kml_satellite_spark.functions.h264 import (
-                    decode_h264_sample,
-                    parse_avcc,
+                # block payloads are length-prefixed NALs — same sequential
+                # DPB decode path as the avc1 branch above
+                frame_fn = _h264_seq_decoder(
+                    info["avcc"], samples, lambda fi: samples[fi][1]
                 )
-                from azure_workflow_for_kml_satellite_spark.functions.vp8 import (
-                    yuv_to_rgb,
-                )
-
-                cfg = parse_avcc(info["avcc"])
-
-                def mkv_h264_phash(fi, _cfg=cfg, _samples=samples):
-                    try:
-                        yp, up, vp = decode_h264_sample(_samples[fi][1], _cfg)
-                    except ValueError as exc:
-                        return None, f"avc1 frame decode failed: {exc}"
-                    return _phash(yuv_to_rgb(yp, up, vp)), None
-
-                frame_fn = mkv_h264_phash
             else:
                 frame_fn = stub_fn(info["codec"])
             return (
@@ -944,7 +956,24 @@ def video_frame_sample(
                             "decode_error": None,
                         }
                     )
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+            # build the 64-bit hash column as nullable Int64 explicitly: a
+            # None (quarantined row) in the same Arrow batch would otherwise
+            # coerce the column to float64 and silently round 63-bit hashes
+            # past the 53-bit mantissa
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r["asset_id"] for r in rows],
+                    "frame_index": pd.array(
+                        [r["frame_index"] for r in rows], dtype="Int64"
+                    ),
+                    "ts_ms": pd.array([r["ts_ms"] for r in rows], dtype="Int64"),
+                    "frame_phash": pd.array(
+                        [r["frame_phash"] for r in rows], dtype="Int64"
+                    ),
+                    "decode_error": [r["decode_error"] for r in rows],
+                },
+                columns=cols,
+            )
 
     return df.select(id_col, bin_col).mapInPandas(run, FRAME_SCHEMA)
 

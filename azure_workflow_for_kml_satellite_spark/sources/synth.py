@@ -1090,7 +1090,7 @@ def write_audio(out_dir: str | Path) -> Path:
 
 # ── video assets (avc1-in-MP4, round-6 H.264 decode gate) ──────────────────
 
-VIDEO_COUNT = 14
+VIDEO_COUNT = 20  # 0-13 all-IDR intra clips; 14-19 IPP GOPs (P frames)
 VIDEO_EVERY_MS = 250  # sampling cadence q_video_frames uses
 
 
@@ -1108,16 +1108,26 @@ def video_spec(i: int) -> dict:
     delta_ms = 200 + (_mix(604, i) % 3) * 100
     qp = 12 + (_mix(605, i) % 8) * 5  # 12..47
     enc = {"qp": qp, "seed": i}
-    variant = i % 5
-    if variant == 1:
-        enc["pcm_every"] = 3
-    elif variant == 2:
-        enc["n_slices"] = 2
-    elif variant == 3:
-        enc["deblock"] = False
-    elif variant == 4:
-        enc["qp_jitter"] = 5
-        enc["chroma_qp_off"] = 6 - (_mix(607, i) % 13)
+    if i >= 14:
+        # IPP GOPs: IDR + P frames (P_Skip runs, 16x16/16x8/8x16/P_8x8
+        # partitions, quarter-pel MVs, intra-in-P), sequential-DPB decode
+        enc["gop"] = "ipp"
+        n_frames = 5 + _mix(603, i) % 3
+        if i % 3 == 1:
+            enc["idr_every"] = 3
+        elif i % 3 == 2:
+            enc["deblock"] = False
+    else:
+        variant = i % 5
+        if variant == 1:
+            enc["pcm_every"] = 3
+        elif variant == 2:
+            enc["n_slices"] = 2
+        elif variant == 3:
+            enc["deblock"] = False
+        elif variant == 4:
+            enc["qp_jitter"] = 5
+            enc["chroma_qp_off"] = 6 - (_mix(607, i) % 13)
     return {"w": w, "h": h, "n_frames": n_frames, "delta_ms": delta_ms,
             "blocky": _mix(606, i) % 2 == 1, "enc": enc}
 

@@ -341,3 +341,97 @@ def test_mkv_avc1_codecprivate_decode():
         ry, ru, rv = out["recons"][i]
         assert np.array_equal(yp, ry) and np.array_equal(up, ru) and np.array_equal(vp, rv)
         assert isinstance(_phash(yuv_to_rgb(yp, up, vp)), int)
+
+
+# ── P slices: IPP GOPs through the sliding-window DPB ──────────────────────
+
+
+def _mk_gop(n, h, w, kind, seed=5):
+    rng = np.random.default_rng(seed)
+    if kind == "pan":
+        base = rng.integers(0, 256, (h + 32, w + 32)).astype(np.uint8)
+        mk = lambda f: base[f * 3 % 16 : f * 3 % 16 + h, f * 5 % 16 : f * 5 % 16 + w].copy()
+    elif kind == "static":
+        one = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        mk = lambda f: one.copy()
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        mk = lambda f: ((xx * 3 + yy * 2 + f * 31) % 256).astype(np.uint8)
+    out = []
+    for f in range(n):
+        y = mk(f)
+        out.append((y, (y[::2, ::2] // 2 + 20).astype(np.uint8),
+                    (255 - y[::2, ::2]).astype(np.uint8)))
+    return out
+
+
+_GOP_CASES = [
+    dict(qp=28, gop="ipp"),
+    dict(qp=30, gop="ipp", n_slices=2),
+    dict(qp=26, gop="ipp", pcm_every=5),
+    dict(qp=35, gop="ipp", deblock=False),
+    dict(qp=22, gop="ipp", idr_every=3),
+    dict(qp=40, gop="ipp", chroma_qp_off=5),
+]
+
+
+@pytest.mark.parametrize("dims", [(48, 64), (20, 14), (34, 50)])
+def test_ipp_gop_roundtrip_bit_exact(dims):
+    """P slices (skip runs, all partition shapes, quarter-pel MVs, up to
+    2 reference frames, intra-in-P) decode bit-exactly to the encoder
+    reconstruction across content kinds and option matrix."""
+    for kind in ("pan", "static", "grad"):
+        for ci, kw in enumerate(_GOP_CASES):
+            frames = _mk_gop(5, *dims, kind, seed=ci)
+            out = H.encode_h264_frames(frames, seed=ci, **kw)
+            dec = H.H264StreamDecoder()
+            for i, nals in enumerate(out["samples"]):
+                feed = ([out["sps"], out["pps"]] + nals) if i == 0 else nals
+                got = dec.decode_nals(feed)
+                for g, r in zip(got, out["recons"][i]):
+                    assert np.array_equal(g, r), (dims, kind, ci, i)
+
+
+def test_p_frame_chain_breaks_poison_until_idr():
+    """A failed P frame must NOT let later P frames silently decode
+    against the wrong reference; the chain resumes at the next IDR."""
+    frames = _mk_gop(6, 32, 48, "pan")
+    out = H.encode_h264_frames(frames, qp=28, gop="ipp", idr_every=3)
+    dec = H.H264StreamDecoder()
+    dec.decode_nals([out["sps"], out["pps"]] + out["samples"][0])
+    corrupt = bytearray(out["samples"][1][0])
+    corrupt = bytes(corrupt[: len(corrupt) // 2])  # truncate the P slice
+    with pytest.raises(ValueError):
+        dec.decode_nals([corrupt])
+    with pytest.raises(ValueError, match="chain broken"):
+        dec.decode_nals(out["samples"][2])  # P frame: poisoned
+    got = dec.decode_nals(out["samples"][3])  # IDR: resets and succeeds
+    for g, r in zip(got, out["recons"][3]):
+        assert np.array_equal(g, r)
+    got = dec.decode_nals(out["samples"][4])  # following P works again
+    for g, r in zip(got, out["recons"][4]):
+        assert np.array_equal(g, r)
+
+
+def test_p_slice_without_references_rejected():
+    frames = _mk_gop(3, 32, 48, "pan")
+    out = H.encode_h264_frames(frames, qp=28, gop="ipp")
+    dec = H.H264StreamDecoder()
+    dec.sps_map, dec.pps_map = {}, {}
+    with pytest.raises(ValueError):
+        # P frame fed first (no SPS/PPS, no refs)
+        dec.decode_nals(out["samples"][1])
+    dec2 = H.H264StreamDecoder()
+    dec2.decode_nals([out["sps"], out["pps"]] + out["samples"][0])
+    dec3 = H.H264StreamDecoder()
+    dec3.sps_map, dec3.pps_map = dict(dec2.sps_map), dict(dec2.pps_map)
+    with pytest.raises(ValueError, match="reference"):
+        dec3.decode_nals(out["samples"][1])  # refs missing → loud error
+
+
+def test_ipp_compression_uses_skip_runs():
+    """Static content → P frames contain skip runs (smaller than IDR)."""
+    frames = _mk_gop(4, 48, 64, "static")
+    out = H.encode_h264_frames(frames, qp=28, gop="ipp")
+    sizes = [sum(len(n) for n in s) for s in out["samples"]]
+    assert all(s < sizes[0] for s in sizes[1:])
