@@ -465,6 +465,25 @@ def compute_video_frames(out_dir: Path, every_ms: int | None = None) -> None:
             tss.append(ts)
             phs.append(K.phash64_scalar(rgb))
             quar.append(False)
+    # chain-break asset: truncated P frame → per-frame errors (null hash,
+    # quarantined) for the broken/poisoned frames, real hashes resuming at
+    # the next IDR — derived from the shared spec, decoder never consulted
+    sp = synth.CHAINBREAK_SPEC
+    recons = encode_h264_frames(synth.chainbreak_frames(), **sp["enc"])["recons"]
+    duration = sp["n_frames"] * sp["delta_ms"]
+    n_rows = max(1, duration // every_ms + (1 if duration % every_ms else 0))
+    for r in range(n_rows):
+        ts = r * every_ms
+        fi = min(ts // sp["delta_ms"], sp["n_frames"] - 1)
+        ids.append("vid_chainbreak_avc1")
+        fidx.append(fi)
+        tss.append(ts)
+        if fi in synth.CHAINBREAK_BROKEN:
+            phs.append(None)
+            quar.append(True)
+        else:
+            phs.append(K.phash64_scalar(K.yuv420_to_rgb_scalar(*recons[fi])))
+            quar.append(False)
     ids.append("vid_corrupt")
     fidx.append(None)
     tss.append(None)

@@ -1197,6 +1197,48 @@ def mux_avc1_mp4(sps: bytes, pps: bytes, samples: list, width: int,
     return ftyp + mdat + _box(b"moov", _box(b"trak", mdia))
 
 
+# the chain-break asset: an IPP clip whose second sample (a P frame) is
+# truncated — frames 1 and 2 must surface per-frame decode errors (the
+# decoder refuses to decode P frames against a broken reference chain)
+# and decoding must RESUME at the frame-3 IDR. Shared constants so the
+# oracle derives the same expectation from the spec alone.
+CHAINBREAK_SPEC = {"w": 32, "h": 26, "n_frames": 6, "delta_ms": 300,
+                   "enc": {"qp": 30, "seed": 77, "gop": "ipp", "idr_every": 3}}
+CHAINBREAK_BROKEN = {1, 2}  # truncated P + the poisoned follower
+
+
+def chainbreak_frames() -> list:
+    import numpy as np
+
+    sp = CHAINBREAK_SPEC
+    h, w = sp["h"], sp["w"]
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for f in range(sp["n_frames"]):
+        y = ((xx * 5 + yy * 3 + f * 41) % 256).astype(np.uint8)
+        frames.append((y, (y[::2, ::2] // 3 + 40).astype(np.uint8),
+                       ((yy[::2, ::2] * 7 + f * 19) % 256).astype(np.uint8)))
+    return frames
+
+
+def chainbreak_payload() -> bytes:
+    import struct as _struct
+
+    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+        encode_h264_frames,
+    )
+
+    sp = CHAINBREAK_SPEC
+    enc = encode_h264_frames(chainbreak_frames(), **sp["enc"])
+    samples = [
+        b"".join(_struct.pack(">I", len(n)) + n for n in nals)
+        for nals in enc["samples"]
+    ]
+    samples[1] = samples[1][: len(samples[1]) // 2]  # truncate the P frame
+    return mux_avc1_mp4(enc["sps"], enc["pps"], samples,
+                        sp["w"], sp["h"], sp["delta_ms"])
+
+
 def write_videos(out_dir: str | Path) -> Path:
     """Deterministic video-asset table (asset_id, payload): avc1-in-MP4
     clips encoded by the in-repo conformant all-intra H.264 encoder
@@ -1220,6 +1262,8 @@ def write_videos(out_dir: str | Path) -> Path:
                                sp["w"], sp["h"], sp["delta_ms"])
         ids.append(f"vid{i:03d}_avc1")
         payloads.append(payload)
+    ids.append("vid_chainbreak_avc1")
+    payloads.append(chainbreak_payload())
     ids.append("vid_corrupt")
     payloads.append(b"\x00\x00\x00\x20ftypisom" + _hash_bytes(9005, 64))
     out = Path(out_dir) / "videos.parquet"

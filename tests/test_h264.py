@@ -435,3 +435,33 @@ def test_ipp_compression_uses_skip_runs():
     out = H.encode_h264_frames(frames, qp=28, gop="ipp")
     sizes = [sum(len(n) for n in s) for s in out["samples"]]
     assert all(s < sizes[0] for s in sizes[1:])
+
+
+def test_p_stream_mutation_fuzz_never_crashes():
+    """Bit-flip fuzz over an IPP GOP: every mutated GOP either decodes or
+    raises ValueError per frame — never crashes, hangs, or asserts. The
+    inter parse surface (skip runs, partitions, mvd, te(v) refs, inter
+    CBP) is all reachable from these streams."""
+    frames = _mk_gop(4, 32, 48, "pan", seed=9)
+    out = H.encode_h264_frames(frames, qp=30, gop="ipp")
+    aus = [[out["sps"], out["pps"]] + out["samples"][0]] + out["samples"][1:]
+    flat = [(i, j) for i, au in enumerate(aus) for j in range(len(au))]
+    rng = np.random.default_rng(23)
+    decoded = errored = 0
+    for _ in range(200):
+        mutated = [list(au) for au in aus]
+        for _ in range(rng.integers(1, 4)):
+            i, j = flat[rng.integers(0, len(flat))]
+            nal = bytearray(mutated[i][j])
+            nal[rng.integers(0, len(nal))] ^= 1 << rng.integers(0, 8)
+            mutated[i][j] = bytes(nal)
+        dec = H.H264StreamDecoder()
+        for au in mutated:
+            try:
+                y, _, _ = dec.decode_nals(au)
+                assert y.dtype == np.uint8
+                decoded += 1
+            except ValueError:
+                errored += 1
+    assert decoded + errored == 800
+    assert errored > 0
