@@ -1763,8 +1763,18 @@ class H264StreamDecoder:
         return out
 
     def decode_sample(self, sample: bytes):
-        """MP4/MKV length-prefixed sample → cropped (Y, U, V)."""
-        return self.decode_nals(split_avcc_sample(sample, self.len_size))
+        """MP4/MKV length-prefixed sample → cropped (Y, U, V).
+
+        A malformed length prefix (truncated container sample) poisons the
+        reference chain exactly like a failed slice decode: later P frames
+        must not silently predict from a stale DPB (they would emit wrong
+        pixels with no decode_error)."""
+        try:
+            nals = split_avcc_sample(sample, self.len_size)
+        except ValueError:
+            self.broken = True
+            raise
+        return self.decode_nals(nals)
 
 
 def decode_h264_annexb(data: bytes):

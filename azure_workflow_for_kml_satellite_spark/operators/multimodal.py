@@ -41,6 +41,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -151,9 +152,55 @@ def _phash(img: np.ndarray) -> int:
     return v
 
 
+def cost_scatter(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+    parts: int | None = None,
+) -> DataFrame:
+    """Cost-aware scatter for heavy-tailed per-asset decode stages (round-7
+    fix for the image-stage straggler grain, measured 0.68-0.71 N→4N
+    efficiency in scripts/bench_multimodal_scaling vs 0.92+ for audio/
+    video): one animated WebP costs ~100x a small PNG, so round-robin or
+    plain hash partitioning leaves whichever task drew two heavies as the
+    stage tail.
+
+    Shape: range-partition on (cost_class DESC, xxhash64(id)) at grain
+    ``8 x defaultParallelism``. The range partitioner (sample + shuffle —
+    the TeraSort pattern, no global sort, no driver collect) gives the
+    heaviest cost class its own partition span spread by hash, so heavies
+    land one-ish per partition AND occupy the lowest partition indices —
+    Spark launches tasks in index order, so the long tasks start first
+    and the light ones backfill the tail (the classic LPT approximation).
+    Cost proxy is pure JVM: payload byte length times a container-kind
+    weight (animated-capable RIFF/GIF containers decode many frames per
+    byte). Grain scales with parallelism — a fixed fine grain costs
+    absolute throughput at low core counts (round-6 measurement)."""
+    spark = df.sparkSession
+    n = parts or 8 * spark.sparkContext.defaultParallelism
+    magic = f"substring({bin_col}, 1, 4)"
+    kind_w = (
+        F.when(F.expr(f"{magic} = X'52494646'"), F.lit(4.0))  # RIFF (WebP/AVI)
+        .when(F.expr(f"{magic} = X'47494638'"), F.lit(4.0))  # GIF8
+        .otherwise(F.lit(1.0))
+    )
+    out = (
+        df.withColumn(
+            "__cost_class",
+            F.floor(F.log2(F.length(bin_col).cast("double") * kind_w + 2.0)),
+        )
+        .withColumn("__scatter", F.xxhash64(F.col(id_col)))
+        .repartitionByRange(n, F.desc("__cost_class"), F.col("__scatter"))
+        .drop("__cost_class", "__scatter")
+    )
+    return out
+
+
 def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
     """binary column → typed image metadata rows (decode inside mapInPandas,
-    Arrow-batched; errors quarantine per-row)."""
+    Arrow-batched; errors quarantine per-row). Input is cost-scattered
+    (see cost_scatter) — image decode cost is the most heavy-tailed of
+    the three A/V stages."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in IMAGE_META_SCHEMA.fields]
@@ -282,7 +329,9 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                     )
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
-    return df.select(id_col, bin_col).mapInPandas(run, IMAGE_META_SCHEMA)
+    return cost_scatter(df.select(id_col, bin_col), id_col, bin_col).mapInPandas(
+        run, IMAGE_META_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -412,7 +461,9 @@ def image_thumbnails(
                     )
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
-    return df.select(id_col, bin_col).mapInPandas(run, THUMBNAIL_SCHEMA)
+    return cost_scatter(df.select(id_col, bin_col), id_col, bin_col).mapInPandas(
+        run, THUMBNAIL_SCHEMA
+    )
 
 
 def _parse_mjpeg_avi(data: bytes) -> tuple[int, list[bytes]]:
@@ -1167,8 +1218,12 @@ def _parse_mp3(data: bytes) -> dict:
             if body.size:
                 rms = float(np.sqrt((body.astype(np.float64) ** 2).mean()))
                 peak = float(np.abs(body).max())
-    except ValueError:
-        pass  # outside the decodable subset: honest header-only row
+    except (ValueError, IndexError, KeyError, struct.error):
+        # Outside the decodable subset OR an unexpected decoder fault on a
+        # header-valid stream: either way the docstring's contract is the
+        # honest header-only row, never a full-asset quarantine (same
+        # tuple the outer per-row handler catches).
+        pass
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
@@ -1362,8 +1417,8 @@ def _parse_ogg(data: bytes) -> dict:
             if samples.size:
                 rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
                 peak = float(np.abs(samples).max())
-        except ValueError:
-            pass
+        except (ValueError, IndexError, KeyError, struct.error):
+            pass  # honest header-only row even on unexpected decoder faults
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
@@ -1488,8 +1543,8 @@ def _parse_flac(data: bytes) -> dict:
             samples = decode_frames(
                 data, pos, info["rate"], info["channels"], info["bps"]
             )
-        except ValueError:
-            samples = None
+        except (ValueError, IndexError, KeyError, struct.error):
+            samples = None  # header-only row on unexpected decoder faults
         if samples is not None:
             x = samples.astype(np.float64) / float(2 ** (info["bps"] - 1))
             rms = round(float(np.sqrt(np.mean(x * x))) if x.size else 0.0, 6)

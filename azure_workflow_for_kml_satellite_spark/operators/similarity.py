@@ -190,6 +190,19 @@ def lsh_bucket_skew(
     return {"max": mx, "mean": mean, "hot_threshold": hot, "salted": mx > hot}
 
 
+_LSH_CACHE: list = []  # at most one persisted bucketed frame (see docstring)
+
+
+def release_lsh_cache() -> None:
+    """Unpersist the bucketed frame cached by the last
+    embedding_near_dup_lsh call (non-blocking; no-op if none)."""
+    while _LSH_CACHE:
+        try:
+            _LSH_CACHE.pop().unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -216,12 +229,24 @@ def embedding_near_dup_lsh(
     sub-keys while meeting every intra-bucket pair exactly once, so the
     result set is IDENTICAL to the unsalted join (pytest-pinned against
     the exact all-pairs baseline). lsh_topk needs no such guard: its
-    query side is broadcast, so no bucket key ever shuffles."""
+    query side is broadcast, so no bucket key ever shuffles.
+
+    NOTE: calling this function triggers a Spark job eagerly (the skew
+    probe is an action at DataFrame-construction time). The bucketed
+    frame is persisted so the embeddings scan + band-bucket explode run
+    once, shared by the probe and the join. PySpark has no "first action
+    over the returned lazy frame has run" hook, so the cache is released
+    on the NEXT call to this function (bounded: at most one bucketed
+    frame stays cached, MEMORY_AND_DISK so eviction is safe) or
+    explicitly via release_lsh_cache()."""
     rows, bands = shape if shape is not None else lsh_band_shape(threshold, target_recall)
     planes = rows * bands
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("bucket", F.explode(_rh_band_buckets("emb", planes, bands)))
+    release_lsh_cache()
+    emb = emb.persist()
+    _LSH_CACHE.append(emb)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("e_a"), "bucket")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("e_b"), "bucket")
     skew = lsh_bucket_skew(emb, skew_factor, min_hot_bucket)

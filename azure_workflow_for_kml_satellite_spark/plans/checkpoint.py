@@ -51,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 LEDGER_SCHEMA = (
     "run_id string, stage string, partition string, rows long, "
-    "duration_s double, status string, ts string"
+    "duration_s double, status string, ts string, "
+    # duration_s is AMORTIZED (group wall-time / group size) when a
+    # partitioned stage commits with commit_grain > 1; the real
+    # measurement is group_duration_s, shared by every row of the same
+    # (stage, commit_group). Pre-grain ledgers read these as null.
+    "commit_group long, group_duration_s double"
 )
 
 _COMMIT_RETRIES = 100
@@ -315,7 +320,7 @@ class CheckpointManager:
                     }
                 )
         if rows:
-            self._append_ledger([{k: r[k] for k in field_names} for r in rows])
+            self._append_ledger([{k: r.get(k) for k in field_names} for r in rows])
         for path in legacy:
             path.rename(path.with_name(f"_migrated_{path.name}"))
 
@@ -337,6 +342,8 @@ class CheckpointManager:
                         r["duration_s"],
                         r["status"],
                         r["ts"],
+                        r.get("commit_group"),
+                        r.get("group_duration_s"),
                     )
                     for r in rows
                 ],
@@ -503,9 +510,14 @@ class CheckpointManager:
                             "stage": name,
                             "partition": str(val),
                             "rows": n,
+                            # amortized when len(group) > 1 (see
+                            # LEDGER_SCHEMA); group_duration_s is the
+                            # real wall-time of this commit group
                             "duration_s": round(dt / len(group), 3),
                             "status": "completed",
                             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                            "commit_group": i // grain,
+                            "group_duration_s": round(dt, 3),
                         }
                     )
                 self._append_ledger(rows)

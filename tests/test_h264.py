@@ -413,6 +413,33 @@ def test_p_frame_chain_breaks_poison_until_idr():
         assert np.array_equal(g, r)
 
 
+def test_truncated_container_sample_poisons_chain():
+    """A container-level truncation (bad avcC length prefix, so the
+    failure fires in split_avcc_sample BEFORE decode_nals) must poison
+    the reference chain exactly like a failed slice decode — later P
+    frames must not silently decode against a stale DPB."""
+    frames = _mk_gop(6, 32, 48, "pan")
+    out = H.encode_h264_frames(frames, qp=28, gop="ipp", idr_every=3)
+    dec = H.H264StreamDecoder()
+
+    def mux(nals):
+        return b"".join(len(n).to_bytes(4, "big") + n for n in nals)
+
+    dec.decode_sample(mux([out["sps"], out["pps"]] + out["samples"][0]))
+    whole = mux(out["samples"][1])
+    with pytest.raises(ValueError, match="avcC sample"):
+        dec.decode_sample(whole[:-3])  # truncated mid-NAL: split fails
+    assert dec.broken
+    with pytest.raises(ValueError, match="chain broken"):
+        dec.decode_sample(mux(out["samples"][2]))  # P frame: poisoned
+    got = dec.decode_sample(mux(out["samples"][3]))  # IDR: recovers
+    for g, r in zip(got, out["recons"][3]):
+        assert np.array_equal(g, r)
+    got = dec.decode_sample(mux(out["samples"][4]))
+    for g, r in zip(got, out["recons"][4]):
+        assert np.array_equal(g, r)
+
+
 def test_p_slice_without_references_rejected():
     frames = _mk_gop(3, 32, 48, "pan")
     out = H.encode_h264_frames(frames, qp=28, gop="ipp")
