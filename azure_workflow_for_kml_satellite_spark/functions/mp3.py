@@ -10,9 +10,13 @@ bit-compared to a reference:
   scalefactors, Huffman): spec-transcribed tables, each accepted only if
   structurally valid (prefix-free + Kraft-complete — mp3_tables.py);
   bitstreams selecting a table whose transcription failed validation raise
-  ValueError instead of decoding wrong values. Residual risk: a
-  transposition of two same-length codewords inside a validated table is
-  structurally undetectable (documented in COVERAGE.md).
+  ValueError instead of decoding wrong values. Round 7 adds the escape
+  code tables 16/24 (shared by big-values tables 16-31, per-table linbits
+  — the tables virtually every real-encoder stream selects at normal
+  bitrates); both passed the structural validation, so escape-coded
+  streams now decode. Residual risk: a transposition of two same-length
+  codewords inside a validated table is structurally undetectable
+  (documented in COVERAGE.md).
 - **Hybrid filterbank** (requantization, alias reduction, 36/12-point
   IMDCT with the four spec window types, frequency inversion): analytic
   spec formulas; the MDCT↔IMDCT pair is exact-inverse-tested and the
@@ -366,7 +370,7 @@ def _decode_granule(br: _BitReader, g: dict, sf: list[int], sr: int,
             continue
         code_id, linbits = TABLE_MAP.get(tid, (None, 0))
         if code_id is None or code_id not in VALIDATED:
-            reason = UNVALIDATED.get(code_id, "untranscribed escape table")
+            reason = UNVALIDATED.get(code_id, "table id not in the spec")
             raise ValueError(
                 f"huffman table {tid} unavailable ({reason}) — honest subset"
             )
@@ -429,8 +433,9 @@ def decode_mp3(data: bytes, max_samples: int = 1 << 24) -> tuple[np.ndarray, int
     """Decode an MPEG-1 Layer III stream → (samples (N, channels) float in
     [-1, 1]-ish, sample_rate). Walks frames (skipping ID3v2/ID3v1 tags),
     maintains the bit reservoir, and raises ValueError on malformed input
-    or on features outside the documented honest subset (escape/unvalidated
-    huffman tables, intensity stereo, mixed blocks, MPEG-2)."""
+    or on features outside the documented honest subset (unvalidated
+    huffman tables, intensity stereo, mixed blocks, MPEG-2). Escape
+    tables 16-31 (linbits) decode since round 7."""
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
         sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
@@ -540,18 +545,38 @@ def _largest_validated_pair_table() -> tuple[int, int]:
 
 
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
-               bitrate: int = 320) -> bytes:
+               bitrate: int = 320, table_id: int | None = None) -> bytes:
     """Minimal MPEG-1 Layer III mono encoder: long blocks, no scalefactors,
     one validated Huffman table for big values + count1 quads, no bit
     reservoir (main_data_begin = 0, stuffing pads each frame). Built for
-    generating real decodable test streams, not for compression quality."""
+    generating real decodable test streams, not for compression quality.
+
+    ``table_id`` selects the big-values Huffman table explicitly; an
+    escape table (16-31) engages the linbits path — values above 15 emit
+    the (15, ·) escape codeword plus a raw ``linbits``-bit magnitude, the
+    real-web shape of Layer III at normal bitrates — and quantization
+    targets the table's full 15 + 2^linbits - 1 range so the escape
+    codewords actually fire. Default: the widest validated non-escape
+    table (round-6 behavior)."""
     pcm = np.asarray(pcm, dtype=np.float64).reshape(-1)
     sr_idx = {44100: 0, 48000: 1, 32000: 2}.get(sample_rate)
     if sr_idx is None:
         raise ValueError("MPEG-1 sample rates are 32000/44100/48000")
     br_idx = BITRATES_L3.index(bitrate)
     frame_len = 144 * bitrate * 1000 // sample_rate
-    tid, maxval = _largest_validated_pair_table()
+    if table_id is None:
+        tid, maxval = _largest_validated_pair_table()
+        linbits = 0
+    else:
+        tid = table_id
+        code_id, linbits = TABLE_MAP.get(tid, (None, 0))
+        if code_id is None or code_id not in VALIDATED:
+            raise ValueError(f"huffman table {tid} unavailable for encoding")
+        # quantization target: deep enough past 15 that escape codewords +
+        # linbits magnitudes fire on every granule, capped so wide-linbits
+        # tables (up to 13 bits) don't blow the frame budget — the DECODER
+        # range is still the full 15 + 2^linbits - 1
+        maxval = min(15 + ((1 << linbits) - 1 if linbits else 0), 60)
     code_id, _ = TABLE_MAP[tid]
     enc_tab = ENCODE[code_id]
     n_frames = max(1, -(-len(pcm) // 1152))
@@ -615,12 +640,17 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
             gbw = _BitWriter()
             for i in range(0, big_end, 2):
                 x, y = int(ix[i]), int(ix[i + 1])
-                ln, code = enc_tab[(abs(x), abs(y))]
+                cx, cy = min(abs(x), 15), min(abs(y), 15)
+                ln, code = enc_tab[(cx, cy)]
                 gbw.write(code, ln)
-                if x:
-                    gbw.write(1 if x < 0 else 0, 1)
-                if y:
-                    gbw.write(1 if y < 0 else 0, 1)
+                # spec bit order per pair: codeword, then for x then y:
+                # linbits magnitude (only when the coordinate hit the
+                # escape value 15 on an escape table), then sign
+                for v, cv in ((x, cx), (y, cy)):
+                    if cv == 15 and linbits:
+                        gbw.write(abs(v) - 15, linbits)
+                    if v:
+                        gbw.write(1 if v < 0 else 0, 1)
             c1_tab = COUNT1_ENC[1]  # table B: fixed 4-bit codes
             for i in range(big_end, c1_end, 4):
                 quad = tuple(int(abs(ix[i + j])) if i + j < 576 else 0 for j in range(4))

@@ -1012,18 +1012,27 @@ def audio_spec(i: int) -> dict:
     if kind == "mp3":
         rate = (44100, 48000, 32000)[_mix(501, i) % 3]
         seconds = 0.5
+        # round 7: rotate the mp3 assets through the escape tables
+        # (code tables 16/24 with linbits — the real-web Layer III shape)
+        # so q_audio_metadata gates the escape decode path; None keeps the
+        # round-6 non-escape table for continuity
+        tables = (None, 16, 20, 24, 28, 31, 17, 25)
+        spec = {"mp3_table": tables[(i // len(AUDIO_KINDS)) % len(tables)]}
     elif kind == "vorbis":
         rate = (44100, 48000, 32000)[_mix(501, i) % 3]
         seconds = 0.25
+        spec = {}
     else:
         rate = (8000, 16000, 44100)[_mix(501, i) % 3]
         seconds = 0.25
+        spec = {}
     n = int(rate * seconds)
     freq = 200.0 + (_mix(503, i) % 2000)
     # keep the tone away from Nyquist so analytic rms ≈ amp/sqrt(2) holds
     freq = min(freq, rate / 2.5)
     amp = 0.2 + (_mix(509, i) % 60) / 100.0
-    return {"kind": kind, "rate": rate, "n": n, "freq": freq, "amp": amp}
+    spec.update({"kind": kind, "rate": rate, "n": n, "freq": freq, "amp": amp})
+    return spec
 
 
 def audio_samples(i: int):
@@ -1070,7 +1079,7 @@ def write_audio(out_dir: str | Path) -> Path:
         elif sp["kind"] == "flac":
             payload = encode_flac(pcm16.astype(np.int64), rate=sp["rate"])
         elif sp["kind"] == "mp3":
-            payload = encode_mp3(x, sp["rate"])
+            payload = encode_mp3(x, sp["rate"], table_id=sp["mp3_table"])
         elif sp["kind"] == "vorbis":
             payload = encode_vorbis(x, sp["rate"])
         else:  # ulaw

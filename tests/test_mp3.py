@@ -25,8 +25,10 @@ def test_huffman_tables_structurally_valid():
     """The spec-transcribed core tables must be prefix-free and
     Kraft-complete; both count1 tables must validate; failed transcriptions
     must be quarantined with a reason, never silently decodable."""
-    for tid in (1, 2, 3, 5, 6, 7, 9, 11, 12):
+    for tid in (1, 2, 3, 5, 6, 7, 9, 11, 12, 16, 24):
         assert tid in T.VALIDATED, (tid, T.UNVALIDATED.get(tid))
+    # the two escape code tables are full 16x16 complete codes
+    assert len(T.VALIDATED[16]) == 256 and len(T.VALIDATED[24]) == 256
     assert 0 in T.COUNT1_DEC and 1 in T.COUNT1_DEC
     for tid, reason in T.UNVALIDATED.items():
         assert reason  # every exclusion carries its failure reason
@@ -126,13 +128,15 @@ def test_crc16_protected_frame_and_mismatch():
 
 
 def test_unvalidated_table_raises_not_misdecodes():
-    """A stream selecting an escape/unvalidated Huffman table must raise
-    the honest-subset error, never decode garbage."""
+    """A stream selecting an unvalidated Huffman table (13's transcription
+    fails the Kraft check) must raise the honest-subset error, never decode
+    garbage. (Escape tables 16-31 are decodable since round 7, so they no
+    longer serve as the forced-unavailable probe.)"""
     sr = 44100
     sine = 0.4 * np.sin(2 * np.pi * 441.0 * np.arange(2304) / sr)
     data = bytearray(encode_mp3(sine, sr))
     # side info (no CRC): bytes 4..21. table_select fields sit inside the
-    # granule blocks; force table 16 by rewriting the first granule's three
+    # granule blocks; force table 13 by rewriting the first granule's three
     # 5-bit selects. Granule 0 starts at bit 9+5+4=18 of side info; selects
     # start after 12+9+8+4+1 = 34 more bits → bit 52.
     def set_bits(buf, bitpos, value, n):
@@ -143,9 +147,60 @@ def test_unvalidated_table_raises_not_misdecodes():
             buf[byte] = (buf[byte] & ~(1 << off)) | (bit << off)
 
     for r in range(3):
-        set_bits(data, 52 + 5 * r, 16, 5)
-    with pytest.raises(ValueError, match="huffman table 16|honest subset"):
+        set_bits(data, 52 + 5 * r, 13, 5)
+    with pytest.raises(ValueError, match="huffman table 13|honest subset"):
         decode_mp3(bytes(data))
+
+
+@pytest.mark.parametrize("tid", sorted(t for t in T.TABLE_MAP if t >= 16))
+def test_escape_table_roundtrip_all_linbits(tid):
+    """Round 7: every escape table 16-31 (code tables 16/24 with linbits
+    1-13) encodes and decodes a sine within the mp3 rms band. The
+    encoder's quantization targets past the escape value 15, so the
+    linbits magnitude path runs on every granule."""
+    sr = 44100
+    t = np.arange(int(sr * 0.25))
+    x = 0.6 * np.sin(2 * np.pi * 700.0 * t / sr)
+    dec, rate = decode_mp3(encode_mp3(x, sr, table_id=tid))
+    assert rate == sr
+    body = dec[512:, 0]
+    rms = float(np.sqrt((body**2).mean()))
+    assert abs(rms - 0.6 / np.sqrt(2)) < 0.12 * 0.6 / np.sqrt(2), (tid, rms)
+
+
+def test_escape_stream_actually_uses_linbits(monkeypatch):
+    """Prove the escape path fires: decoding the same table-24 bytes with
+    a perturbed linbits width must desynchronize (different samples or a
+    ValueError). If no (15, ·) escape codeword were present the linbits
+    width would be dead state and the decodes would be bit-identical."""
+    sr = 44100
+    x = 0.6 * np.sin(2 * np.pi * 700.0 * np.arange(4 * 1152) / sr)
+    data = encode_mp3(x, sr, table_id=24)  # linbits 4
+    good, _ = decode_mp3(data)
+    monkeypatch.setitem(T.TABLE_MAP, 24, (24, 5))
+    try:
+        bad, _ = decode_mp3(data)
+        assert bad.shape != good.shape or not np.allclose(bad, good)
+    except ValueError:
+        pass  # desync into an invalid codeword — equally conclusive
+
+
+def test_escape_fuzz_decode_or_valueerror():
+    """Byte-flip fuzz over an escape-coded (table 20, linbits 6) stream:
+    decode or ValueError, nothing else — the linbits parse surface joins
+    the quarantine contract."""
+    sr = 44100
+    sine = 0.5 * np.sin(2 * np.pi * 700.0 * np.arange(4 * 1152) / sr)
+    good = encode_mp3(sine, sr, table_id=20)
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        buf = bytearray(good)
+        for _ in range(int(rng.integers(1, 5))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            decode_mp3(bytes(buf))
+        except ValueError:
+            pass
 
 
 def test_mp3_hostile_fuzz_decode_or_valueerror():
