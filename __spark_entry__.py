@@ -737,7 +737,9 @@ def _q_image_thumbnails(spark, sf_dir):
     )
 
     ed = engine_dir(sf_dir)
-    imgs = spark.read.parquet(f"{ed}/images.parquet").repartition(8)
+    # no caller-side repartition: image_thumbnails cost-scatters its input
+    # itself (multimodal.cost_scatter — heavy-tail straggler fix, round 7)
+    imgs = spark.read.parquet(f"{ed}/images.parquet")
     return image_thumbnails(imgs, max_side=32).select(
         "asset_id",
         F.col("width").cast("long").alias("width"),
@@ -1347,28 +1349,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-sharing twins (same oracle SQL as their base query) and
     # multi-round-green trivial queries sit past the 50-entry window.
     return {
-        # — round 6 rotation (VERDICT r5 task 3): the stale-green queries
-        # whose last driver row was r2/r3 rotate back INTO the window;
-        # multi-round-green r4+r5 entries (events/sessionize/pricing/
-        # top-customers/ANN trio/exact-cosine baseline) rotate out. The
-        # r5-first-green entries stay in for a second consecutive row.
-        # q_audio_metadata and q_video_frames are NEW in round 6
-        # (mp3/flac/wav/µ-law/vorbis and H.264 decode gates) and lead
-        # the window. —
+        # — round 7 rotation (VERDICT r6 task 3): the 13 queries with no
+        # driver row since r2-r5 (ANN trio, streaming pair, pricing pair,
+        # cell/tile/knn-cells/capped/star variants, exact-cosine baseline)
+        # rotate back INTO the window. Out: the ten r5+r6
+        # consecutive-green decode/text entries plus the three r3+r6
+        # export queries — all stay covered every round by the full-set
+        # local gate (make gate) and pytest goldens. q_audio_metadata
+        # stays in (round 7 rotates its mp3 assets through the new escape
+        # tables 16-31), q_video_frames stays in (the decode_sample
+        # broken-chain fix touches its path), q_embed_near_dup_lsh stays
+        # in (round-7 persist change around the skew probe). —
         "q_audio_metadata": _q_audio_metadata,
         "q_video_frames": _q_video_frames,
-        "q_page_text": _q_page_text,
-        "q_coord_csv": _q_coord_csv,
-        "q_dedup_exact": _q_dedup_exact,
-        "q_sample_stratified": _q_sample_stratified,
-        "q_quality_score": _q_quality_score,
-        "q_simhash": _q_simhash,
-        "q_sample_hash": _q_sample_hash,
-        "q_fingerprint": _q_fingerprint,
-        "q_cluster_star": _q_cluster_star,
-        "q_image_thumbnails": _q_image_thumbnails,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
-        # — previously green (CORRECTNESS_r03) —
+        "q_ann_lsh": _q_ann_lsh,
+        "q_ann_ivf": _q_ann_ivf,
+        "q_ann_topk": _q_ann_topk,
+        "q_embed_near_dup": _q_embed_near_dup,
+        "q_events_hourly": _q_events_hourly,
+        "q_sessionize": _q_sessionize,
+        "q_pricing_summary": _q_pricing_summary,
+        "q_top_customers": _q_top_customers,
+        "q_cell_density": _q_cell_density,
+        "q_tile_assignment": _q_tile_assignment,
+        "q_knn_gauges_cells": _q_knn_gauges_cells,
+        "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
+        "q_dedup_clusters_star": _q_dedup_clusters_star,
+        # — previously green (CORRECTNESS_r03 + r6) —
         "q_extract_features": _q_extract_features,
         "q_quarantine": _q_quarantine,
         "q_aoi_prep": _q_aoi_prep,
@@ -1403,27 +1411,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_language_id": _q_language_id,
         "q_source_stats": _q_source_stats,
         "q_coord_text": _q_coord_text,
+        # ── entries below are PAST the driver's 50-query window ──
+        # r5+r6 (decode/text block) and r3+r6 (exports) consecutive-green
+        # queries rotated out this round; the full-set local gate
+        # (scripts/check_correctness.py --exact) keeps covering all of
+        # them every round, plus their pytest goldens.
         "q_geojson": _q_geojson,
         "q_frame_csv": _q_frame_csv,
         "q_aoi_csv": _q_aoi_csv,
-        "q_cell_density": _q_cell_density,
-        # ── entries below are PAST the driver's 50-query window ──
-        # oracle-sharing twins (identical oracle SQL to their base query,
-        # base query is in-window) + queries green in BOTH r4 and r5; the
-        # full-set local gate (scripts/check_correctness.py --exact) keeps
-        # covering all of them every round.
-        "q_knn_gauges_cells": _q_knn_gauges_cells,
-        "q_tile_assignment": _q_tile_assignment,
-        "q_ngram_jaccard_capped": _q_ngram_jaccard_capped,
-        "q_dedup_clusters_star": _q_dedup_clusters_star,
-        "q_events_hourly": _q_events_hourly,
-        "q_sessionize": _q_sessionize,
-        "q_pricing_summary": _q_pricing_summary,
-        "q_top_customers": _q_top_customers,
-        "q_ann_lsh": _q_ann_lsh,
-        "q_ann_ivf": _q_ann_ivf,
-        "q_ann_topk": _q_ann_topk,
-        "q_embed_near_dup": _q_embed_near_dup,
+        "q_page_text": _q_page_text,
+        "q_coord_csv": _q_coord_csv,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_sample_stratified": _q_sample_stratified,
+        "q_quality_score": _q_quality_score,
+        "q_simhash": _q_simhash,
+        "q_sample_hash": _q_sample_hash,
+        "q_fingerprint": _q_fingerprint,
+        "q_cluster_star": _q_cluster_star,
+        "q_image_thumbnails": _q_image_thumbnails,
     }
 
 

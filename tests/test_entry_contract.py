@@ -23,20 +23,24 @@ def test_queries_oracles_consistent():
     for name in ("q_minhash_lsh", "q_simhash", "q_simhash_pairs", "q_fingerprint",
                  "q_portfolio", "q_embed_near_dup_lsh"):
         assert name in qs and name in oracles
-    # round-6 rotation: the driver verifies the FIRST 50 entries; the
-    # stale-green r2/r3 queries are back in the window, the r5-first-green
-    # entries stay in for a second row, and the rotated-out r4+r5
-    # multi-green entries stay present (full-set local gate covers them)
+    # round-7 rotation: the driver verifies the FIRST 50 entries; the 13
+    # queries with no driver row since r2-r5 are back in the window, the
+    # round-7-touched gates (escape-table mp3 assets, decode_sample
+    # broken-chain fix, LSH persist) stay in, and the rotated-out r5+r6 /
+    # r3+r6 multi-green entries stay present (full-set local gate covers
+    # them)
     in_window = list(qs)[:50]
     for name in (
-        "q_audio_metadata", "q_video_frames",  # new round-6 decode gates
-        "q_page_text", "q_coord_csv", "q_dedup_exact", "q_sample_stratified",
-        "q_quality_score", "q_simhash", "q_sample_hash", "q_fingerprint",
-        "q_cluster_star", "q_image_thumbnails", "q_embed_near_dup_lsh",
+        "q_audio_metadata", "q_video_frames", "q_embed_near_dup_lsh",
+        "q_ann_lsh", "q_ann_ivf", "q_ann_topk", "q_embed_near_dup",
+        "q_events_hourly", "q_sessionize", "q_pricing_summary",
+        "q_top_customers", "q_cell_density", "q_tile_assignment",
+        "q_knn_gauges_cells", "q_ngram_jaccard_capped",
+        "q_dedup_clusters_star",
     ):
         assert name in in_window
-    for name in ("q_events_hourly", "q_ann_topk", "q_embed_near_dup"):
-        assert name in qs
+    for name in ("q_page_text", "q_image_thumbnails", "q_geojson"):
+        assert name in qs  # rotated out but still present + locally gated
 
 
 def test_entry_smoke(spark):
