@@ -1782,6 +1782,35 @@ def decode_h264_annexb(data: bytes):
     return decode_nals(split_annexb(data))
 
 
+def decode_h264_annexb_stream(data: bytes) -> list:
+    """Full Annex-B elementary stream → list of (Y, U, V) planes, one per
+    access unit, through the stateful DPB decoder (7.4.1.2.4 subset: a new
+    AU starts at a slice NAL with first_mb_in_slice == 0; non-VCL NALs
+    attach to the following AU). This is the entry point for real `.h264`
+    files (e.g. a system encoder's output in the external differential)."""
+    dec = H264StreamDecoder()
+    frames: list = []
+    au: list[bytes] = []
+    has_slice = False
+    for nal in split_annexb(data):
+        if not nal:
+            continue
+        ntype = nal[0] & 0x1F
+        if ntype in (1, 5):
+            peek = _BitReader(_strip_emulation(nal[1:]))
+            first_mb = peek.ue()
+            if first_mb == 0 and has_slice:
+                frames.append(dec.decode_nals(au))
+                au, has_slice = [], False
+            has_slice = True
+        au.append(nal)
+    if has_slice:
+        frames.append(dec.decode_nals(au))
+    elif au:
+        raise ValueError("no coded slice in H.264 payload")
+    return frames
+
+
 def decode_h264_sample(sample: bytes, avcc: dict):
     """MP4 length-prefixed sample + parsed avcC config → (Y, U, V)."""
     sps_map, pps_map = {}, {}

@@ -492,3 +492,25 @@ def test_p_stream_mutation_fuzz_never_crashes():
                 errored += 1
     assert decoded + errored == 800
     assert errored > 0
+
+
+def test_annexb_stream_decoder_multi_au():
+    """decode_h264_annexb_stream: a full elementary stream (SPS/PPS + five
+    AUs, IPP with a mid-GOP IDR, then a 2-slice variant) splits into access
+    units on first_mb_in_slice == 0 and reproduces the encoder recons
+    bit-exactly through the DPB path."""
+    for gop, n_slices in [("ipp", 1), ("all-idr", 2)]:
+        frames = _mk_gop(5, 32, 48, "pan", seed=41)
+        out = H.encode_h264_frames(frames, qp=28, gop=gop, idr_every=3,
+                                   n_slices=n_slices)
+        sc = b"\x00\x00\x00\x01"
+        annexb = sc + out["sps"] + sc + out["pps"] + b"".join(
+            sc + n for s in out["samples"] for n in s)
+        got = H.decode_h264_annexb_stream(annexb)
+        assert len(got) == 5
+        for (ay, au, av), (ry, ru, rv) in zip(got, out["recons"]):
+            assert np.array_equal(ay, ry)
+            assert np.array_equal(au, ru)
+            assert np.array_equal(av, rv)
+    with pytest.raises(ValueError):
+        H.decode_h264_annexb_stream(sc + out["sps"] + sc + out["pps"])
