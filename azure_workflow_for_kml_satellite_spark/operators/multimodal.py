@@ -158,42 +158,35 @@ def cost_scatter(
     bin_col: str = "payload",
     parts: int | None = None,
 ) -> DataFrame:
-    """Cost-aware scatter for heavy-tailed per-asset decode stages (round-7
-    fix for the image-stage straggler grain, measured 0.68-0.71 N→4N
-    efficiency in scripts/bench_multimodal_scaling vs 0.92+ for audio/
-    video): one animated WebP costs ~100x a small PNG, so round-robin or
-    plain hash partitioning leaves whichever task drew two heavies as the
-    stage tail.
+    """Cost-balancing scatter for heavy-tailed per-asset decode stages
+    (round-7 fix for the image-stage straggler grain, measured 0.68-0.71
+    N→4N efficiency in scripts/bench_multimodal_scaling vs 0.92+ for
+    audio/video): one animated WebP costs ~100x a small PNG, so hash
+    partitioning leaves whichever task drew two heavies as the stage tail
+    (balls-in-bins: collisions are expected once heavies ~ partitions).
 
-    Shape: range-partition on (cost_class DESC, xxhash64(id)) at grain
-    ``8 x defaultParallelism``. The range partitioner (sample + shuffle —
-    the TeraSort pattern, no global sort, no driver collect) gives the
-    heaviest cost class its own partition span spread by hash, so heavies
-    land one-ish per partition AND occupy the lowest partition indices —
-    Spark launches tasks in index order, so the long tasks start first
-    and the light ones backfill the tail (the classic LPT approximation).
-    Cost proxy is pure JVM: payload byte length times a container-kind
-    weight (animated-capable RIFF/GIF containers decode many frames per
-    byte). Grain scales with parallelism — a fixed fine grain costs
-    absolute throughput at low core counts (round-6 measurement)."""
+    Shape: CYCLIC (round-robin) repartition at grain
+    ``8 x defaultParallelism`` — one shuffle, no sampling pass, exactly
+    even row counts, and same-kind assets (contiguous in any realistic
+    source layout: parquet files clustered by kind, or a replicated
+    asset expanded rep-by-rep) land at most ceil(H/n) per partition, the
+    optimum a row-atomic scatter can achieve. Every task then carries
+    ~the same heavy/light mix, so no LPT launch ordering is needed.
+
+    A first attempt range-partitioned on (cost_class DESC, xxhash) — the
+    TeraSort pattern. Measured 0.335 efficiency and -35% absolute
+    throughput: range partitioning equalizes row COUNT, so the whole
+    heavy class packed into the first few partitions together, and the
+    range sampler added a second full scan of the binary payloads.
+    Kept here as a warning, not a pattern.
+
+    Residual caveat (documented, accepted): a source ordering where
+    heavies recur exactly every-n rows in phase with the cycle would
+    re-concentrate them; no natural layout does this, and the failure
+    mode is the pre-fix hash-scatter behavior, not a new one."""
     spark = df.sparkSession
     n = parts or 8 * spark.sparkContext.defaultParallelism
-    magic = f"substring({bin_col}, 1, 4)"
-    kind_w = (
-        F.when(F.expr(f"{magic} = X'52494646'"), F.lit(4.0))  # RIFF (WebP/AVI)
-        .when(F.expr(f"{magic} = X'47494638'"), F.lit(4.0))  # GIF8
-        .otherwise(F.lit(1.0))
-    )
-    out = (
-        df.withColumn(
-            "__cost_class",
-            F.floor(F.log2(F.length(bin_col).cast("double") * kind_w + 2.0)),
-        )
-        .withColumn("__scatter", F.xxhash64(F.col(id_col)))
-        .repartitionByRange(n, F.desc("__cost_class"), F.col("__scatter"))
-        .drop("__cost_class", "__scatter")
-    )
-    return out
+    return df.repartition(n)
 
 
 def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payload") -> DataFrame:
