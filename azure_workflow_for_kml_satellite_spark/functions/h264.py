@@ -22,17 +22,26 @@ Scope (honest, documented):
   transforms (4x4 core, 4x4 luma-DC Hadamard, 2x2 chroma-DC), and the
   full in-loop deblocking filter with per-edge-segment boundary
   strengths (intra / coded-residual / ref- or MV-difference, 8.7.2.1).
+- **Decoded (round 7)**: CABAC I slices — the full arithmetic decoding
+  engine (functions/cabac.py, structurally validated tables), I-slice
+  binarizations and context modeling (mb_type incl. I_PCM-with-engine-
+  restart, intra pred modes, cbp, mb_qp_delta, coded_block_flag,
+  significance maps, UEG0 levels), multi-slice, strict end_of_slice
+  consumption checks. LIMITED to streams carrying this repo's SEI
+  provenance marker (CABAC_MARKER_UUID): contexts initialize UNIFORMLY,
+  not from the spec's trained (m,n) tables — those ~460x2 constants
+  have no structural validity check and no oracle in this container
+  (the evidence rule that kept mp3.py's escape tables quarantined in
+  round 5), so a foreign Main/High-profile stream would decode
+  plausibly-but-WRONG and is refused with a named error instead. The
+  day a system codec ships, tests/test_external_differentials.py is the
+  upgrade path: validate a spec-init transcription against it, then
+  drop the marker gate.
 - **Rejected with ValueError** (→ per-row decode_error upstream, never a
-  wrong decode): CABAC (entropy_coding_mode_flag=1 — Main/High profile
-  streams), B slices, weighted prediction, reference-list modification,
+  wrong decode): CABAC P/B slices and foreign (unmarked) CABAC streams
+  (above), B slices, weighted prediction, reference-list modification,
   adaptive marking (MMCO), scaling matrices, 8x8 transform, field
   coding, slice groups, non-4:2:0 chroma, SVC/MVC NAL types.
-  CABAC is deferred on the same evidence rule that kept mp3.py's
-  256-entry escape code tables out: its ~460x2 context-initialization
-  constants are arbitrary values with no structural validity check and
-  no oracle in this container to verify a transcription against — a
-  silent mis-transcription would decode plausible-but-wrong pixels,
-  which is worse than an honest per-frame error.
 
 Validation tiers (this container has NO H.264 codec binary or library to
 differential against — filesystem-scanned; the libwebp used for the VP8
@@ -83,7 +92,24 @@ from azure_workflow_for_kml_satellite_spark.functions.h264_tables import (
     pos_class,
 )
 
+from azure_workflow_for_kml_satellite_spark.functions.cabac import (
+    CabacContexts,
+    CabacDecoder,
+    CabacEncoder,
+)
+
 _MAX_LUMA_SAMPLES = 1 << 22  # same time/memory decode budget as vp8/vp8l
+
+# CABAC context numbering (spec clause 9.3.3.1): sig/last/abs ctx offsets
+# per ctxBlockCat 0..4 (Intra16x16DC, Intra16x16AC, LumaLevel4x4,
+# ChromaDC, ChromaAC); frame coding only (no field tables)
+_SIG_OFF = (0, 15, 29, 44, 47)
+_ABS_OFF = (0, 10, 20, 30, 39)
+
+# SEI user_data_unregistered UUID marking streams produced by this repo's
+# CABAC encoder (uniform context inits — see functions/cabac.py). Foreign
+# CABAC streams are refused instead of being decoded wrongly.
+CABAC_MARKER_UUID = bytes.fromhex("7a77666b73616263b0000000000000c1")
 
 
 def _clip1(v: int) -> int:
@@ -356,8 +382,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     br = _BitReader(rbsp)
     pps_id = br.ue()
     sps_id = br.ue()
-    if br.read(1):
-        raise ValueError("CABAC (entropy_coding_mode_flag=1) unsupported")
+    cabac = br.read(1)  # entropy_coding_mode_flag; I-slice decode staged r7
     bottom_field_poc = br.read(1)
     if br.ue() != 0:
         raise ValueError("slice groups unsupported")
@@ -380,6 +405,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     return {
         "id": pps_id,
         "sps_id": sps_id,
+        "cabac": cabac,
         "bottom_field_poc": bottom_field_poc,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_off": chroma_qp_off,
@@ -894,6 +920,19 @@ class _PictureDecoder:
         self.mv_done = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
         # per-MB deblock params from its slice: (disable_idc, offA, offB)
         self.mb_deblock = [(0, 0, 0)] * n
+        # CABAC context-derivation state (set only by the CABAC parse and
+        # PCM paths; entropy mode is per-PPS so CAVLC neighbours never mix)
+        self.mb_cbp_luma = np.zeros(n, dtype=np.int8)
+        self.mb_cbp_chroma = np.zeros(n, dtype=np.int8)
+        self.mb_chroma_mode = np.zeros(n, dtype=np.int8)
+        self.mb_cbf_dc = np.zeros(n, dtype=bool)  # Intra16x16DCLevel cbf
+        self.mb_cbf_cdc = np.zeros((2, n), dtype=bool)  # ChromaDCLevel cbf
+        # provenance gate: set by _decode_nals_pic when the access unit
+        # carries the in-repo encoder's SEI marker (see functions/cabac.py —
+        # CABAC context inits are uniform, not the spec's unvalidatable
+        # trained tables, so foreign CABAC streams must be refused rather
+        # than decoded wrongly)
+        self.cabac_trusted = False
 
     # — availability helpers (parse order == decode order == raster+blk4) —
 
@@ -1093,6 +1132,42 @@ class _PictureDecoder:
         if mb_addr >= n_mbs:
             raise ValueError("first_mb_in_slice beyond picture")
         deblock_params = (disable_idc, off_a, off_b)
+        if self.pps.get("cabac"):
+            if is_p:
+                raise ValueError(
+                    "CABAC P slices unsupported (I-slice CABAC staged round 7)"
+                )
+            if not self.cabac_trusted:
+                raise ValueError(
+                    "CABAC stream without the in-repo provenance marker: "
+                    "context inits here are uniform, not the spec's trained "
+                    "tables (unvalidatable in this container, see "
+                    "functions/cabac.py) — refusing a likely-wrong decode"
+                )
+            while br.pos % 8:
+                if not br.read(1):
+                    raise ValueError("cabac_alignment_one_bit must be 1")
+            dec = CabacDecoder(br, CabacContexts(qp))
+            dqnz = False
+            while True:
+                if mb_addr >= n_mbs:
+                    raise ValueError("slice overruns picture")
+                if self.mb_decoded[mb_addr]:
+                    raise ValueError("macroblock decoded twice")
+                qp, dqnz = self._decode_mb_cabac(dec, mb_addr, slice_id, qp, dqnz)
+                self.mb_deblock[mb_addr] = deblock_params
+                mb_addr += 1
+                if dec.terminate():  # end_of_slice_flag
+                    break
+            # strict consumption: after the final terminate the decoder's
+            # bit position equals the encoder's flush end (pinned by
+            # tests/test_cabac.py), so only zero pad bits may remain
+            if br.n - br.pos >= 8:
+                raise ValueError("CABAC slice did not consume its payload")
+            while br.pos < br.n:
+                if br.read(1):
+                    raise ValueError("nonzero bit after CABAC slice end")
+            return
         while True:
             if is_p:
                 skip_run = br.ue()
@@ -1232,7 +1307,21 @@ class _PictureDecoder:
                 else:
                     self.chroma_nz[c, cby, cbx] = 0
 
-        # — reconstruction —
+        self._recon_intra_mb(mb_addr, slice_id, is_i16, mode16 if is_i16 else 0,
+                             i4_modes, chroma_mode, qp, dc16, luma_blocks,
+                             chroma_dc, chroma_ac)
+        return qp
+
+    def _recon_intra_mb(self, mb_addr: int, slice_id: int, is_i16: bool,
+                        mode16: int, i4_modes, chroma_mode: int, qp: int,
+                        dc16, luma_blocks, chroma_dc, chroma_ac) -> None:
+        """Shared intra-MB reconstruction (prediction + inverse transforms +
+        plane writes) for the CAVLC and CABAC parse paths — the parsed
+        syntax differs, the sample reconstruction is identical."""
+        mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+        bx0, by0 = mbx * 4, mby * 4
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
         if is_i16:
             availL = self._mb_avail(mbx - 1, mby, slice_id)
             availT = self._mb_avail(mbx, mby - 1, slice_id)
@@ -1305,7 +1394,300 @@ class _PictureDecoder:
                 plane[cy0 + dy * 4 : cy0 + dy * 4 + 4, cx0 + dx * 4 : cx0 + dx * 4 + 4] = out
 
         self.mb_decoded[mb_addr] = True
-        return qp
+
+    # — CABAC I-slice parse (9.3, round-7 staging; P/B CABAC deferred) —
+
+    def _mbtype_i_inc(self, mbx: int, mby: int, slice_id: int) -> int:
+        inc = 0
+        for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+            if self._mb_avail(nx, ny, slice_id):
+                n = ny * self.mbw + nx
+                if not self.mb_is_i4[n]:
+                    inc += 1  # neighbour is I_16x16 / I_PCM
+        return inc
+
+    def _chroma_mode_inc(self, mbx: int, mby: int, slice_id: int) -> int:
+        inc = 0
+        for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+            if self._mb_avail(nx, ny, slice_id):
+                n = ny * self.mbw + nx
+                if not self.mb_is_pcm[n] and self.mb_chroma_mode[n] != 0:
+                    inc += 1
+        return inc
+
+    def _cbp_luma_cond(self, mbx: int, mby: int, k: int, which: int,
+                       partial: int, slice_id: int) -> int:
+        """condTermFlag for coded_block_pattern luma bin k (9.3.3.1.1.4):
+        1 iff the neighbouring 8x8 block exists and its cbp bit is 0.
+        which: 0 = left neighbour, 1 = above. Internal neighbours read the
+        bins already decoded for this macroblock (`partial`)."""
+        if which == 0:
+            if k & 1:
+                return 0 if (partial >> (k - 1)) & 1 else 1
+            nx, ny, nk = mbx - 1, mby, k + 1
+        else:
+            if k & 2:
+                return 0 if (partial >> (k - 2)) & 1 else 1
+            nx, ny, nk = mbx, mby - 1, k + 2
+        if not self._mb_avail(nx, ny, slice_id):
+            return 0
+        n = ny * self.mbw + nx
+        return 0 if (int(self.mb_cbp_luma[n]) >> nk) & 1 else 1
+
+    def _cbp_chroma_cond(self, nx: int, ny: int, slice_id: int, two: bool) -> int:
+        if not self._mb_avail(nx, ny, slice_id):
+            return 0
+        v = int(self.mb_cbp_chroma[ny * self.mbw + nx])
+        return 1 if (v == 2 if two else v != 0) else 0
+
+    def _cbf_inc_mbdc(self, mbx: int, mby: int, slice_id: int) -> int:
+        """coded_block_flag ctxIdxInc for Intra16x16DCLevel (cat 0):
+        unavailable neighbour counts 1 (current MB is intra), I_PCM counts
+        1, an I_4x4 neighbour has no DC element and counts 0."""
+        vals = []
+        for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+            if not self._mb_avail(nx, ny, slice_id):
+                vals.append(1)
+            else:
+                n = ny * self.mbw + nx
+                if self.mb_is_pcm[n]:
+                    vals.append(1)
+                elif self.mb_is_i4[n]:
+                    vals.append(0)
+                else:
+                    vals.append(int(self.mb_cbf_dc[n]))
+        return vals[0] + 2 * vals[1]
+
+    def _cbf_inc_cdc(self, c: int, mbx: int, mby: int, slice_id: int) -> int:
+        vals = []
+        for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+            if not self._mb_avail(nx, ny, slice_id):
+                vals.append(1)
+            else:
+                n = ny * self.mbw + nx
+                vals.append(1 if self.mb_is_pcm[n] else int(self.mb_cbf_cdc[c, n]))
+        return vals[0] + 2 * vals[1]
+
+    def _cbf_inc_luma(self, bx: int, by: int, slice_id: int) -> int:
+        def at(nbx: int, nby: int) -> int:
+            if nbx < 0 or nby < 0 or nbx >= self.mbw * 4 or nby >= self.mbh * 4:
+                return 1  # unavailable; current MB is intra
+            if self.mb_slice[(nby // 4) * self.mbw + (nbx // 4)] != slice_id:
+                return 1
+            v = int(self.luma_nz[nby, nbx])
+            return 1 if v > 0 else (1 if v < 0 else 0)
+
+        return at(bx - 1, by) + 2 * at(bx, by - 1)
+
+    def _cbf_inc_chroma(self, c: int, cbx: int, cby: int, slice_id: int) -> int:
+        def at(nbx: int, nby: int) -> int:
+            if nbx < 0 or nby < 0 or nbx >= self.mbw * 2 or nby >= self.mbh * 2:
+                return 1
+            if self.mb_slice[(nby // 2) * self.mbw + (nbx // 2)] != slice_id:
+                return 1
+            v = int(self.chroma_nz[c, nby, nbx])
+            return 1 if v > 0 else (1 if v < 0 else 0)
+
+        return at(cbx - 1, cby) + 2 * at(cbx, cby - 1)
+
+    def _decode_residual_cabac(self, dec: CabacDecoder, cat: int, inc: int,
+                               max_coeff: int):
+        """One residual block (9.3.3.1.3): coded_block_flag, significance
+        map, then levels in reverse scan order. Returns (zigzag-ordered
+        coefficient list, TotalCoeff, cbf) matching the CAVLC
+        _decode_residual output convention."""
+        coeffs = [0] * max_coeff
+        if not dec.decision(85 + 4 * cat + inc):
+            return coeffs, 0, False
+        sig_base = 105 + _SIG_OFF[cat]
+        last_base = 166 + _SIG_OFF[cat]
+        sig: list[int] = []
+        ended = False
+        for i in range(max_coeff - 1):
+            if dec.decision(sig_base + i):
+                sig.append(i)
+                if dec.decision(last_base + i):
+                    ended = True
+                    break
+        if not ended:
+            sig.append(max_coeff - 1)
+        abs_base = 227 + _ABS_OFF[cat]
+        num_eq1 = num_gt1 = 0
+        for i in reversed(sig):
+            if dec.decision(abs_base + (0 if num_gt1 else min(4, 1 + num_eq1))):
+                # TU prefix continues (shared ctx), EG0 bypass suffix at 14
+                ctx2 = abs_base + 5 + min(4 - (1 if cat == 3 else 0), num_gt1)
+                mag = 1
+                while mag < 14 and dec.decision(ctx2):
+                    mag += 1
+                if mag == 14:
+                    mag += dec.eg_bypass(0)
+                level = mag + 1
+                num_gt1 += 1
+            else:
+                level = 1
+                num_eq1 += 1
+            if dec.bypass():
+                level = -level
+            coeffs[i] = level
+        return coeffs, len(sig), True
+
+    def _decode_mb_cabac(self, dec: CabacDecoder, mb_addr: int, slice_id: int,
+                         qp_prev: int, prev_dqnz: bool):
+        """Parse one I-slice macroblock under CABAC and reconstruct it.
+        Returns (QPY for this MB, mb_qp_delta != 0) — the latter feeds the
+        next MB's mb_qp_delta context."""
+        mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+        self.mb_slice[mb_addr] = slice_id
+        bx0, by0 = mbx * 4, mby * 4
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        self.mv_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        br = dec.br
+
+        is_i16 = False
+        mode16 = 0
+        cbp_luma = cbp_chroma = 0
+        if dec.decision(3 + self._mbtype_i_inc(mbx, mby, slice_id)):
+            if dec.terminate():  # I_PCM (mb_type bin 1 uses ctx 276)
+                while br.pos % 8:
+                    if br.read(1):
+                        raise ValueError("nonzero pcm alignment bit")
+                for yy in range(16):
+                    for xx in range(16):
+                        self.Y[y0 + yy, x0 + xx] = br.read(8)
+                for plane in (self.U, self.V):
+                    for yy in range(8):
+                        for xx in range(8):
+                            plane[cy0 + yy, cx0 + xx] = br.read(8)
+                self.luma_nz[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+                self.chroma_nz[:, cy0 // 4 : cy0 // 4 + 2, cx0 // 4 : cx0 // 4 + 2] = 16
+                self.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+                self.mb_qp[mb_addr] = 0
+                self.mb_is_pcm[mb_addr] = True
+                self.mb_cbp_luma[mb_addr] = 15
+                self.mb_cbp_chroma[mb_addr] = 2
+                self.mb_decoded[mb_addr] = True
+                dec.reinit()  # 9.3.1.2: engine restarts after PCM samples
+                return 0, False
+            is_i16 = True
+            cbp_luma = 15 if dec.decision(6) else 0
+            if dec.decision(7):
+                cbp_chroma = 2 if dec.decision(8) else 1
+            m1 = dec.decision(9)
+            mode16 = 2 * m1 + dec.decision(10)
+
+        i4_modes = None
+        if not is_i16:
+            i4_modes = []
+            for k in range(16):
+                dx, dy = BLK4_POS[k]
+                bx, by = bx0 + dx, by0 + dy
+                pred_mode = min(
+                    self._i4_infer(bx - 1, by, slice_id),
+                    self._i4_infer(bx, by - 1, slice_id),
+                )
+                if dec.decision(68):
+                    mode = pred_mode
+                else:
+                    rem = (
+                        dec.decision(69)
+                        | (dec.decision(69) << 1)
+                        | (dec.decision(69) << 2)
+                    )
+                    mode = rem + (1 if rem >= pred_mode else 0)
+                i4_modes.append(mode)
+                self.i4_modes[by, bx] = mode
+            self.mb_is_i4[mb_addr] = True
+
+        cinc = self._chroma_mode_inc(mbx, mby, slice_id)
+        if not dec.decision(64 + cinc):
+            chroma_mode = 0
+        elif not dec.decision(67):
+            chroma_mode = 1
+        elif not dec.decision(67):
+            chroma_mode = 2
+        else:
+            chroma_mode = 3
+        self.mb_chroma_mode[mb_addr] = chroma_mode
+
+        if not is_i16:
+            for k in range(4):
+                a = self._cbp_luma_cond(mbx, mby, k, 0, cbp_luma, slice_id)
+                b = self._cbp_luma_cond(mbx, mby, k, 1, cbp_luma, slice_id)
+                if dec.decision(73 + a + 2 * b):
+                    cbp_luma |= 1 << k
+            a = self._cbp_chroma_cond(mbx - 1, mby, slice_id, two=False)
+            b = self._cbp_chroma_cond(mbx, mby - 1, slice_id, two=False)
+            if dec.decision(77 + a + 2 * b):
+                a = self._cbp_chroma_cond(mbx - 1, mby, slice_id, two=True)
+                b = self._cbp_chroma_cond(mbx, mby - 1, slice_id, two=True)
+                cbp_chroma = 2 if dec.decision(81 + a + 2 * b) else 1
+        self.mb_cbp_luma[mb_addr] = cbp_luma
+        self.mb_cbp_chroma[mb_addr] = cbp_chroma
+
+        qp = qp_prev
+        dqnz = False
+        if cbp_luma or cbp_chroma or is_i16:
+            if dec.decision(60 + (1 if prev_dqnz else 0)):
+                k = 1
+                if dec.decision(62):
+                    k = 2
+                    while k < 53 and dec.decision(63):
+                        k += 1
+                mapped = k
+            else:
+                mapped = 0
+            delta = (mapped + 1) // 2 if mapped & 1 else -(mapped // 2)
+            if not -26 <= delta <= 25:
+                raise ValueError("mb_qp_delta out of range")
+            qp = (qp_prev + delta + 52) % 52
+            dqnz = delta != 0
+        self.mb_qp[mb_addr] = qp
+
+        dc16 = None
+        if is_i16:
+            inc0 = self._cbf_inc_mbdc(mbx, mby, slice_id)
+            dc16, _tc, cbf = self._decode_residual_cabac(dec, 0, inc0, 16)
+            self.mb_cbf_dc[mb_addr] = cbf
+        luma_blocks: list = [None] * 16
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            bx, by = bx0 + dx, by0 + dy
+            if cbp_luma & (1 << (k // 4)):
+                inc = self._cbf_inc_luma(bx, by, slice_id)
+                coeffs, tc, _cbf = self._decode_residual_cabac(
+                    dec, 1 if is_i16 else 2, inc, 15 if is_i16 else 16
+                )
+                luma_blocks[k] = coeffs
+                self.luma_nz[by, bx] = tc
+            else:
+                self.luma_nz[by, bx] = 0
+        chroma_dc = None
+        chroma_ac: list = [[None] * 4 for _ in range(2)]
+        if cbp_chroma:
+            chroma_dc = []
+            for c in range(2):
+                inc = self._cbf_inc_cdc(c, mbx, mby, slice_id)
+                coeffs, _tc, cbf = self._decode_residual_cabac(dec, 3, inc, 4)
+                chroma_dc.append(coeffs)
+                self.mb_cbf_cdc[c, mb_addr] = cbf
+        for c in range(2):
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                cbx, cby = mbx * 2 + dx, mby * 2 + dy
+                if cbp_chroma == 2:
+                    inc = self._cbf_inc_chroma(c, cbx, cby, slice_id)
+                    coeffs, tc, _cbf = self._decode_residual_cabac(dec, 4, inc, 15)
+                    chroma_ac[c][k] = coeffs
+                    self.chroma_nz[c, cby, cbx] = tc
+                else:
+                    self.chroma_nz[c, cby, cbx] = 0
+
+        self._recon_intra_mb(mb_addr, slice_id, is_i16, mode16, i4_modes,
+                             chroma_mode, qp, dc16, luma_blocks, chroma_dc,
+                             chroma_ac)
+        return qp, dqnz
 
     def _decode_skip_mb(self, mb_addr: int, slice_id: int, qp_prev: int) -> int:
         """P_Skip: prediction-only 16x16 from ref 0 at the skip MV."""
@@ -1671,10 +2053,41 @@ def decode_nals(nals: list[bytes], sps_map=None, pps_map=None, refs=None):
     return pic.output()
 
 
+def _sei_has_cabac_marker(rbsp: bytes) -> bool:
+    """Scan an SEI RBSP for the user_data_unregistered (payload type 5)
+    message carrying CABAC_MARKER_UUID (7.3.2.3.1)."""
+    i = 0
+    n = len(rbsp)
+    while i < n and rbsp[i] != 0x80:  # until rbsp_trailing stop byte
+        ptype = 0
+        while i < n and rbsp[i] == 0xFF:
+            ptype += 255
+            i += 1
+        if i >= n:
+            return False
+        ptype += rbsp[i]
+        i += 1
+        psize = 0
+        while i < n and rbsp[i] == 0xFF:
+            psize += 255
+            i += 1
+        if i >= n:
+            return False
+        psize += rbsp[i]
+        i += 1
+        if i + psize > n:
+            return False
+        if ptype == 5 and psize >= 16 and rbsp[i : i + 16] == CABAC_MARKER_UUID:
+            return True
+        i += psize
+    return False
+
+
 def _decode_nals_pic(nals, sps_map, pps_map, refs):
     pic: _PictureDecoder | None = None
     slice_id = 0
     is_idr = False
+    cabac_trusted = False
     for nal in nals:
         if not nal:
             continue
@@ -1706,11 +2119,15 @@ def _decode_nals_pic(nals, sps_map, pps_map, refs):
                 pic = _PictureDecoder(
                     sps_map[pps["sps_id"]], pps, refs=[] if is_idr else refs
                 )
+                pic.cabac_trusted = cabac_trusted
             pic.decode_slice(rbsp, ntype, slice_id, ref_idc)
             slice_id += 1
+        elif ntype == 6:
+            if _sei_has_cabac_marker(rbsp):
+                cabac_trusted = True
         elif ntype in _UNSUPPORTED_NAL:
             raise ValueError(f"unsupported NAL type {ntype} ({_UNSUPPORTED_NAL[ntype]})")
-        # SEI (6), AUD (9), end-of-seq/stream (10, 11), filler (12): skipped
+        # AUD (9), end-of-seq/stream (10, 11), filler (12): skipped
     if pic is None:
         raise ValueError("no coded slice in H.264 payload")
     return pic, is_idr
@@ -1791,6 +2208,7 @@ def decode_h264_annexb_stream(data: bytes) -> list:
     dec = H264StreamDecoder()
     frames: list = []
     au: list[bytes] = []
+    pending: list[bytes] = []  # non-VCL NALs attach to the FOLLOWING slice
     has_slice = False
     for nal in split_annexb(data):
         if not nal:
@@ -1803,10 +2221,14 @@ def decode_h264_annexb_stream(data: bytes) -> list:
                 frames.append(dec.decode_nals(au))
                 au, has_slice = [], False
             has_slice = True
-        au.append(nal)
+            au.extend(pending)
+            pending = []
+            au.append(nal)
+        else:
+            pending.append(nal)
     if has_slice:
-        frames.append(dec.decode_nals(au))
-    elif au:
+        frames.append(dec.decode_nals(au + pending))
+    elif au or pending:
         raise ValueError("no coded slice in H.264 payload")
     return frames
 
@@ -2000,11 +2422,19 @@ def _write_sps(width_mbs: int, height_mbs: int, crop: tuple,
     return bw.tobytes()
 
 
-def _write_pps(pic_init_qp: int, chroma_qp_off: int) -> bytes:
+def _write_sei_cabac_marker() -> bytes:
+    """SEI NAL (user_data_unregistered) carrying the provenance UUID that
+    unlocks CABAC decode — see CABAC_MARKER_UUID and functions/cabac.py."""
+    payload = CABAC_MARKER_UUID + b"uniform-cabac-inits"
+    body = bytes([5, len(payload)]) + payload + b"\x80"
+    return b"\x06" + _add_emulation(body)
+
+
+def _write_pps(pic_init_qp: int, chroma_qp_off: int, cabac: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)  # pps_id
     bw.ue(0)  # sps_id
-    bw.write(0, 1)  # entropy_coding_mode: CAVLC
+    bw.write(1 if cabac else 0, 1)  # entropy_coding_mode
     bw.write(0, 1)  # bottom_field_pic_order_in_frame_present
     bw.ue(0)  # num_slice_groups_minus1
     bw.ue(0)  # num_ref_idx_l0_active_minus1
@@ -2024,8 +2454,14 @@ def _write_pps(pic_init_qp: int, chroma_qp_off: int) -> bytes:
 # — macroblock encoding —
 
 
-def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
-               qp_prev: int, src, opts: dict, is_p: bool = False) -> int:
+def _compute_intra_mb(st: _PictureDecoder, mb_addr: int, slice_id: int,
+                      qp_prev: int, src, opts: dict) -> dict:
+    """Mode selection + transform/quant + reconstruction for one intra
+    macroblock, with NO bits written: returns the MBData dict that the
+    CAVLC (_serialize_mb_cavlc) and CABAC (_serialize_mb_cabac)
+    serializers consume. All decoder-visible state (recon planes, nz
+    bookkeeping, per-MB arrays) is owned here so both entropy coders
+    produce bit-exactly the reconstruction the decoder must reproduce."""
     src_y, src_u, src_v = src
     mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
     st.mb_slice[mb_addr] = slice_id
@@ -2034,21 +2470,10 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
     cx0, cy0 = mbx * 8, mby * 8
     seed = opts.get("seed", 0)
     h = _det_hash(seed, mb_addr)
-    i_ofs = 5 if is_p else 0  # intra mb_type offset inside P slices
-    # intra blocks are MV-pred-available with mv 0 / ref -1 (mirror decoder)
     st.mv_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
 
     pcm_every = opts.get("pcm_every", 0)
     if pcm_every and mb_addr % pcm_every == pcm_every - 1:
-        bw.ue(25 + i_ofs)  # I_PCM
-        bw.bits.append("0" * ((8 - sum(len(b) for b in bw.bits) % 8) % 8))
-        for yy in range(16):
-            for xx in range(16):
-                bw.write(int(src_y[y0 + yy, x0 + xx]), 8)
-        for plane in (src_u, src_v):
-            for yy in range(8):
-                for xx in range(8):
-                    bw.write(int(plane[cy0 + yy, cx0 + xx]), 8)
         st.Y[y0 : y0 + 16, x0 : x0 + 16] = src_y[y0 : y0 + 16, x0 : x0 + 16]
         st.U[cy0 : cy0 + 8, cx0 : cx0 + 8] = src_u[cy0 : cy0 + 8, cx0 : cx0 + 8]
         st.V[cy0 : cy0 + 8, cx0 : cx0 + 8] = src_v[cy0 : cy0 + 8, cx0 : cx0 + 8]
@@ -2057,9 +2482,19 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
         st.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
         st.mb_qp[mb_addr] = 0
         st.mb_is_pcm[mb_addr] = True
+        st.mb_cbp_luma[mb_addr] = 15
+        st.mb_cbp_chroma[mb_addr] = 2
         st.mb_decoded[mb_addr] = True
         st.mb_deblock[mb_addr] = opts["deblock_params"]
-        return 0
+        return {
+            "kind": "pcm",
+            "pcm": (
+                st.Y[y0 : y0 + 16, x0 : x0 + 16].copy(),
+                st.U[cy0 : cy0 + 8, cx0 : cx0 + 8].copy(),
+                st.V[cy0 : cy0 + 8, cx0 : cx0 + 8].copy(),
+            ),
+            "qp_out": 0,  # QPY,prev after an I_PCM macroblock is 0
+        }
 
     jitter = opts.get("qp_jitter", 0)
     qp_mb = _clip3(0, 51, opts["qp"] + ((h % (2 * jitter + 1)) - jitter if jitter else 0))
@@ -2070,6 +2505,11 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
     availT = st._mb_avail(mbx, mby - 1, slice_id)
     use_i16 = (h >> 8) % 5 < 2 if opts.get("mb_policy") is None else opts["mb_policy"](mbx, mby)
 
+    mode16 = 0
+    dc16 = None
+    acs = [None] * 16
+    i4 = []
+    i4_coeffs = [None] * 16
     if use_i16:
         modes = [2] + ([0] if availT else []) + ([1] if availL else [])
         if availT and availL:
@@ -2081,7 +2521,6 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
         pred = _pred16x16(mode16, top, left, corner, availT, availL)
         res = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred
         dc = np.zeros((4, 4), dtype=np.int64)
-        acs = [None] * 16
         any_ac = False
         for k in range(16):
             dx, dy = BLK4_POS[k]
@@ -2095,9 +2534,29 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
         dc16 = [dc_lvl[ZIGZAG_4x4[idx] >> 2][ZIGZAG_4x4[idx] & 3] for idx in range(16)]
         cbp_luma = 15 if any_ac else 0
     else:
-        i4_modes = [0] * 16
-        i4_coeffs = [None] * 16
         cbp_luma = 0
+        # choose the 16 intra4x4 modes first (prediction-mode inference
+        # order), then compute residual + recon in the same pass order
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            bx, by = bx0 + dx, by0 + dy
+            aT = st._blk_recon_avail(bx, by - 1, slice_id) or (dy > 0)
+            aL = st._blk_recon_avail(bx - 1, by, slice_id) or (dx > 0)
+            aC = (aT and aL) and (
+                st._blk_recon_avail(bx - 1, by - 1, slice_id) or (dx > 0 and dy > 0)
+            )
+            cand = [2]
+            if aT:
+                cand += [0, 3, 7]
+            if aL:
+                cand += [1, 8]
+            if aC:
+                cand += [4, 5, 6]
+            mode = cand[_det_hash(seed, mb_addr, 77, k) % len(cand)]
+            pm = min(st._i4_infer(bx - 1, by, slice_id), st._i4_infer(bx, by - 1, slice_id))
+            st.i4_modes[by, bx] = mode
+            i4.append((mode, pm))
+        st.mb_is_i4[mb_addr] = True
 
     # chroma decision (needed before mb_type for I16)
     cmodes = [0] + ([1] if availL else []) + ([2] if availT else [])
@@ -2130,46 +2589,7 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
         c_dc_lvl.append(lv)
         any_cdc = any_cdc or any(lv)
     cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
-
-    # — syntax: mb_type / pred modes —
-    if use_i16:
-        bw.ue(1 + mode16 + 4 * cbp_chroma + (12 if cbp_luma else 0) + i_ofs)
-        st.mb_is_i4[mb_addr] = False
-    else:
-        bw.ue(0 + i_ofs)
-        st.mb_is_i4[mb_addr] = True
-        # choose + write the 16 intra4x4 modes; recon happens below in the
-        # same pass since prediction needs reconstructed neighbours
-    if not use_i16:
-        # first pass: choose modes, write bits, remember choices; the
-        # residual+recon pass follows the exact decoder order
-        pend = []
-        for k in range(16):
-            dx, dy = BLK4_POS[k]
-            bx, by = bx0 + dx, by0 + dy
-            aT = st._blk_recon_avail(bx, by - 1, slice_id) or (dy > 0)
-            aL = st._blk_recon_avail(bx - 1, by, slice_id) or (dx > 0)
-            aC = (aT and aL) and (
-                st._blk_recon_avail(bx - 1, by - 1, slice_id) or (dx > 0 and dy > 0)
-            )
-            cand = [2]
-            if aT:
-                cand += [0, 3, 7]
-            if aL:
-                cand += [1, 8]
-            if aC:
-                cand += [4, 5, 6]
-            mode = cand[_det_hash(seed, mb_addr, 77, k) % len(cand)]
-            pm = min(st._i4_infer(bx - 1, by, slice_id), st._i4_infer(bx, by - 1, slice_id))
-            if mode == pm:
-                bw.write(1, 1)
-            else:
-                bw.write(0, 1)
-                bw.write(mode - (1 if mode > pm else 0), 3)
-            st.i4_modes[by, bx] = mode
-            i4_modes[k] = mode
-            pend.append(mode)
-    bw.ue(chroma_mode)
+    st.mb_chroma_mode[mb_addr] = chroma_mode
 
     # — I4x4 residual computation (prediction from recon, decoder order) —
     if not use_i16:
@@ -2191,7 +2611,7 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
             else:
                 top = None
             corner = int(st.Y[py - 1, px - 1]) if aC else 0
-            pred = _pred4x4(i4_modes[k], top, left, corner, aT, aL)
+            pred = _pred4x4(i4[k][0], top, left, corner, aT, aL)
             res = src_y[py : py + 4, px : px + 4].astype(np.int64) - pred
             coeffs = _quant_block_zigzag(_fdct4x4(res), qp_mb, 0)
             i4_coeffs[k] = coeffs
@@ -2203,33 +2623,30 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
             st.Y[py : py + 4, px : px + 4] = out
             st.blk_done[by, bx] = True
         cbp_luma = sum(1 << i for i in range(4) if any_per_8x8[i])
-        bw.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
 
     has_residual = bool(cbp_luma or cbp_chroma or use_i16)
     if has_residual:
         delta = qp_mb - qp_prev
         if not -26 <= delta <= 25:
             raise ValueError("encoder qp jump too large")
-        bw.se(delta)
         qp_out = qp_mb
     else:
+        delta = 0
         qp_out = qp_prev
         qp_mb = qp_prev  # nothing coded; MB inherits qp_prev (deblock uses it)
     st.mb_qp[mb_addr] = qp_mb
+    st.mb_cbp_luma[mb_addr] = cbp_luma
+    st.mb_cbp_chroma[mb_addr] = cbp_chroma
 
-    # — residual syntax + I16 recon —
+    # — nz bookkeeping + I16/chroma recon (decoder-identical values) —
     if use_i16:
-        nC = st._nc_luma(bx0, by0, slice_id)
-        _write_residual(bw, dc16, 16, nC)
         for k in range(16):
             dx, dy = BLK4_POS[k]
             bx, by = bx0 + dx, by0 + dy
-            if cbp_luma:
-                nC = st._nc_luma(bx, by, slice_id)
-                tc = _write_residual(bw, acs[k], 15, nC)
-                st.luma_nz[by, bx] = tc
-            else:
-                st.luma_nz[by, bx] = 0
+            st.luma_nz[by, bx] = (
+                sum(1 for v in acs[k] if v) if cbp_luma else 0
+            )
+        st.mb_cbf_dc[mb_addr] = any(dc16)
         dcm = [[0] * 4 for _ in range(4)]
         for idx in range(16):
             r = ZIGZAG_4x4[idx]
@@ -2247,19 +2664,13 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
         for k in range(16):
             dx, dy = BLK4_POS[k]
             bx, by = bx0 + dx, by0 + dy
-            if cbp_luma & (1 << (k // 4)):
-                nC = st._nc_luma(bx, by, slice_id)
-                tc = _write_residual(bw, i4_coeffs[k], 16, nC)
-                st.luma_nz[by, bx] = tc
-            else:
-                st.luma_nz[by, bx] = 0
-        # recon already done above; if qp changed to qp_prev (no residual),
-        # recon is pure prediction and unaffected by qp
+            st.luma_nz[by, bx] = (
+                sum(1 for v in i4_coeffs[k] if v) if cbp_luma & (1 << (k // 4)) else 0
+            )
 
     qpc = CHROMA_QP[_clip3(0, 51, qp_mb + st.pps["chroma_qp_off"])]
-    if cbp_chroma:
-        for c in range(2):
-            _write_residual(bw, c_dc_lvl[c], 4, -1)
+    for c in range(2):
+        st.mb_cbf_cdc[c, mb_addr] = bool(cbp_chroma) and any(c_dc_lvl[c])
     for c, plane in ((0, st.U), (1, st.V)):
         dcq = (
             _chroma_dc_transform(c_dc_lvl[c], qpc) if cbp_chroma else [0, 0, 0, 0]
@@ -2268,9 +2679,7 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
             dx, dy = _CBLK_POS[k]
             cbx, cby = mbx * 2 + dx, mby * 2 + dy
             if cbp_chroma == 2:
-                nC = st._nc_chroma(c, cbx, cby, slice_id)
-                tc = _write_residual(bw, c_acs[c][k], 15, nC)
-                st.chroma_nz[c, cby, cbx] = tc
+                st.chroma_nz[c, cby, cbx] = sum(1 for v in c_acs[c][k] if v)
             else:
                 st.chroma_nz[c, cby, cbx] = 0
             block16 = [0] + (c_acs[c][k] if cbp_chroma == 2 else [0] * 15)
@@ -2282,7 +2691,238 @@ def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
 
     st.mb_decoded[mb_addr] = True
     st.mb_deblock[mb_addr] = opts["deblock_params"]
-    return qp_out
+    return {
+        "kind": "i16" if use_i16 else "i4",
+        "mode16": mode16,
+        "i4": i4,
+        "chroma_mode": chroma_mode,
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_chroma,
+        "has_residual": has_residual,
+        "delta": delta,
+        "qp_out": qp_out,
+        "dc16": dc16,
+        "acs": acs,
+        "i4_coeffs": i4_coeffs,
+        "c_dc_lvl": c_dc_lvl,
+        "c_acs": c_acs,
+    }
+
+
+def _serialize_mb_cavlc(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
+                        slice_id: int, md: dict, i_ofs: int) -> None:
+    """Emit one computed intra macroblock in CAVLC bit order (the original
+    _encode_mb order, now fed from the MBData dict)."""
+    mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
+    bx0, by0 = mbx * 4, mby * 4
+    if md["kind"] == "pcm":
+        bw.ue(25 + i_ofs)
+        bw.bits.append("0" * ((8 - sum(len(b) for b in bw.bits) % 8) % 8))
+        py, pu, pv = md["pcm"]
+        for yy in range(16):
+            for xx in range(16):
+                bw.write(int(py[yy, xx]), 8)
+        for plane in (pu, pv):
+            for yy in range(8):
+                for xx in range(8):
+                    bw.write(int(plane[yy, xx]), 8)
+        return
+    is_i16 = md["kind"] == "i16"
+    cbp_luma, cbp_chroma = md["cbp_luma"], md["cbp_chroma"]
+    if is_i16:
+        bw.ue(1 + md["mode16"] + 4 * cbp_chroma + (12 if cbp_luma else 0) + i_ofs)
+    else:
+        bw.ue(0 + i_ofs)
+        for mode, pm in md["i4"]:
+            if mode == pm:
+                bw.write(1, 1)
+            else:
+                bw.write(0, 1)
+                bw.write(mode - (1 if mode > pm else 0), 3)
+    bw.ue(md["chroma_mode"])
+    if not is_i16:
+        bw.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
+    if md["has_residual"]:
+        bw.se(md["delta"])
+    qp_mb = st.mb_qp[mb_addr]
+    if is_i16:
+        nC = st._nc_luma(bx0, by0, slice_id)
+        _write_residual(bw, md["dc16"], 16, nC)
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            if cbp_luma:
+                nC = st._nc_luma(bx0 + dx, by0 + dy, slice_id)
+                _write_residual(bw, md["acs"][k], 15, nC)
+    else:
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            if cbp_luma & (1 << (k // 4)):
+                nC = st._nc_luma(bx0 + dx, by0 + dy, slice_id)
+                _write_residual(bw, md["i4_coeffs"][k], 16, nC)
+    if cbp_chroma:
+        for c in range(2):
+            _write_residual(bw, md["c_dc_lvl"][c], 4, -1)
+    if cbp_chroma == 2:
+        for c in range(2):
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                nC = st._nc_chroma(c, mbx * 2 + dx, mby * 2 + dy, slice_id)
+                _write_residual(bw, md["c_acs"][c][k], 15, nC)
+
+
+def _encode_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int, slice_id: int,
+               qp_prev: int, src, opts: dict, is_p: bool = False) -> int:
+    md = _compute_intra_mb(st, mb_addr, slice_id, qp_prev, src, opts)
+    _serialize_mb_cavlc(st, bw, mb_addr, slice_id, md, 5 if is_p else 0)
+    return md["qp_out"]
+
+
+def _serialize_residual_cabac(cab: CabacEncoder, cat: int, inc: int,
+                              coeffs, max_coeff: int) -> None:
+    """Mirror of _PictureDecoder._decode_residual_cabac (9.3.3.1.3)."""
+    sig = [i for i in range(max_coeff) if coeffs[i]]
+    cab.decision(85 + 4 * cat + inc, 1 if sig else 0)
+    if not sig:
+        return
+    sig_base = 105 + _SIG_OFF[cat]
+    last_base = 166 + _SIG_OFF[cat]
+    last = sig[-1]
+    sigset = set(sig)
+    for i in range(max_coeff - 1):
+        s = 1 if i in sigset else 0
+        cab.decision(sig_base + i, s)
+        if s:
+            cab.decision(last_base + i, 1 if i == last else 0)
+            if i == last:
+                break
+    abs_base = 227 + _ABS_OFF[cat]
+    num_eq1 = num_gt1 = 0
+    for i in reversed(sig):
+        level = coeffs[i]
+        mag = abs(level) - 1  # coeff_abs_level_minus1
+        cab.decision(abs_base + (0 if num_gt1 else min(4, 1 + num_eq1)),
+                     1 if mag > 0 else 0)
+        if mag > 0:
+            ctx2 = abs_base + 5 + min(4 - (1 if cat == 3 else 0), num_gt1)
+            for _ in range(min(mag, 14) - 1):
+                cab.decision(ctx2, 1)
+            if mag < 14:
+                cab.decision(ctx2, 0)
+            else:
+                cab.eg_bypass(0, mag - 14)
+            num_gt1 += 1
+        else:
+            num_eq1 += 1
+        cab.bypass(1 if level < 0 else 0)
+
+
+def _serialize_mb_cabac(st: _PictureDecoder, cab: CabacEncoder, mb_addr: int,
+                        slice_id: int, md: dict, prev_dqnz: bool) -> bool:
+    """Emit one computed intra macroblock through the CABAC encoder,
+    mirroring _PictureDecoder._decode_mb_cabac bin for bin. Returns
+    mb_qp_delta != 0 (feeds the next MB's mb_qp_delta context)."""
+    mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
+    bx0, by0 = mbx * 4, mby * 4
+    inc = st._mbtype_i_inc(mbx, mby, slice_id)
+    if md["kind"] == "pcm":
+        cab.decision(3 + inc, 1)
+        cab.terminate(1)  # mb_type bin 1: I_PCM (flushes the engine)
+        bw = cab.sink
+        bw.bits.append("0" * ((8 - sum(len(b) for b in bw.bits) % 8) % 8))
+        py, pu, pv = md["pcm"]
+        for yy in range(16):
+            for xx in range(16):
+                bw.write(int(py[yy, xx]), 8)
+        for plane in (pu, pv):
+            for yy in range(8):
+                for xx in range(8):
+                    bw.write(int(plane[yy, xx]), 8)
+        cab.restart()  # 9.3.1.2: engine re-init after PCM samples
+        return False
+    is_i16 = md["kind"] == "i16"
+    cbp_luma, cbp_chroma = md["cbp_luma"], md["cbp_chroma"]
+    if is_i16:
+        cab.decision(3 + inc, 1)
+        cab.terminate(0)
+        cab.decision(6, 1 if cbp_luma else 0)
+        cab.decision(7, 1 if cbp_chroma else 0)
+        if cbp_chroma:
+            cab.decision(8, 1 if cbp_chroma == 2 else 0)
+        cab.decision(9, md["mode16"] >> 1)
+        cab.decision(10, md["mode16"] & 1)
+    else:
+        cab.decision(3 + inc, 0)
+        for mode, pm in md["i4"]:
+            if mode == pm:
+                cab.decision(68, 1)
+            else:
+                cab.decision(68, 0)
+                rem = mode - (1 if mode > pm else 0)
+                cab.decision(69, rem & 1)
+                cab.decision(69, (rem >> 1) & 1)
+                cab.decision(69, (rem >> 2) & 1)
+    cinc = st._chroma_mode_inc(mbx, mby, slice_id)
+    cm = md["chroma_mode"]
+    cab.decision(64 + cinc, 1 if cm > 0 else 0)
+    if cm > 0:
+        cab.decision(67, 1 if cm > 1 else 0)
+        if cm > 1:
+            cab.decision(67, 1 if cm > 2 else 0)
+    if not is_i16:
+        partial = 0
+        for k in range(4):
+            a = st._cbp_luma_cond(mbx, mby, k, 0, partial, slice_id)
+            b = st._cbp_luma_cond(mbx, mby, k, 1, partial, slice_id)
+            bit = (cbp_luma >> k) & 1
+            cab.decision(73 + a + 2 * b, bit)
+            partial |= bit << k
+        a = st._cbp_chroma_cond(mbx - 1, mby, slice_id, two=False)
+        b = st._cbp_chroma_cond(mbx, mby - 1, slice_id, two=False)
+        cab.decision(77 + a + 2 * b, 1 if cbp_chroma else 0)
+        if cbp_chroma:
+            a = st._cbp_chroma_cond(mbx - 1, mby, slice_id, two=True)
+            b = st._cbp_chroma_cond(mbx, mby - 1, slice_id, two=True)
+            cab.decision(81 + a + 2 * b, 1 if cbp_chroma == 2 else 0)
+    dqnz = False
+    if md["has_residual"]:
+        delta = md["delta"]
+        mapped = 2 * delta - 1 if delta > 0 else -2 * delta
+        cab.decision(60 + (1 if prev_dqnz else 0), 1 if mapped else 0)
+        if mapped:
+            cab.decision(62, 1 if mapped > 1 else 0)
+            for _ in range(mapped - 2):
+                cab.decision(63, 1)
+            if mapped > 1:
+                cab.decision(63, 0)
+        dqnz = delta != 0
+    if is_i16:
+        inc0 = st._cbf_inc_mbdc(mbx, mby, slice_id)
+        _serialize_residual_cabac(cab, 0, inc0, md["dc16"], 16)
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            if cbp_luma:
+                inc = st._cbf_inc_luma(bx0 + dx, by0 + dy, slice_id)
+                _serialize_residual_cabac(cab, 1, inc, md["acs"][k], 15)
+    else:
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            if cbp_luma & (1 << (k // 4)):
+                inc = st._cbf_inc_luma(bx0 + dx, by0 + dy, slice_id)
+                _serialize_residual_cabac(cab, 2, inc, md["i4_coeffs"][k], 16)
+    if cbp_chroma:
+        for c in range(2):
+            inc = st._cbf_inc_cdc(c, mbx, mby, slice_id)
+            _serialize_residual_cabac(cab, 3, inc, md["c_dc_lvl"][c], 4)
+    if cbp_chroma == 2:
+        for c in range(2):
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                inc = st._cbf_inc_chroma(c, mbx * 2 + dx, mby * 2 + dy, slice_id)
+                _serialize_residual_cabac(cab, 4, inc, md["c_acs"][c][k], 15)
+    return dqnz
+
+
+
 
 
 def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
@@ -2470,7 +3110,7 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
                        pcm_every: int = 0, qp_jitter: int = 0, n_slices: int = 1,
                        chroma_qp_off: int = 0, alpha_off2: int = 0,
                        beta_off2: int = 0, seed: int = 0, gop: str = "all-idr",
-                       idr_every: int = 0):
+                       idr_every: int = 0, entropy: str = "cavlc"):
     """Encode frames (list of (y, u, v) uint8 planes, all same even WxH).
 
     ``gop='all-idr'``: every frame an independent IDR picture.
@@ -2490,10 +3130,15 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
     if u0.shape != (h // 2, w // 2):
         raise ValueError("chroma planes must be half-size (4:2:0)")
     ipp = gop == "ipp"
+    cabac = entropy == "cabac"
+    if entropy not in ("cavlc", "cabac"):
+        raise ValueError("entropy must be 'cavlc' or 'cabac'")
+    if cabac and ipp:
+        raise ValueError("CABAC P slices unsupported (I-slice CABAC staged)")
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     crop = (0, (mbw * 16 - w) // 2, 0, (mbh * 16 - h) // 2)
     sps_rbsp = _write_sps(mbw, mbh, crop, max_num_ref=2 if ipp else 0)
-    pps_rbsp = _write_pps(qp, chroma_qp_off)
+    pps_rbsp = _write_pps(qp, chroma_qp_off, cabac=cabac)
     sps = _parse_sps(sps_rbsp)  # parse-back: writer/parser consistency
     pps = _parse_pps(pps_rbsp)
     sps_nal = b"\x67" + _add_emulation(sps_rbsp)
@@ -2526,7 +3171,9 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
         )
         n_mbs = mbw * mbh
         bounds = [round(i * n_mbs / max(1, n_slices)) for i in range(n_slices + 1)]
-        slice_nals = []
+        # the SEI provenance marker travels in every access unit so each
+        # AU is self-describing for the CABAC trust gate
+        slice_nals = [_write_sei_cabac_marker()] if cabac else []
         num_ref = min(2, len(dpb)) if is_p else 0
         for si in range(max(1, n_slices)):
             first, last = bounds[si], bounds[si + 1]
@@ -2555,6 +3202,25 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
                 bw.se(beta_off2)
             qp_prev = qp
             opts["seed"] = _det_hash(seed, fi)
+            if cabac:
+                # cabac_alignment_one_bit(s), then arithmetic slice data
+                # with end_of_slice_flag terminating each macroblock
+                nbits = sum(len(b) for b in bw.bits)
+                if nbits % 8:
+                    bw.bits.append("1" * (8 - nbits % 8))
+                cab = CabacEncoder(bw, CabacContexts(qp))
+                dqnz = False
+                for mb_addr in range(first, last):
+                    md = _compute_intra_mb(st, mb_addr, si, qp_prev, src, opts)
+                    dqnz = _serialize_mb_cabac(st, cab, mb_addr, si, md, dqnz)
+                    qp_prev = md["qp_out"]
+                    cab.terminate(1 if mb_addr == last - 1 else 0)
+                nbits = sum(len(b) for b in bw.bits)
+                if nbits % 8:  # trailing zero pad after the flushed stop bit
+                    bw.bits.append("0" * (8 - nbits % 8))
+                hdr = 0x65 if is_idr else 0x61
+                slice_nals.append(bytes([hdr]) + _add_emulation(bw.tobytes()))
+                continue
             skip_run = 0
             for mb_addr in range(first, last):
                 if is_p:

@@ -1137,6 +1137,14 @@ def video_spec(i: int) -> dict:
         elif variant == 4:
             enc["qp_jitter"] = 5
             enc["chroma_qp_off"] = 6 - (_mix(607, i) % 13)
+        if 5 <= i <= 9:
+            # round 7: one of each intra variant re-encoded with CABAC
+            # (entropy_coding_mode_flag=1, I-slice syntax + arithmetic
+            # engine of functions/cabac.py; SEI provenance marker in every
+            # AU). The oracle recons are entropy-independent, so the
+            # decoder must parse the arithmetic stream bit-exactly for the
+            # driver hashes to keep matching.
+            enc["entropy"] = "cabac"
     return {"w": w, "h": h, "n_frames": n_frames, "delta_ms": delta_ms,
             "blocky": _mix(606, i) % 2 == 1, "enc": enc}
 

@@ -1,0 +1,260 @@
+"""CABAC engine + H.264 I-slice CABAC tests (round 7).
+
+Validation tiers (see functions/cabac.py docstring): generative-model
+structural acceptance for the two transcribed tables, bit-exact
+encoder/decoder round-trips for the arithmetic engine, an entropy
+(adaptivity) property, the flush-position invariant the I_PCM and strict
+end-of-slice paths rely on, and the full-pipeline macroblock matrix via
+functions/h264.py.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from azure_workflow_for_kml_satellite_spark.functions import h264 as H
+from azure_workflow_for_kml_satellite_spark.functions.cabac import (
+    RANGE_TAB_LPS,
+    TRANS_IDX_LPS,
+    CabacContexts,
+    CabacDecoder,
+    CabacEncoder,
+    validate_range_tab,
+    validate_trans_idx,
+)
+
+
+def _pad(bw):
+    total = sum(len(b) for b in bw.bits)
+    if total % 8:
+        bw.bits.append("0" * (8 - total % 8))
+
+
+# ── table structure ─────────────────────────────────────────────────────────
+
+
+def test_tables_pass_structural_validation():
+    validate_range_tab()
+    validate_trans_idx()
+
+
+def test_range_tab_anchors():
+    assert RANGE_TAB_LPS[0] == (128, 176, 208, 240)
+    assert RANGE_TAB_LPS[63] == (2, 2, 2, 2)
+    # q0 clamp rows: model exceeds 128 for states 0-2 only
+    assert [r[0] for r in RANGE_TAB_LPS[:3]] == [128, 128, 128]
+    assert RANGE_TAB_LPS[3][0] < 128
+
+
+def test_trans_idx_known_dip():
+    # the published table's one hand-tuned non-monotone step
+    assert TRANS_IDX_LPS[28] == 23
+    assert TRANS_IDX_LPS[29] == 22
+    assert TRANS_IDX_LPS[30] == 23
+    assert TRANS_IDX_LPS[63] == 63
+
+
+def test_tampered_table_rejected():
+    import azure_workflow_for_kml_satellite_spark.functions.cabac as C
+
+    orig = C.RANGE_TAB_LPS
+    # digit transposition: 169 -> 196 at state 4 / q2
+    rows = [list(r) for r in orig]
+    rows[4][2] = 196
+    C.RANGE_TAB_LPS = tuple(tuple(r) for r in rows)
+    try:
+        with pytest.raises(ValueError):
+            C.validate_range_tab()
+    finally:
+        C.RANGE_TAB_LPS = orig
+
+
+# ── arithmetic engine ───────────────────────────────────────────────────────
+
+
+def test_engine_round_trip_fuzz():
+    rng = random.Random(7)
+    for trial in range(200):
+        n = rng.randint(1, 400)
+        trace = []
+        for _ in range(n):
+            kind = rng.random()
+            if kind < 0.6:
+                trace.append(("d", rng.randrange(60), rng.randint(0, 1)))
+            elif kind < 0.85:
+                trace.append(("b", rng.randint(0, 1)))
+            else:
+                trace.append(("e", rng.randrange(0, 1000), rng.randrange(0, 3)))
+        bw = H._BitWriter()
+        enc = CabacEncoder(bw, CabacContexts(26))
+        for op in trace:
+            if op[0] == "d":
+                enc.decision(op[1], op[2])
+            elif op[0] == "b":
+                enc.bypass(op[1])
+            else:
+                enc.eg_bypass(op[2], op[1])
+        enc.terminate(1)
+        _pad(bw)
+        dec = CabacDecoder(H._BitReader(bw.tobytes()), CabacContexts(26))
+        for op in trace:
+            if op[0] == "d":
+                assert dec.decision(op[1]) == op[2]
+            elif op[0] == "b":
+                assert dec.bypass() == op[1]
+            else:
+                assert dec.eg_bypass(op[2]) == op[1]
+        assert dec.terminate() == 1
+
+
+def test_flush_position_invariant():
+    """After terminate(1) the decoder's bit position equals the encoder's
+    flush end — the property the I_PCM byte-alignment and the strict
+    end-of-slice consumption check are built on."""
+    rng = random.Random(11)
+    for _ in range(200):
+        n = rng.randint(0, 300)
+        trace = [
+            ("d", rng.randrange(60), rng.randint(0, 1))
+            if rng.random() < 0.7
+            else ("b", rng.randint(0, 1))
+            for _ in range(n)
+        ]
+        bw = H._BitWriter()
+        enc = CabacEncoder(bw, CabacContexts(26))
+        for op in trace:
+            if op[0] == "d":
+                enc.decision(op[1], op[2])
+            else:
+                enc.bypass(op[1])
+        enc.terminate(1)
+        flush_bits = sum(len(b) for b in bw.bits)
+        _pad(bw)
+        dec = CabacDecoder(H._BitReader(bw.tobytes()), CabacContexts(26))
+        for op in trace:
+            if op[0] == "d":
+                assert dec.decision(op[1]) == op[2]
+            else:
+                assert dec.bypass() == op[1]
+        assert dec.terminate() == 1
+        assert dec.br.pos == flush_bits
+
+
+def test_adaptivity_approaches_entropy():
+    rng = random.Random(3)
+    p = 0.05
+    seq = [1 if rng.random() < p else 0 for _ in range(20000)]
+    bw = H._BitWriter()
+    enc = CabacEncoder(bw, CabacContexts(26))
+    for b in seq:
+        enc.decision(100, b)
+    enc.terminate(1)
+    _pad(bw)
+    bits_per_bin = len(bw.tobytes()) * 8 / len(seq)
+    entropy = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+    assert bits_per_bin < entropy * 1.15  # within 15% of the source entropy
+    assert bits_per_bin < 0.5  # and far below the 1 bit/bin bypass floor
+
+
+# ── H.264 I-slice CABAC end-to-end ──────────────────────────────────────────
+
+
+def _frames(kind, h, w, rng, k=0):
+    if kind == "noise":
+        return (
+            rng.integers(0, 256, (h, w), dtype=np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+        )
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((xx * 3 + yy * 2 + k * 17) % 256).astype(np.uint8)
+    return g, g[::2, ::2].copy(), g[1::2, ::2].copy()
+
+
+def test_cabac_intra_matrix_bit_exact():
+    rng = np.random.default_rng(9)
+    i = 0
+    for qp in (10, 28, 44, 51):
+        for pcm in (0, 3):
+            for nsl in (1, 3):
+                for kind in ("noise", "grad"):
+                    i += 1
+                    h, w = (48, 80) if i % 2 else (32, 48)
+                    y, u, v = _frames(kind, h, w, rng, i)
+                    annexb, recon = H.encode_h264(
+                        y, u, v, qp=qp, entropy="cabac", pcm_every=pcm,
+                        n_slices=nsl, qp_jitter=3, seed=i,
+                    )
+                    out = H.decode_h264_annexb(annexb)
+                    for a, b in zip(out, recon):
+                        assert np.array_equal(a, b), (qp, pcm, nsl, kind)
+
+
+def test_cavlc_and_cabac_share_reconstruction():
+    # entropy coding must not change the reconstruction — same compute path
+    rng = np.random.default_rng(21)
+    y, u, v = _frames("noise", 48, 64, rng)
+    _, r1 = H.encode_h264(y, u, v, qp=30, entropy="cavlc", seed=5)
+    _, r2 = H.encode_h264(y, u, v, qp=30, entropy="cabac", seed=5)
+    for a, b in zip(r1, r2):
+        assert np.array_equal(a, b)
+
+
+def test_unmarked_cabac_stream_refused():
+    rng = np.random.default_rng(13)
+    y, u, v = _frames("noise", 48, 64, rng)
+    enc = H.encode_h264_frames([(y, u, v)], qp=30, entropy="cabac")
+    nals = enc["samples"][0]
+    assert nals[0][0] & 0x1F == 6  # SEI marker travels in the AU
+    with pytest.raises(ValueError, match="provenance"):
+        H.decode_nals([enc["sps"], enc["pps"]] + nals[1:])
+
+
+def test_cabac_p_slices_rejected():
+    with pytest.raises(ValueError, match="CABAC P slices"):
+        H.encode_h264_frames(
+            [_frames("grad", 32, 48, np.random.default_rng(1))] * 2,
+            qp=30, entropy="cabac", gop="ipp",
+        )
+
+
+def test_cabac_bitflip_fuzz_errors_loudly():
+    rng = np.random.default_rng(13)
+    y, u, v = _frames("noise", 48, 64, rng)
+    enc = H.encode_h264_frames([(y, u, v)], qp=30, entropy="cabac")
+    nals = enc["samples"][0]
+    recon = enc["recons"][0]
+    pyr = random.Random(4)
+    silent_wrong = 0
+    for _ in range(300):
+        b = bytearray(nals[1])
+        i = pyr.randrange(8, len(b))
+        b[i] ^= 1 << pyr.randrange(8)
+        try:
+            out = H.decode_nals([enc["sps"], enc["pps"], nals[0], bytes(b)])
+        except Exception:
+            continue
+        if not all(np.array_equal(a, c) for a, c in zip(out, recon)):
+            silent_wrong += 1
+    # entropy coders can always admit a few syntactically-valid alternative
+    # decodes; the contract is that desync is overwhelmingly loud
+    assert silent_wrong <= 3
+
+
+def test_cabac_annexb_stream_multi_au():
+    rng = np.random.default_rng(17)
+    frames = [_frames("noise", 32, 48, rng, k) for k in range(3)]
+    enc = H.encode_h264_frames(frames, qp=26, entropy="cabac")
+    sc = b"\x00\x00\x00\x01"
+    data = sc + enc["sps"] + sc + enc["pps"] + b"".join(
+        b"".join(sc + n for n in nals) for nals in enc["samples"]
+    )
+    outs = H.decode_h264_annexb_stream(data)
+    assert len(outs) == 3
+    for out, recon in zip(outs, enc["recons"]):
+        for a, b in zip(out, recon):
+            assert np.array_equal(a, b)

@@ -176,6 +176,31 @@ def test_h264_stream_decodes_identically_on_system_decoder():
 
 @pytest.mark.skipif(_FFMPEG is None,
                     reason="no system H.264 encoder (%s)" % _PROBED)
+def test_h264_foreign_cabac_stream_refused_by_name():
+    """Round-7 contract: a REAL Main-profile CABAC stream (spec context
+    inits, no provenance SEI) must be refused with the named init-
+    validation error — never silently decoded under our uniform inits.
+    When a system codec ships, this is also the staging point for
+    validating a spec-init transcription (functions/cabac.py docstring)."""
+    enc = subprocess.run([_FFMPEG, "-hide_banner", "-encoders"],
+                         capture_output=True, timeout=60)
+    if b"libx264" not in enc.stdout:
+        pytest.skip("ffmpeg present but built without libx264 (%s)" % _PROBED)
+    w, h = 64, 48
+    rng = np.random.default_rng(23)
+    raw = rng.integers(0, 256, (3, h * w * 3 // 2), dtype=np.uint8).tobytes()
+    stream = _run([_FFMPEG, "-hide_banner", "-loglevel", "error",
+                   "-f", "rawvideo", "-pix_fmt", "yuv420p",
+                   "-s", "%dx%d" % (w, h), "-r", "10", "-i", "pipe:0",
+                   "-c:v", "libx264", "-profile:v", "main",
+                   "-x264-params", "cabac=1:bframes=0:threads=1",
+                   "-f", "h264", "pipe:1"], raw)
+    with pytest.raises(ValueError, match="provenance|CABAC"):
+        decode_h264_annexb_stream(stream)
+
+
+@pytest.mark.skipif(_FFMPEG is None,
+                    reason="no system H.264 encoder (%s)" % _PROBED)
 def test_h264_system_encoded_stream_decodes_in_our_decoder():
     """The strongest decoder evidence: a SYSTEM-encoded baseline stream
     (libx264 via ffmpeg, CAVLC forced by -profile baseline) must decode in

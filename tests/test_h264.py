@@ -205,16 +205,29 @@ def _small_stream():
     return annexb
 
 
-def test_cabac_rejected():
+def test_cabac_pps_parses_but_unmarked_stream_refused():
+    # round 7: a CABAC PPS parses (I-slice CABAC is implemented), but a
+    # stream without the in-repo SEI provenance marker must refuse with a
+    # named error instead of decoding wrongly under non-spec context inits
     bw = H._BitWriter()
     bw.ue(0)  # pps_id
     bw.ue(0)  # sps_id
     bw.write(1, 1)  # entropy_coding_mode = CABAC
     bw.write(0, 1)
     bw.ue(0)
+    bw.ue(0)
+    bw.ue(0)
+    bw.write(0, 1)
+    bw.write(0, 2)
+    bw.se(0)
+    bw.se(0)
+    bw.se(0)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
     bw.rbsp_trailing()
-    with pytest.raises(ValueError, match="CABAC"):
-        H._parse_pps(bw.tobytes())
+    pps = H._parse_pps(bw.tobytes())
+    assert pps["cabac"] == 1
 
 
 def test_oversized_frame_rejected():
