@@ -927,6 +927,9 @@ class _PictureDecoder:
         self.mb_chroma_mode = np.zeros(n, dtype=np.int8)
         self.mb_cbf_dc = np.zeros(n, dtype=bool)  # Intra16x16DCLevel cbf
         self.mb_cbf_cdc = np.zeros((2, n), dtype=bool)  # ChromaDCLevel cbf
+        self.mb_is_skip = np.zeros(n, dtype=bool)  # P_Skip (mb_skip ctx)
+        # per-4x4 |mvd| memory for the CABAC mvd contexts (9.3.3.1.1.7)
+        self.mvd = np.zeros((self.mbh * 4, self.mbw * 4, 2), dtype=np.int32)
         # provenance gate: set by _decode_nals_pic when the access unit
         # carries the in-repo encoder's SEI marker (see functions/cabac.py —
         # CABAC context inits are uniform, not the spec's unvalidatable
@@ -1133,10 +1136,6 @@ class _PictureDecoder:
             raise ValueError("first_mb_in_slice beyond picture")
         deblock_params = (disable_idc, off_a, off_b)
         if self.pps.get("cabac"):
-            if is_p:
-                raise ValueError(
-                    "CABAC P slices unsupported (I-slice CABAC staged round 7)"
-                )
             if not self.cabac_trusted:
                 raise ValueError(
                     "CABAC stream without the in-repo provenance marker: "
@@ -1154,7 +1153,14 @@ class _PictureDecoder:
                     raise ValueError("slice overruns picture")
                 if self.mb_decoded[mb_addr]:
                     raise ValueError("macroblock decoded twice")
-                qp, dqnz = self._decode_mb_cabac(dec, mb_addr, slice_id, qp, dqnz)
+                mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+                if is_p and dec.decision(11 + self._skip_inc(mbx, mby, slice_id)):
+                    qp = self._decode_skip_mb(mb_addr, slice_id, qp)
+                    dqnz = False  # P_Skip carries no mb_qp_delta
+                else:
+                    qp, dqnz = self._decode_mb_cabac(
+                        dec, mb_addr, slice_id, qp, dqnz, is_p, num_ref
+                    )
                 self.mb_deblock[mb_addr] = deblock_params
                 mb_addr += 1
                 if dec.terminate():  # end_of_slice_flag
@@ -1458,35 +1464,42 @@ class _PictureDecoder:
                     vals.append(int(self.mb_cbf_dc[n]))
         return vals[0] + 2 * vals[1]
 
-    def _cbf_inc_cdc(self, c: int, mbx: int, mby: int, slice_id: int) -> int:
+    def _cbf_inc_cdc(self, c: int, mbx: int, mby: int, slice_id: int,
+                     intra: bool = True) -> int:
         vals = []
         for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
             if not self._mb_avail(nx, ny, slice_id):
-                vals.append(1)
+                vals.append(1 if intra else 0)
             else:
                 n = ny * self.mbw + nx
                 vals.append(1 if self.mb_is_pcm[n] else int(self.mb_cbf_cdc[c, n]))
         return vals[0] + 2 * vals[1]
 
-    def _cbf_inc_luma(self, bx: int, by: int, slice_id: int) -> int:
+    def _cbf_inc_luma(self, bx: int, by: int, slice_id: int,
+                      intra: bool = True) -> int:
+        una = 1 if intra else 0  # unavailable-neighbour rule, 9.3.3.1.1.9
+
         def at(nbx: int, nby: int) -> int:
             if nbx < 0 or nby < 0 or nbx >= self.mbw * 4 or nby >= self.mbh * 4:
-                return 1  # unavailable; current MB is intra
+                return una
             if self.mb_slice[(nby // 4) * self.mbw + (nbx // 4)] != slice_id:
-                return 1
+                return una
             v = int(self.luma_nz[nby, nbx])
-            return 1 if v > 0 else (1 if v < 0 else 0)
+            return 1 if v > 0 else (una if v < 0 else 0)
 
         return at(bx - 1, by) + 2 * at(bx, by - 1)
 
-    def _cbf_inc_chroma(self, c: int, cbx: int, cby: int, slice_id: int) -> int:
+    def _cbf_inc_chroma(self, c: int, cbx: int, cby: int, slice_id: int,
+                        intra: bool = True) -> int:
+        una = 1 if intra else 0
+
         def at(nbx: int, nby: int) -> int:
             if nbx < 0 or nby < 0 or nbx >= self.mbw * 2 or nby >= self.mbh * 2:
-                return 1
+                return una
             if self.mb_slice[(nby // 2) * self.mbw + (nbx // 2)] != slice_id:
-                return 1
+                return una
             v = int(self.chroma_nz[c, nby, nbx])
-            return 1 if v > 0 else (1 if v < 0 else 0)
+            return 1 if v > 0 else (una if v < 0 else 0)
 
         return at(cbx - 1, cby) + 2 * at(cbx, cby - 1)
 
@@ -1532,9 +1545,215 @@ class _PictureDecoder:
             coeffs[i] = level
         return coeffs, len(sig), True
 
+    # — P-slice CABAC context helpers —
+
+    def _skip_inc(self, mbx: int, mby: int, slice_id: int) -> int:
+        inc = 0
+        for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+            if self._mb_avail(nx, ny, slice_id):
+                if not self.mb_is_skip[ny * self.mbw + nx]:
+                    inc += 1
+        return inc
+
+    def _ref_gt0(self, bx: int, by: int, slice_id: int) -> int:
+        if bx < 0 or by < 0 or bx >= self.mbw * 4 or by >= self.mbh * 4:
+            return 0
+        if self.mb_slice[(by // 4) * self.mbw + (bx // 4)] != slice_id:
+            return 0
+        return 1 if int(self.ref_idx[by, bx]) > 0 else 0
+
+    def _ref_idx_cabac(self, dec: CabacDecoder, bx: int, by: int,
+                       slice_id: int, num_ref: int) -> int:
+        inc = self._ref_gt0(bx - 1, by, slice_id) + 2 * self._ref_gt0(
+            bx, by - 1, slice_id
+        )
+        if not dec.decision(54 + inc):
+            return 0
+        ref = 1
+        while ref < 32 and dec.decision(54 + (4 if ref == 1 else 5)):
+            ref += 1
+        if ref >= num_ref:
+            raise ValueError("ref_idx out of range")
+        return ref
+
+    def _mvd_abs_sum(self, bx: int, by: int, comp: int, slice_id: int) -> int:
+        s = 0
+        for nbx, nby in ((bx - 1, by), (bx, by - 1)):
+            if nbx < 0 or nby < 0 or nbx >= self.mbw * 4 or nby >= self.mbh * 4:
+                continue
+            if self.mb_slice[(nby // 4) * self.mbw + (nbx // 4)] != slice_id:
+                continue
+            s += abs(int(self.mvd[nby, nbx, comp]))
+        return s
+
+    def _mvd_cabac(self, dec: CabacDecoder, bx: int, by: int, comp: int,
+                   slice_id: int) -> int:
+        """mvd_l0 via UEG3 (uCoff 9, signed), ctx 40-46 (x) / 47-53 (y),
+        bin-0 context from the neighbour |mvd| sum (9.3.3.1.1.7)."""
+        ssum = self._mvd_abs_sum(bx, by, comp, slice_id)
+        inc = 0 if ssum < 3 else (1 if ssum <= 32 else 2)
+        base = 40 if comp == 0 else 47
+        if not dec.decision(base + inc):
+            return 0
+        mag = 1
+        while mag < 9 and dec.decision(base + min(mag + 2, 6)):
+            mag += 1
+        if mag == 9:
+            mag += dec.eg_bypass(3)
+        return -mag if dec.bypass() else mag
+
+    def _decode_inter_mb_cabac(self, dec: CabacDecoder, mb_addr: int,
+                               slice_id: int, qp_prev: int, mb_type: int,
+                               num_ref: int, prev_dqnz: bool):
+        """CABAC twin of _decode_inter_mb (P_L0 16x16/16x8/8x16/P_8x8).
+        Returns (QPY, mb_qp_delta != 0)."""
+        mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+        self.mb_slice[mb_addr] = slice_id
+        if not self.refs:
+            raise ValueError("inter macroblock without reference frames")
+        bx0, by0 = mbx * 4, mby * 4
+        self.mb_intra[mb_addr] = False
+        num_ref = min(num_ref, len(self.refs))
+        br = dec.br
+
+        parts = []
+
+        def one_part(dx4, dy4, w4, h4, ref, shape):
+            bx, by = bx0 + dx4, by0 + dy4
+            mvdx = self._mvd_cabac(dec, bx, by, 0, slice_id)
+            mvdy = self._mvd_cabac(dec, bx, by, 1, slice_id)
+            pred = self._mv_pred(bx, by, w4, h4, ref, slice_id, shape)
+            mv = (pred[0] + mvdx, pred[1] + mvdy)
+            self._set_mv(bx, by, w4, h4, mv, ref)
+            self.mvd[by : by + h4, bx : bx + w4, 0] = mvdx
+            self.mvd[by : by + h4, bx : bx + w4, 1] = mvdy
+            parts.append((dx4, dy4, w4, h4, mv, ref))
+
+        if mb_type <= 2:
+            shapes = {
+                0: [(0, 0, 4, 4, None)],
+                1: [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+                2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+            }[mb_type]
+            refs = []
+            for (dx4, dy4, w4, h4, _s) in shapes:
+                ref = (
+                    self._ref_idx_cabac(dec, bx0 + dx4, by0 + dy4, slice_id, num_ref)
+                    if num_ref > 1
+                    else 0
+                )
+                # parsed refs become neighbour context for the NEXT ref bin
+                # (all refs precede all mvds in the syntax, so _set_mv has
+                # not run yet) — store the span immediately
+                self.ref_idx[by0 + dy4 : by0 + dy4 + h4,
+                             bx0 + dx4 : bx0 + dx4 + w4] = ref
+                refs.append(ref)
+            for (dx4, dy4, w4, h4, shape), ref in zip(shapes, refs):
+                one_part(dx4, dy4, w4, h4, ref, shape)
+        else:  # P_8x8 (CABAC has no P_8x8ref0 binarization)
+            sub_types = []
+            for _ in range(4):
+                if dec.decision(21):
+                    sub_types.append(0)
+                elif not dec.decision(22):
+                    sub_types.append(1)
+                elif dec.decision(23):
+                    sub_types.append(2)
+                else:
+                    sub_types.append(3)
+            refs = []
+            for k8 in range(4):
+                ox4, oy4 = (k8 % 2) * 2, (k8 // 2) * 2
+                ref = (
+                    self._ref_idx_cabac(dec, bx0 + ox4, by0 + oy4, slice_id, num_ref)
+                    if num_ref > 1
+                    else 0
+                )
+                self.ref_idx[by0 + oy4 : by0 + oy4 + 2,
+                             bx0 + ox4 : bx0 + ox4 + 2] = ref
+                refs.append(ref)
+            for k8 in range(4):
+                ox4, oy4 = (k8 % 2) * 2, (k8 // 2) * 2
+                for sdx, sdy, w4, h4 in self._SUB_SHAPES[sub_types[k8]]:
+                    one_part(ox4 + sdx, oy4 + sdy, w4, h4, refs[k8], None)
+
+        predY, predU, predV = self._inter_pred_mb(mbx, mby, parts)
+
+        cbp_luma = 0
+        for k in range(4):
+            a = self._cbp_luma_cond(mbx, mby, k, 0, cbp_luma, slice_id)
+            b = self._cbp_luma_cond(mbx, mby, k, 1, cbp_luma, slice_id)
+            if dec.decision(73 + a + 2 * b):
+                cbp_luma |= 1 << k
+        cbp_chroma = 0
+        a = self._cbp_chroma_cond(mbx - 1, mby, slice_id, two=False)
+        b = self._cbp_chroma_cond(mbx, mby - 1, slice_id, two=False)
+        if dec.decision(77 + a + 2 * b):
+            a = self._cbp_chroma_cond(mbx - 1, mby, slice_id, two=True)
+            b = self._cbp_chroma_cond(mbx, mby - 1, slice_id, two=True)
+            cbp_chroma = 2 if dec.decision(81 + a + 2 * b) else 1
+        self.mb_cbp_luma[mb_addr] = cbp_luma
+        self.mb_cbp_chroma[mb_addr] = cbp_chroma
+
+        qp = qp_prev
+        dqnz = False
+        if cbp_luma or cbp_chroma:
+            if dec.decision(60 + (1 if prev_dqnz else 0)):
+                mapped = 1
+                if dec.decision(62):
+                    mapped = 2
+                    while mapped < 53 and dec.decision(63):
+                        mapped += 1
+            else:
+                mapped = 0
+            delta = (mapped + 1) // 2 if mapped & 1 else -(mapped // 2)
+            if not -26 <= delta <= 25:
+                raise ValueError("mb_qp_delta out of range")
+            qp = (qp_prev + delta + 52) % 52
+            dqnz = delta != 0
+        self.mb_qp[mb_addr] = qp
+
+        luma_coeffs: list = [None] * 16
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            bx, by = bx0 + dx, by0 + dy
+            if cbp_luma & (1 << (k // 4)):
+                inc = self._cbf_inc_luma(bx, by, slice_id, intra=False)
+                coeffs, tc, _cbf = self._decode_residual_cabac(dec, 2, inc, 16)
+                luma_coeffs[k] = coeffs
+                self.luma_nz[by, bx] = tc
+            else:
+                self.luma_nz[by, bx] = 0
+        chroma_dc = None
+        chroma_ac: list = [[None] * 4 for _ in range(2)]
+        if cbp_chroma:
+            chroma_dc = []
+            for c in range(2):
+                inc = self._cbf_inc_cdc(c, mbx, mby, slice_id, intra=False)
+                coeffs, _tc, cbf = self._decode_residual_cabac(dec, 3, inc, 4)
+                chroma_dc.append(coeffs)
+                self.mb_cbf_cdc[c, mb_addr] = cbf
+        for c in range(2):
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                cbx, cby = mbx * 2 + dx, mby * 2 + dy
+                if cbp_chroma == 2:
+                    inc = self._cbf_inc_chroma(c, cbx, cby, slice_id, intra=False)
+                    coeffs, tc, _cbf = self._decode_residual_cabac(dec, 4, inc, 15)
+                    chroma_ac[c][k] = coeffs
+                    self.chroma_nz[c, cby, cbx] = tc
+                else:
+                    self.chroma_nz[c, cby, cbx] = 0
+
+        self._recon_inter_mb(mb_addr, qp, predY, predU, predV, luma_coeffs,
+                             chroma_dc, chroma_ac)
+        return qp, dqnz
+
     def _decode_mb_cabac(self, dec: CabacDecoder, mb_addr: int, slice_id: int,
-                         qp_prev: int, prev_dqnz: bool):
-        """Parse one I-slice macroblock under CABAC and reconstruct it.
+                         qp_prev: int, prev_dqnz: bool, is_p: bool = False,
+                         num_ref: int = 1):
+        """Parse one macroblock under CABAC and reconstruct it (I-slice
+        macroblocks, or a P-slice macroblock after mb_skip_flag == 0).
         Returns (QPY for this MB, mb_qp_delta != 0) — the latter feeds the
         next MB's mb_qp_delta context."""
         mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
@@ -1542,13 +1761,31 @@ class _PictureDecoder:
         bx0, by0 = mbx * 4, mby * 4
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
-        self.mv_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
         br = dec.br
 
+        if is_p:
+            # P mb_type (Table 9-37): "0.." inter tree, "1" + I suffix
+            if not dec.decision(14):
+                if dec.decision(15):
+                    mb_type = 1 if dec.decision(17) else 2
+                else:
+                    mb_type = 3 if dec.decision(16) else 0
+                return self._decode_inter_mb_cabac(
+                    dec, mb_addr, slice_id, qp_prev, mb_type, num_ref, prev_dqnz
+                )
+            # intra suffix context set (ctx 17-20) vs I-slice set (3..10)
+            b_i16 = dec.decision(17)
+            ctx_i16 = (18, 19, 19, 20, 20)
+        else:
+            b_i16 = dec.decision(3 + self._mbtype_i_inc(mbx, mby, slice_id))
+            ctx_i16 = (6, 7, 8, 9, 10)
+
+        # intra blocks are MV-pred-available with mv 0 / ref -1
+        self.mv_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
         is_i16 = False
         mode16 = 0
         cbp_luma = cbp_chroma = 0
-        if dec.decision(3 + self._mbtype_i_inc(mbx, mby, slice_id)):
+        if b_i16:
             if dec.terminate():  # I_PCM (mb_type bin 1 uses ctx 276)
                 while br.pos % 8:
                     if br.read(1):
@@ -1571,11 +1808,11 @@ class _PictureDecoder:
                 dec.reinit()  # 9.3.1.2: engine restarts after PCM samples
                 return 0, False
             is_i16 = True
-            cbp_luma = 15 if dec.decision(6) else 0
-            if dec.decision(7):
-                cbp_chroma = 2 if dec.decision(8) else 1
-            m1 = dec.decision(9)
-            mode16 = 2 * m1 + dec.decision(10)
+            cbp_luma = 15 if dec.decision(ctx_i16[0]) else 0
+            if dec.decision(ctx_i16[1]):
+                cbp_chroma = 2 if dec.decision(ctx_i16[2]) else 1
+            m1 = dec.decision(ctx_i16[3])
+            mode16 = 2 * m1 + dec.decision(ctx_i16[4])
 
         i4_modes = None
         if not is_i16:
@@ -1708,6 +1945,7 @@ class _PictureDecoder:
         self.chroma_nz[:, cy0 // 4 : cy0 // 4 + 2, cx0 // 4 : cx0 // 4 + 2] = 0
         self.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
         self.mb_intra[mb_addr] = False
+        self.mb_is_skip[mb_addr] = True
         self.mb_qp[mb_addr] = qp_prev
         self.mb_decoded[mb_addr] = True
         return qp_prev
@@ -1790,43 +2028,64 @@ class _PictureDecoder:
             qp = (qp_prev + delta + 52) % 52
         self.mb_qp[mb_addr] = qp
 
+        luma_coeffs = [None] * 16
         for k in range(16):
             dx, dy = BLK4_POS[k]
             bx, by = bx0 + dx, by0 + dy
-            px, py = x0 + dx * 4, y0 + dy * 4
             if cbp_luma & (1 << (k // 4)):
                 nC = self._nc_luma(bx, by, slice_id)
                 coeffs, tc = _decode_residual(br, nC, 16)
+                luma_coeffs[k] = coeffs
                 self.luma_nz[by, bx] = tc
             else:
-                coeffs = [0] * 16
                 self.luma_nz[by, bx] = 0
-            out = _idct4x4_add(
-                coeffs, qp, None, predY[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
-            )
-            self.Y[py : py + 4, px : px + 4] = out
-            self.blk_done[by, bx] = True
-
-        qpc = CHROMA_QP[_clip3(0, 51, qp + self.pps["chroma_qp_off"])]
         chroma_dc = None
+        chroma_ac: list = [[None] * 4 for _ in range(2)]
         if cbp_chroma:
             chroma_dc = []
             for _c in range(2):
                 coeffs, _tc = _decode_residual(br, -1, 4)
                 chroma_dc.append(coeffs)
-        for c, (plane, predc) in ((0, (self.U, predU)), (1, (self.V, predV))):
-            dcq = _chroma_dc_transform(chroma_dc[c], qpc) if chroma_dc else [0, 0, 0, 0]
+        for c in range(2):
             for k in range(4):
                 dx, dy = _CBLK_POS[k]
                 cbx, cby = mbx * 2 + dx, mby * 2 + dy
                 if cbp_chroma == 2:
                     nC = self._nc_chroma(c, cbx, cby, slice_id)
                     coeffs, tc = _decode_residual(br, nC, 15)
+                    chroma_ac[c][k] = coeffs
                     self.chroma_nz[c, cby, cbx] = tc
                 else:
-                    coeffs = None
                     self.chroma_nz[c, cby, cbx] = 0
-                block16 = [0] + (coeffs if coeffs is not None else [0] * 15)
+        self._recon_inter_mb(mb_addr, qp, predY, predU, predV, luma_coeffs,
+                             chroma_dc, chroma_ac)
+        return qp
+
+    def _recon_inter_mb(self, mb_addr: int, qp: int, predY, predU, predV,
+                        luma_coeffs, chroma_dc, chroma_ac) -> None:
+        """Shared inter-MB reconstruction (motion-compensated prediction
+        planes + residual inverse transforms) for the CAVLC and CABAC
+        parse paths."""
+        mbx, mby = mb_addr % self.mbw, mb_addr // self.mbw
+        bx0, by0 = mbx * 4, mby * 4
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        for k in range(16):
+            dx, dy = BLK4_POS[k]
+            coeffs = luma_coeffs[k] if luma_coeffs[k] is not None else [0] * 16
+            out = _idct4x4_add(
+                coeffs, qp, None, predY[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
+            )
+            self.Y[y0 + dy * 4 : y0 + dy * 4 + 4, x0 + dx * 4 : x0 + dx * 4 + 4] = out
+            self.blk_done[by0 + dy, bx0 + dx] = True
+
+        qpc = CHROMA_QP[_clip3(0, 51, qp + self.pps["chroma_qp_off"])]
+        for c, (plane, predc) in ((0, (self.U, predU)), (1, (self.V, predV))):
+            dcq = _chroma_dc_transform(chroma_dc[c], qpc) if chroma_dc else [0, 0, 0, 0]
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                ac = chroma_ac[c][k]
+                block16 = [0] + (ac if ac is not None else [0] * 15)
                 out = _idct4x4_add(
                     block16, qpc, dcq[dy * 2 + dx],
                     predc[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4],
@@ -1834,7 +2093,6 @@ class _PictureDecoder:
                 plane[cy0 + dy * 4 : cy0 + dy * 4 + 4, cx0 + dx * 4 : cx0 + dx * 4 + 4] = out
 
         self.mb_decoded[mb_addr] = True
-        return qp
 
     def _i4_infer(self, bx: int, by: int, slice_id: int) -> int:
         """intraMxMPredModeA/B inference (8.3.1.1): 2 (DC) when the
@@ -2817,15 +3075,23 @@ def _serialize_residual_cabac(cab: CabacEncoder, cat: int, inc: int,
 
 
 def _serialize_mb_cabac(st: _PictureDecoder, cab: CabacEncoder, mb_addr: int,
-                        slice_id: int, md: dict, prev_dqnz: bool) -> bool:
+                        slice_id: int, md: dict, prev_dqnz: bool,
+                        is_p: bool = False) -> bool:
     """Emit one computed intra macroblock through the CABAC encoder,
-    mirroring _PictureDecoder._decode_mb_cabac bin for bin. Returns
+    mirroring _PictureDecoder._decode_mb_cabac bin for bin (in P slices:
+    the intra-suffix context set after the "1" prefix). Returns
     mb_qp_delta != 0 (feeds the next MB's mb_qp_delta context)."""
     mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
     bx0, by0 = mbx * 4, mby * 4
-    inc = st._mbtype_i_inc(mbx, mby, slice_id)
+    if is_p:
+        cab.decision(14, 1)  # intra prefix in a P slice
+        ctx_bin0 = 17
+        ctx_i16 = (18, 19, 19, 20, 20)
+    else:
+        ctx_bin0 = 3 + st._mbtype_i_inc(mbx, mby, slice_id)
+        ctx_i16 = (6, 7, 8, 9, 10)
     if md["kind"] == "pcm":
-        cab.decision(3 + inc, 1)
+        cab.decision(ctx_bin0, 1)
         cab.terminate(1)  # mb_type bin 1: I_PCM (flushes the engine)
         bw = cab.sink
         bw.bits.append("0" * ((8 - sum(len(b) for b in bw.bits) % 8) % 8))
@@ -2842,16 +3108,16 @@ def _serialize_mb_cabac(st: _PictureDecoder, cab: CabacEncoder, mb_addr: int,
     is_i16 = md["kind"] == "i16"
     cbp_luma, cbp_chroma = md["cbp_luma"], md["cbp_chroma"]
     if is_i16:
-        cab.decision(3 + inc, 1)
+        cab.decision(ctx_bin0, 1)
         cab.terminate(0)
-        cab.decision(6, 1 if cbp_luma else 0)
-        cab.decision(7, 1 if cbp_chroma else 0)
+        cab.decision(ctx_i16[0], 1 if cbp_luma else 0)
+        cab.decision(ctx_i16[1], 1 if cbp_chroma else 0)
         if cbp_chroma:
-            cab.decision(8, 1 if cbp_chroma == 2 else 0)
-        cab.decision(9, md["mode16"] >> 1)
-        cab.decision(10, md["mode16"] & 1)
+            cab.decision(ctx_i16[2], 1 if cbp_chroma == 2 else 0)
+        cab.decision(ctx_i16[3], md["mode16"] >> 1)
+        cab.decision(ctx_i16[4], md["mode16"] & 1)
     else:
-        cab.decision(3 + inc, 0)
+        cab.decision(ctx_bin0, 0)
         for mode, pm in md["i4"]:
             if mode == pm:
                 cab.decision(68, 1)
@@ -2925,11 +3191,12 @@ def _serialize_mb_cabac(st: _PictureDecoder, cab: CabacEncoder, mb_addr: int,
 
 
 
-def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
-                     slice_id: int, qp_prev: int, src, opts: dict,
-                     num_ref: int) -> int:
-    """Encode one inter macroblock (P_L0 16x16 / 16x8 / 8x16 / P_8x8),
-    mirroring the decoder's parse order and reconstruction exactly."""
+def _compute_inter_mb(st: _PictureDecoder, mb_addr: int, slice_id: int,
+                      qp_prev: int, src, opts: dict, num_ref: int) -> dict:
+    """Mode/MV selection + transform/quant + reconstruction for one inter
+    macroblock (P_L0 16x16 / 16x8 / 8x16 / P_8x8) with no bits written —
+    the inter twin of _compute_intra_mb. Mirrors the decoder parse order
+    so context/nz state evolves identically."""
     src_y, src_u, src_v = src
     mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
     st.mb_slice[mb_addr] = slice_id
@@ -2947,6 +3214,8 @@ def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
         mb_type = 1
     elif r < 7:
         mb_type = 2
+    elif opts.get("cabac"):
+        mb_type = 3  # CABAC has no P_8x8ref0 binarization
     else:
         mb_type = 3 if (h >> 8) % 3 else 4  # P_8x8 / P_8x8ref0
 
@@ -2961,8 +3230,8 @@ def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
             return 0
         return (_det_hash(h, 999, salt) >> 3) % 2
 
-    bw.ue(mb_type)
-    parts = []
+    parts = []  # (dx4, dy4, w4, h4, mv, ref, mvd)
+    sub_types = None
     if mb_type <= 2:
         shapes = {
             0: [(0, 0, 4, 4, None)],
@@ -2970,30 +3239,17 @@ def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
             2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
         }[mb_type]
         refs = [pick_ref(i) for i in range(len(shapes))]
-        if num_ref > 1:
-            for ref in refs:
-                if num_ref == 2:
-                    bw.write(1 - ref, 1)
-                else:
-                    bw.ue(ref)
         for (dx4, dy4, w4, h4, shape), ref in zip(shapes, refs):
             pred, mv = pick_mv(bx0 + dx4, by0 + dy4, w4, h4, ref, shape, dx4 * 8 + dy4)
-            bw.se(mv[0] - pred[0])
-            bw.se(mv[1] - pred[1])
+            mvd = (mv[0] - pred[0], mv[1] - pred[1])
             st._set_mv(bx0 + dx4, by0 + dy4, w4, h4, mv, ref)
-            parts.append((dx4, dy4, w4, h4, mv, ref))
+            st.mvd[by0 + dy4 : by0 + dy4 + h4, bx0 + dx4 : bx0 + dx4 + w4, 0] = mvd[0]
+            st.mvd[by0 + dy4 : by0 + dy4 + h4, bx0 + dx4 : bx0 + dx4 + w4, 1] = mvd[1]
+            parts.append((dx4, dy4, w4, h4, mv, ref, mvd))
     else:
         sub_types = [(_det_hash(h, 55, k) % 6) % 4 for k in range(4)]
         sub_types = [t if t <= 3 else 0 for t in sub_types]
-        for t in sub_types:
-            bw.ue(t)
         refs = [0] * 4 if mb_type == 4 else [pick_ref(10 + k) for k in range(4)]
-        if mb_type == 3 and num_ref > 1:
-            for ref in refs:
-                if num_ref == 2:
-                    bw.write(1 - ref, 1)
-                else:
-                    bw.ue(ref)
         for k8 in range(4):
             ox4, oy4 = (k8 % 2) * 2, (k8 // 2) * 2
             for si, (sdx, sdy, w4, h4) in enumerate(_PictureDecoder._SUB_SHAPES[sub_types[k8]]):
@@ -3001,14 +3257,16 @@ def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
                 pred, mv = pick_mv(
                     bx0 + dx4, by0 + dy4, w4, h4, refs[k8], None, 100 + k8 * 8 + si
                 )
-                bw.se(mv[0] - pred[0])
-                bw.se(mv[1] - pred[1])
+                mvd = (mv[0] - pred[0], mv[1] - pred[1])
                 st._set_mv(bx0 + dx4, by0 + dy4, w4, h4, mv, refs[k8])
-                parts.append((dx4, dy4, w4, h4, mv, refs[k8]))
+                st.mvd[by0 + dy4 : by0 + dy4 + h4, bx0 + dx4 : bx0 + dx4 + w4, 0] = mvd[0]
+                st.mvd[by0 + dy4 : by0 + dy4 + h4, bx0 + dx4 : bx0 + dx4 + w4, 1] = mvd[1]
+                parts.append((dx4, dy4, w4, h4, mv, refs[k8], mvd))
 
-    predY, predU, predV = st._inter_pred_mb(mbx, mby, parts)
+    predY, predU, predV = st._inter_pred_mb(
+        mbx, mby, [(a, b, c, d, e, f) for (a, b, c, d, e, f, _g) in parts]
+    )
 
-    # residual quantization (inter rounding)
     resY = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - predY
     luma_coeffs = [None] * 16
     per8 = [False] * 4
@@ -3045,56 +3303,248 @@ def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
         any_cdc = any_cdc or any(lv)
     cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
 
-    bw.ue(_CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
     if cbp_luma or cbp_chroma:
-        bw.se(qp_mb - qp_prev)
+        delta = qp_mb - qp_prev
         qp_out = qp_mb
     else:
+        delta = 0
         qp_out = qp_prev
         qp_mb = qp_prev
         qpc = CHROMA_QP[_clip3(0, 51, qp_mb + st.pps["chroma_qp_off"])]
     st.mb_qp[mb_addr] = qp_mb
+    st.mb_cbp_luma[mb_addr] = cbp_luma
+    st.mb_cbp_chroma[mb_addr] = cbp_chroma
 
     for k in range(16):
         dx, dy = BLK4_POS[k]
-        bx, by = bx0 + dx, by0 + dy
-        if cbp_luma & (1 << (k // 4)):
-            nC = st._nc_luma(bx, by, slice_id)
-            tc = _write_residual(bw, luma_coeffs[k], 16, nC)
-            st.luma_nz[by, bx] = tc
-            coeffs = luma_coeffs[k]
-        else:
-            st.luma_nz[by, bx] = 0
-            coeffs = [0] * 16
-        out = _idct4x4_add(coeffs, qp_mb, None, predY[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4])
-        st.Y[y0 + dy * 4 : y0 + dy * 4 + 4, x0 + dx * 4 : x0 + dx * 4 + 4] = out
-        st.blk_done[by, bx] = True
-
-    if cbp_chroma:
-        for c in range(2):
-            _write_residual(bw, c_dc_lvl[c], 4, -1)
-    for c, plane in ((0, st.U), (1, st.V)):
-        dcq = _chroma_dc_transform(c_dc_lvl[c], qpc) if cbp_chroma else [0, 0, 0, 0]
+        st.luma_nz[by0 + dy, bx0 + dx] = (
+            sum(1 for v in luma_coeffs[k] if v) if cbp_luma & (1 << (k // 4)) else 0
+        )
+    for c in range(2):
+        st.mb_cbf_cdc[c, mb_addr] = bool(cbp_chroma) and any(c_dc_lvl[c])
         for k in range(4):
             dx, dy = _CBLK_POS[k]
-            cbx, cby = mbx * 2 + dx, mby * 2 + dy
-            if cbp_chroma == 2:
-                nC = st._nc_chroma(c, cbx, cby, slice_id)
-                tc = _write_residual(bw, c_acs[c][k], 15, nC)
-                st.chroma_nz[c, cby, cbx] = tc
-                ac = c_acs[c][k]
-            else:
-                st.chroma_nz[c, cby, cbx] = 0
-                ac = [0] * 15
-            out = _idct4x4_add(
-                [0] + ac, qpc, dcq[dy * 2 + dx],
-                c_preds[c][dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4],
+            st.chroma_nz[c, mby * 2 + dy, mbx * 2 + dx] = (
+                sum(1 for v in c_acs[c][k] if v) if cbp_chroma == 2 else 0
             )
-            plane[cy0 + dy * 4 : cy0 + dy * 4 + 4, cx0 + dx * 4 : cx0 + dx * 4 + 4] = out
 
-    st.mb_decoded[mb_addr] = True
+    st._recon_inter_mb(
+        mb_addr, qp_mb, predY, predU, predV,
+        [luma_coeffs[k] if cbp_luma & (1 << (k // 4)) else None for k in range(16)],
+        c_dc_lvl if cbp_chroma else None,
+        [[c_acs[c][k] if cbp_chroma == 2 else None for k in range(4)] for c in range(2)],
+    )
     st.mb_deblock[mb_addr] = opts["deblock_params"]
-    return qp_out
+    return {
+        "kind": "inter",
+        "mb_type": mb_type,
+        "sub_types": sub_types,
+        "parts": parts,
+        "num_ref": num_ref,
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_chroma,
+        "has_residual": bool(cbp_luma or cbp_chroma),
+        "delta": delta,
+        "qp_out": qp_out,
+        "luma_coeffs": luma_coeffs,
+        "c_dc_lvl": c_dc_lvl,
+        "c_acs": c_acs,
+    }
+
+
+def _serialize_inter_cavlc(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
+                           slice_id: int, md: dict) -> None:
+    mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
+    bx0, by0 = mbx * 4, mby * 4
+    mb_type, num_ref = md["mb_type"], md["num_ref"]
+    bw.ue(mb_type)
+
+    def write_ref(ref):
+        if num_ref == 2:
+            bw.write(1 - ref, 1)
+        else:
+            bw.ue(ref)
+
+    if mb_type <= 2:
+        if num_ref > 1:
+            for (_a, _b, _c, _d, _mv, ref, _mvd) in md["parts"]:
+                write_ref(ref)
+        for (_a, _b, _c, _d, _mv, _ref, mvd) in md["parts"]:
+            bw.se(mvd[0])
+            bw.se(mvd[1])
+    else:
+        for t in md["sub_types"]:
+            bw.ue(t)
+        if mb_type == 3 and num_ref > 1:
+            seen = set()
+            for (dx4, dy4, _c, _d, _mv, ref, _mvd) in md["parts"]:
+                k8 = (dy4 // 2) * 2 + dx4 // 2
+                if k8 not in seen:
+                    seen.add(k8)
+                    write_ref(ref)
+        for (_a, _b, _c, _d, _mv, _ref, mvd) in md["parts"]:
+            bw.se(mvd[0])
+            bw.se(mvd[1])
+
+    cbp_luma, cbp_chroma = md["cbp_luma"], md["cbp_chroma"]
+    bw.ue(_CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
+    if md["has_residual"]:
+        bw.se(md["delta"])
+    for k in range(16):
+        dx, dy = BLK4_POS[k]
+        if cbp_luma & (1 << (k // 4)):
+            nC = st._nc_luma(bx0 + dx, by0 + dy, slice_id)
+            _write_residual(bw, md["luma_coeffs"][k], 16, nC)
+    if cbp_chroma:
+        for c in range(2):
+            _write_residual(bw, md["c_dc_lvl"][c], 4, -1)
+    if cbp_chroma == 2:
+        for c in range(2):
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                nC = st._nc_chroma(c, mbx * 2 + dx, mby * 2 + dy, slice_id)
+                _write_residual(bw, md["c_acs"][c][k], 15, nC)
+
+
+def _encode_inter_mb(st: _PictureDecoder, bw: _BitWriter, mb_addr: int,
+                     slice_id: int, qp_prev: int, src, opts: dict,
+                     num_ref: int) -> int:
+    md = _compute_inter_mb(st, mb_addr, slice_id, qp_prev, src, opts, num_ref)
+    _serialize_inter_cavlc(st, bw, mb_addr, slice_id, md)
+    return md["qp_out"]
+
+
+def _serialize_mvd_cabac(st: _PictureDecoder, cab: CabacEncoder, bx: int,
+                         by: int, comp: int, slice_id: int, mvd: int) -> None:
+    ssum = st._mvd_abs_sum(bx, by, comp, slice_id)
+    inc = 0 if ssum < 3 else (1 if ssum <= 32 else 2)
+    base = 40 if comp == 0 else 47
+    mag = abs(mvd)
+    cab.decision(base + inc, 1 if mag else 0)
+    if not mag:
+        return
+    for k in range(1, min(mag, 9)):
+        cab.decision(base + min(k + 2, 6), 1)
+    if mag < 9:
+        cab.decision(base + min(mag + 2, 6), 0)
+    else:
+        cab.eg_bypass(3, mag - 9)
+    cab.bypass(1 if mvd < 0 else 0)
+
+
+def _serialize_ref_cabac(st: _PictureDecoder, cab: CabacEncoder, bx: int,
+                         by: int, slice_id: int, ref: int) -> None:
+    inc = st._ref_gt0(bx - 1, by, slice_id) + 2 * st._ref_gt0(bx, by - 1, slice_id)
+    cab.decision(54 + inc, 1 if ref else 0)
+    for k in range(1, ref + 1):
+        bit = 1 if k < ref else 0
+        cab.decision(54 + (4 if k == 1 else 5), bit)
+
+
+def _serialize_inter_cabac(st: _PictureDecoder, cab: CabacEncoder,
+                           mb_addr: int, slice_id: int, md: dict,
+                           prev_dqnz: bool) -> bool:
+    """CABAC twin of _serialize_inter_cavlc, mirroring
+    _decode_inter_mb_cabac bin for bin."""
+    mbx, mby = mb_addr % st.mbw, mb_addr // st.mbw
+    bx0, by0 = mbx * 4, mby * 4
+    mb_type, num_ref = md["mb_type"], md["num_ref"]
+    # P mb_type tree (inter prefix "0..")
+    cab.decision(14, 0)
+    if mb_type == 0:
+        cab.decision(15, 0)
+        cab.decision(16, 0)
+    elif mb_type == 3:
+        cab.decision(15, 0)
+        cab.decision(16, 1)
+    elif mb_type == 2:
+        cab.decision(15, 1)
+        cab.decision(17, 0)
+    else:  # 16x8
+        cab.decision(15, 1)
+        cab.decision(17, 1)
+
+    if mb_type <= 2:
+        if num_ref > 1:
+            for (dx4, dy4, _c, _d, _mv, ref, _mvd) in md["parts"]:
+                _serialize_ref_cabac(st, cab, bx0 + dx4, by0 + dy4, slice_id, ref)
+        for (dx4, dy4, _c, _d, _mv, _ref, mvd) in md["parts"]:
+            _serialize_mvd_cabac(st, cab, bx0 + dx4, by0 + dy4, 0, slice_id, mvd[0])
+            _serialize_mvd_cabac(st, cab, bx0 + dx4, by0 + dy4, 1, slice_id, mvd[1])
+    else:
+        for t in md["sub_types"]:
+            if t == 0:
+                cab.decision(21, 1)
+            elif t == 1:
+                cab.decision(21, 0)
+                cab.decision(22, 0)
+            elif t == 2:
+                cab.decision(21, 0)
+                cab.decision(22, 1)
+                cab.decision(23, 1)
+            else:
+                cab.decision(21, 0)
+                cab.decision(22, 1)
+                cab.decision(23, 0)
+        if num_ref > 1:
+            seen = set()
+            for (dx4, dy4, _c, _d, _mv, ref, _mvd) in md["parts"]:
+                k8 = (dy4 // 2) * 2 + dx4 // 2
+                if k8 not in seen:
+                    seen.add(k8)
+                    _serialize_ref_cabac(
+                        st, cab, bx0 + (k8 % 2) * 2, by0 + (k8 // 2) * 2,
+                        slice_id, ref,
+                    )
+        for (dx4, dy4, _c, _d, _mv, _ref, mvd) in md["parts"]:
+            _serialize_mvd_cabac(st, cab, bx0 + dx4, by0 + dy4, 0, slice_id, mvd[0])
+            _serialize_mvd_cabac(st, cab, bx0 + dx4, by0 + dy4, 1, slice_id, mvd[1])
+
+    cbp_luma, cbp_chroma = md["cbp_luma"], md["cbp_chroma"]
+    partial = 0
+    for k in range(4):
+        a = st._cbp_luma_cond(mbx, mby, k, 0, partial, slice_id)
+        b = st._cbp_luma_cond(mbx, mby, k, 1, partial, slice_id)
+        bit = (cbp_luma >> k) & 1
+        cab.decision(73 + a + 2 * b, bit)
+        partial |= bit << k
+    a = st._cbp_chroma_cond(mbx - 1, mby, slice_id, two=False)
+    b = st._cbp_chroma_cond(mbx, mby - 1, slice_id, two=False)
+    cab.decision(77 + a + 2 * b, 1 if cbp_chroma else 0)
+    if cbp_chroma:
+        a = st._cbp_chroma_cond(mbx - 1, mby, slice_id, two=True)
+        b = st._cbp_chroma_cond(mbx, mby - 1, slice_id, two=True)
+        cab.decision(81 + a + 2 * b, 1 if cbp_chroma == 2 else 0)
+
+    dqnz = False
+    if md["has_residual"]:
+        delta = md["delta"]
+        mapped = 2 * delta - 1 if delta > 0 else -2 * delta
+        cab.decision(60 + (1 if prev_dqnz else 0), 1 if mapped else 0)
+        if mapped:
+            cab.decision(62, 1 if mapped > 1 else 0)
+            for _ in range(mapped - 2):
+                cab.decision(63, 1)
+            if mapped > 1:
+                cab.decision(63, 0)
+        dqnz = delta != 0
+    for k in range(16):
+        dx, dy = BLK4_POS[k]
+        if cbp_luma & (1 << (k // 4)):
+            inc = st._cbf_inc_luma(bx0 + dx, by0 + dy, slice_id, intra=False)
+            _serialize_residual_cabac(cab, 2, inc, md["luma_coeffs"][k], 16)
+    if cbp_chroma:
+        for c in range(2):
+            inc = st._cbf_inc_cdc(c, mbx, mby, slice_id, intra=False)
+            _serialize_residual_cabac(cab, 3, inc, md["c_dc_lvl"][c], 4)
+    if cbp_chroma == 2:
+        for c in range(2):
+            for k in range(4):
+                dx, dy = _CBLK_POS[k]
+                inc = st._cbf_inc_chroma(c, mbx * 2 + dx, mby * 2 + dy,
+                                         slice_id, intra=False)
+                _serialize_residual_cabac(cab, 4, inc, md["c_acs"][c][k], 15)
+    return dqnz
 
 
 def _pad_plane(p: np.ndarray, H: int, W: int) -> np.ndarray:
@@ -3133,8 +3583,6 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
     cabac = entropy == "cabac"
     if entropy not in ("cavlc", "cabac"):
         raise ValueError("entropy must be 'cavlc' or 'cabac'")
-    if cabac and ipp:
-        raise ValueError("CABAC P slices unsupported (I-slice CABAC staged)")
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     crop = (0, (mbw * 16 - w) // 2, 0, (mbh * 16 - h) // 2)
     sps_rbsp = _write_sps(mbw, mbh, crop, max_num_ref=2 if ipp else 0)
@@ -3146,6 +3594,7 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
     disable_idc = 0 if deblock else 1
     opts = {
         "qp": qp,
+        "cabac": cabac,
         "pcm_every": pcm_every,
         "qp_jitter": qp_jitter,
         "seed": seed,
@@ -3211,9 +3660,32 @@ def encode_h264_frames(frames, qp: int = 28, *, deblock: bool = True,
                 cab = CabacEncoder(bw, CabacContexts(qp))
                 dqnz = False
                 for mb_addr in range(first, last):
-                    md = _compute_intra_mb(st, mb_addr, si, qp_prev, src, opts)
-                    dqnz = _serialize_mb_cabac(st, cab, mb_addr, si, md, dqnz)
-                    qp_prev = md["qp_out"]
+                    if is_p:
+                        mbx_, mby_ = mb_addr % mbw, mb_addr // mbw
+                        hh = _det_hash(opts["seed"], mb_addr, 7)
+                        skip = hh % 5 == 0
+                        cab.decision(11 + st._skip_inc(mbx_, mby_, si),
+                                     1 if skip else 0)
+                        if skip:
+                            qp_prev = st._decode_skip_mb(mb_addr, si, qp_prev)
+                            st.mb_deblock[mb_addr] = opts["deblock_params"]
+                            dqnz = False  # P_Skip carries no mb_qp_delta
+                        elif hh % 4 == 3:  # intra MB inside the P slice
+                            md = _compute_intra_mb(st, mb_addr, si, qp_prev,
+                                                   src, opts)
+                            dqnz = _serialize_mb_cabac(st, cab, mb_addr, si,
+                                                       md, dqnz, is_p=True)
+                            qp_prev = md["qp_out"]
+                        else:
+                            md = _compute_inter_mb(st, mb_addr, si, qp_prev,
+                                                   src, opts, num_ref)
+                            dqnz = _serialize_inter_cabac(st, cab, mb_addr,
+                                                          si, md, dqnz)
+                            qp_prev = md["qp_out"]
+                    else:
+                        md = _compute_intra_mb(st, mb_addr, si, qp_prev, src, opts)
+                        dqnz = _serialize_mb_cabac(st, cab, mb_addr, si, md, dqnz)
+                        qp_prev = md["qp_out"]
                     cab.terminate(1 if mb_addr == last - 1 else 0)
                 nbits = sum(len(b) for b in bw.bits)
                 if nbits % 8:  # trailing zero pad after the flushed stop bit

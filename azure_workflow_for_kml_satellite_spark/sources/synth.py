@@ -1126,6 +1126,10 @@ def video_spec(i: int) -> dict:
             enc["idr_every"] = 3
         elif i % 3 == 2:
             enc["deblock"] = False
+        if 16 <= i <= 18:
+            # round 7: IPP GOPs under CABAC too — mb_skip_flag, P mb_type
+            # tree, sub_mb_type, ref_idx, UEG3 mvd, inter cbf contexts
+            enc["entropy"] = "cabac"
     else:
         variant = i % 5
         if variant == 1:

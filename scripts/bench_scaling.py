@@ -21,9 +21,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def one_run(sf_dir: str, cores: int, date_start: str, date_end: str, stage: str = "pipeline") -> dict:
+def one_run(sf_dir: str, cores: int, date_start: str, date_end: str,
+            stage: str = "pipeline", cluster: bool = False) -> dict:
     """Run the pipeline portion in a fresh process (fresh JVM) for a clean
-    measurement."""
+    measurement. ``cluster=True`` uses local-cluster[execs,2,6144] — real
+    executor PROCESSES with a real serialization/shuffle boundary, the
+    closest single-box proxy to multi-node (round-6 verdict task 5) —
+    with `cores` total cores split two per executor."""
+    master = ""
+    if cluster:
+        execs = max(1, cores // 2)
+        per = 2 if cores >= 2 else 1
+        master = f"local-cluster[{execs},{per},6144]"
     code = f"""
 import json, sys, time
 sys.path.insert(0, {str(REPO)!r})
@@ -31,7 +40,7 @@ from azure_workflow_for_kml_satellite_spark import get_spark
 from azure_workflow_for_kml_satellite_spark.pipeline import build_aois, engine_dir, load_tables
 from azure_workflow_for_kml_satellite_spark.operators.spatial_join import spatial_join_best_scene
 from azure_workflow_for_kml_satellite_spark.operators.ndvi import ndvi_stats
-spark = get_spark("scaling", cores={cores})
+spark = get_spark("scaling", cores={cores}, master={master!r} or None)
 spark.sparkContext.setLogLevel("ERROR")
 ed = engine_dir({sf_dir!r})
 t = load_tables(spark, ed)
@@ -51,8 +60,11 @@ print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall,2),
     "geoms_per_sec": round(n_geoms/wall, 2)}}))
 spark.stop()
 """
+    import os
+    env = dict(os.environ, PYTHONPATH=str(REPO))  # executor python workers
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -71,10 +83,14 @@ def main() -> None:
     ap.add_argument("--date-start", default="2016-01-01")
     ap.add_argument("--date-end", default="2025-12-31")
     ap.add_argument("--stage", default="pipeline", choices=["pipeline", "relational"])
+    ap.add_argument("--local-cluster", action="store_true",
+                    help="local-cluster[n/2,2,6144] executor PROCESSES "
+                         "instead of local[n] threads")
     args = ap.parse_args()
 
     def best(cores: int) -> dict:
-        runs = [one_run(args.sf_dir, cores, args.date_start, args.date_end, args.stage)
+        runs = [one_run(args.sf_dir, cores, args.date_start, args.date_end,
+                        args.stage, cluster=args.local_cluster)
                 for _ in range(args.repeat)]
         return max(runs, key=lambda r: r["geoms_per_sec"])
 
@@ -91,9 +107,10 @@ def main() -> None:
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(report, indent=2))
+    mode = "local-cluster" if args.local_cluster else "local"
     print(
-        f"\n| {Path(args.sf_dir).name} | local[{args.n}] {lo['geoms_per_sec']} geom/s "
-        f"| local[{4*args.n}] {hi['geoms_per_sec']} geom/s | eff {report['scaling_efficiency']} |"
+        f"\n| {Path(args.sf_dir).name} | {mode}[{args.n}] {lo['geoms_per_sec']} geom/s "
+        f"| {mode}[{4*args.n}] {hi['geoms_per_sec']} geom/s | eff {report['scaling_efficiency']} |"
     )
 
 
