@@ -22,12 +22,14 @@ Scope (honest, documented):
   transforms (4x4 core, 4x4 luma-DC Hadamard, 2x2 chroma-DC), and the
   full in-loop deblocking filter with per-edge-segment boundary
   strengths (intra / coded-residual / ref- or MV-difference, 8.7.2.1).
-- **Decoded (round 7)**: CABAC I slices — the full arithmetic decoding
-  engine (functions/cabac.py, structurally validated tables), I-slice
-  binarizations and context modeling (mb_type incl. I_PCM-with-engine-
-  restart, intra pred modes, cbp, mb_qp_delta, coded_block_flag,
-  significance maps, UEG0 levels), multi-slice, strict end_of_slice
-  consumption checks. LIMITED to streams carrying this repo's SEI
+- **Decoded (round 7)**: CABAC I AND P slices — the full arithmetic
+  decoding engine (functions/cabac.py, structurally validated tables),
+  I-slice binarizations and context modeling (mb_type incl. I_PCM-with-
+  engine-restart, intra pred modes, cbp, mb_qp_delta, coded_block_flag,
+  significance maps, UEG0 levels), the P-slice layer (mb_skip_flag,
+  P mb_type tree + intra suffix, sub_mb_type, ref_idx, UEG3 mvd with
+  neighbour-|mvd| contexts, inter cbf rules), multi-slice, strict
+  end_of_slice consumption checks. LIMITED to streams carrying this repo's SEI
   provenance marker (CABAC_MARKER_UUID): contexts initialize UNIFORMLY,
   not from the spec's trained (m,n) tables — those ~460x2 constants
   have no structural validity check and no oracle in this container
@@ -38,8 +40,8 @@ Scope (honest, documented):
   upgrade path: validate a spec-init transcription against it, then
   drop the marker gate.
 - **Rejected with ValueError** (→ per-row decode_error upstream, never a
-  wrong decode): CABAC P/B slices and foreign (unmarked) CABAC streams
-  (above), B slices, weighted prediction, reference-list modification,
+  wrong decode): foreign (unmarked) CABAC streams (above), B slices
+  (either entropy coder), weighted prediction, reference-list modification,
   adaptive marking (MMCO), scaling matrices, 8x8 transform, field
   coding, slice groups, non-4:2:0 chroma, SVC/MVC NAL types.
 

@@ -25,7 +25,7 @@ frame timing/byte ranges — with 'jpeg'/'V_MJPEG' payloads decoding to
 true pixel hashes and MP4 `avc1` decoded by the from-scratch H.264
 baseline-intra decoder (functions/h264.py). Only the remaining
 compressed A/V codec payloads (aac/opus samples, foreign/unmarked-CABAC
-and CABAC-P/B H.264, hvc1/VP9 — no PIL/ffmpeg in this container) emit an
+and B-slice H.264, hvc1/VP9 — no PIL/ffmpeg in this container) emit an
 honest per-row decode_error; unrecognized containers keep the
 clearly-marked deterministic stand-in: swapping ``_fake_decode_image``
 for a PIL call is a one-function change; schemas, Arrow batch shape,
@@ -834,9 +834,9 @@ def video_frame_sample(
     to true pixel hashes, and MP4 `avc1` frames decode through the
     from-scratch H.264 baseline-intra decoder (functions/h264.py — avcC
     extradata from the stsd sample entry, length-prefixed NALs per
-    sample) to true pixel hashes too — incl. CABAC I slices (round 7,
-    marker-gated, functions/cabac.py); sub-features the decoder still
-    rejects (foreign CABAC, CABAC P/B) surface as per-FRAME decode errors on
+    sample) to true pixel hashes too — incl. CABAC I and P slices
+    (round 7, marker-gated, functions/cabac.py); sub-features the decoder
+    still rejects (foreign CABAC, B slices) surface as per-FRAME decode errors on
     real timing rows. Remaining compressed codecs (hvc1/V_MPEG4/… — no
     ffmpeg here) emit rows with real timing but a per-row decode_error
     naming the undecodable codec. Unrecognized containers keep the

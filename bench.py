@@ -101,6 +101,43 @@ def calibrate() -> dict:
     }
 
 
+def _pin_cpus(n: int) -> None:
+    """Pin this process AND its whole tree (JVM gateway, pyspark daemons,
+    python workers) to CPUs 0..n-1.
+
+    Round-7 A/B on the NDVI leg (scripts/bench_pinning.py, interleaved
+    arms at local[16] on this one-socket/one-NUMA-node 32-core box):
+    pinned runs were faster on EVERY pair and cut the wall-clock spread
+    from 83.9% to 23.7% (92.4/101.5/114.3 s vs 102.3/120.8/188.2 s) —
+    free scheduler migration across the unused cores costs cache
+    residency. Best-effort: the JVM persists across probe levels, so the
+    tree is re-pinned (and re-expanded) at every run. SPARK_GRAFT_PIN=0
+    disables."""
+    if os.environ.get("SPARK_GRAFT_PIN", "1") == "0":
+        return
+    try:
+        cpus = set(range(n))
+        pids = {os.getpid()}
+        for _ in range(3):  # a few passes to catch grandchildren
+            for p in os.listdir("/proc"):
+                if not p.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{p}/stat") as f:
+                        ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+                    if ppid in pids:
+                        pids.add(int(p))
+                except (OSError, ValueError, IndexError):
+                    continue
+        for pid in pids:
+            try:
+                os.sched_setaffinity(pid, cpus)
+            except OSError:
+                continue
+    except Exception:
+        pass  # pinning is an optimization, never a failure
+
+
 def run_bench(sf_dir: str, cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -128,6 +165,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
 
     spark = get_spark("kmlsat-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    _pin_cpus(cores)
     ed = engine_dir(sf_dir)
     t = load_tables(spark, ed)
 
