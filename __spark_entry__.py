@@ -697,13 +697,15 @@ def _q_audio_metadata(spark, sf_dir):
 
 
 def _q_video_frames(spark, sf_dir):
-    """Video decode gate (round 6): avc1-in-MP4 clips sampled at a fixed
-    cadence through video_frame_sample — ISO-BMFF demux, stsd→avcC
-    extradata, and the from-scratch H.264 baseline-CAVLC decoder
-    (functions/h264.py: all intra modes, I_PCM, multi-slice, deblocking,
-    AND P frames — assets 14+ are IPP GOPs with P_Skip runs, all
-    partition shapes, quarter-pel MVs, decoded through the sequential
-    sliding-window DPB). The oracle recomputes timing from the synth spec and
+    """Video decode gate (round 6, CABAC added round 7): avc1-in-MP4
+    clips sampled at a fixed cadence through video_frame_sample —
+    ISO-BMFF demux, stsd→avcC extradata, and the from-scratch H.264
+    decoder (functions/h264.py: all intra modes, I_PCM, multi-slice,
+    deblocking, AND P frames — assets 14+ are IPP GOPs with P_Skip runs,
+    all partition shapes, quarter-pel MVs, decoded through the sequential
+    sliding-window DPB; assets 5-9 are CABAC intra and 16-18 CABAC IPP,
+    exercising the arithmetic engine + I/P context modeling of
+    functions/cabac.py behind the SEI provenance gate). The oracle recomputes timing from the synth spec and
     pixel hashes from the ENCODER's reconstruction via independent scalar
     YUV→RGB + average-hash kernels — the decoder must match the encoder
     recon bit-exactly (and the demux must find the right bytes) for the

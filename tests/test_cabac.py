@@ -280,3 +280,57 @@ def test_cabac_annexb_stream_multi_au():
     for out, recon in zip(outs, enc["recons"]):
         for a, b in zip(out, recon):
             assert np.array_equal(a, b)
+
+
+# ── embedded stream golden ──────────────────────────────────────────────────
+
+# A CABAC IPP stream (4 frames, PCM-in-P, qp jitter) frozen at round 7.
+# Decoder-only pin: the BYTES are fixed here, so a co-drifting encoder+
+# decoder change cannot silently alter the bitstream format — the decoder
+# must keep decoding *today's* format to these plane hashes.
+_GOLDEN_CABAC_B64 = (
+    "eNqd1FlQU1cYwPEbIRAQcBhQ6hYQRMCR1SK4kpFNxGEJ+xJJCNlQICxh11BJggSQyxIoCbJv"
+    "CoaAQsEoAtOojQwaUagFERRQdEpplBYoxbbOfeh5xP+cme88/J6+OXMgCELRTk5hx+1h6N8r"
+    "feFY1n9TDW2SnkI9l0iKJEsgSOXLGWDFMqhxCTGWZFIkiWzJiGUkJX7BlB7vZT/mkz2z5nYo"
+    "B70ijJvmUOrmG3ZiPVMjpiB8+/japNtKnUimZXlsV6WUrobKCuz/rXWPHc1HLd8MVhzCGno+"
+    "7GmBtDeLBtbP8CQhIdh1g4Fu8nbnLbrMde3OsYoVKy8DCcs+UfvnnNUpzJC4Ur4cv9T3NGEu"
+    "b6w8TaPUjzdaksLy8QsMCY+IpNDPxcYnpaRfwAcEh50lRdGiY5iJyWmZbP+gUAKRTGWcj0tg"
+    "pWZc/A7UWdmgvsQFNScH1LxcUF/OAzW/ANT5haC+UgRquATUxQJQl5aDuqwC1N+LfEKjYlMv"
+    "5Zd97cQhnULyQQpGIiLRkZhIqUhqDLHihIV/IeylyR9MPpvbyxep7oZJPu8yPuWXJrSuPi7b"
+    "8LsivameOn0nLVXIjaIz3X51N/YlLpYGSe3bYcqmCJRi0XaGy848P1Ml7emmytFDebzkDhlW"
+    "d5Pj0nQrY8UwAYY06loHxw2OVJOtqfONa7OVLxw9yxeBLVZW1wFbrKpt+N/OhVdr6ptA3dgC"
+    "6ubroL7WBupWMahvSEDd3gnqjlugvtkN6q4eUP9wG9S9d0At7QP13X4CLT6DW1hR/9UTiYIU"
+    "g8RCuoDERSpAEiAdWNUwh8znQ/If7iSxjXnaFW61gZwi6BWeuPEHMuv+Ge2fP4jShw/P6jTz"
+    "HYZLc2eYYkJkmlQ1WngZh7338hHBzhYj9thS9EbPoy1a2WbSBUGLxjvYHLnzOsyqHerrHcD1"
+    "GbouOMcoPp4c6Z08leEw0PDO8s+KAVOFT/h8FO4cXjMkzKR4NO/1L0LUwhKma9Xyo0nNGryk"
+    "9cSGbZMZ9u2ZgK0u6tLMMN4D0tURmXH/th/x+mKb8WKUjo0G763bIapTMZk9j4kreX8QH5Ou"
+    "vDtipbXPWtLmylU+40x45NlIySfh1Vioh/U7TmDt7Op8af9NgkUIH8apcy7sDTQIVdGpH0eL"
+    "5FVR6jXJ00KRkjZVm+Sb9foWpzXHFG9FKXpiwOE3jdlv6mznF6gNWZtJgzb+g5Peun/eRQg2"
+    "JGrYmobv2N8B9d/+xkP+nmNWC1W0y5yeE9d2R35Y/mufS0nH8kj39Of7KCum6869D8TGT48S"
+    "fB85Pluo1tUg7cos+ttjdE7Lvar5aAu6Be4UuhwRqWxd3JxtjlXcOYybvvVB9gqz+7pSHjQp"
+    "Jzr1tUVfTMEUUiVuvigvFD1tWPncszFpYk6o9YdM70NiI7F62AKDp9OPhnoGMK9vC3Q9rnf+"
+    "BHS/2HrF6CVbOBM+8dNCR/L0RECzv8BIKfrEcWQrbSL4wTSVKAXlmMGVHTp51uhhin52ckO6"
+    "H3TghKYq13uLZ/Fsbdfgoxcug8f7VSZ67uq+tndPkGQ6CWjeceScpu4Cgixi1P2gn7ApNx5N"
+    "rHT4mDZnOokNzx4WMGjKe2OPr71zMPoHbwhXFw=="
+)
+
+_GOLDEN_CABAC_FRAME_MD5 = [
+    "4ed2795d61280f44f4cc9f4d509990f6",
+    "d00bd7441b91705277f056fa9f00d46f",
+    "403559892d1f5c05fb09b0a7555e19a9",
+    "d7951f01ec0db10c13eb2feb28faccea",
+]
+
+
+def test_cabac_stream_golden_decodes_bit_exactly():
+    import base64
+    import hashlib
+    import zlib
+
+    stream = zlib.decompress(base64.b64decode(_GOLDEN_CABAC_B64))
+    assert hashlib.md5(stream).hexdigest() == "e62dea6791635899d1ada48a61bdb22c"
+    outs = H.decode_h264_annexb_stream(stream)
+    assert len(outs) == 4
+    for (y, u, v), want in zip(outs, _GOLDEN_CABAC_FRAME_MD5):
+        got = hashlib.md5(y.tobytes() + u.tobytes() + v.tobytes()).hexdigest()
+        assert got == want
