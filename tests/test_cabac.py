@@ -334,3 +334,104 @@ def test_cabac_stream_golden_decodes_bit_exactly():
     for (y, u, v), want in zip(outs, _GOLDEN_CABAC_FRAME_MD5):
         got = hashlib.md5(y.tobytes() + u.tobytes() + v.tobytes()).hexdigest()
         assert got == want
+
+
+# ── syntax-element-level round-trips at extremes ────────────────────────────
+
+
+def test_residual_syntax_round_trip_extremes():
+    """Random coefficient patterns per ctxBlockCat directly through
+    _serialize_residual_cabac / _decode_residual_cabac — reaches level
+    magnitudes deep past the TU-14 escape and every category's context
+    schedule, which the frame-level matrices only sample."""
+    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+        _serialize_residual_cabac,
+    )
+
+    rng = random.Random(5)
+    for trial in range(300):
+        cat = rng.randrange(5)
+        max_coeff = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15}[cat]
+        coeffs = [0] * max_coeff
+        n_sig = rng.randint(1, max_coeff)
+        for i in rng.sample(range(max_coeff), n_sig):
+            mag = rng.choice([1, 1, 2, 3, 14, 15, 16, 40, 500, 70000])
+            coeffs[i] = mag if rng.random() < 0.5 else -mag
+        inc = rng.randrange(4)
+        bw = H._BitWriter()
+        enc = CabacEncoder(bw, CabacContexts(26))
+        _serialize_residual_cabac(enc, cat, inc, coeffs, max_coeff)
+        enc.terminate(1)
+        _pad(bw)
+        # decode through a minimal picture state (ctx helpers unused: the
+        # cbf inc is passed straight through)
+        sps = {"width_mbs": 1, "height_mbs": 1, "poc": {"type": 2},
+               "log2_max_frame_num": 4, "max_num_ref_frames": 0}
+        pps = {"id": 0, "chroma_qp_off": 0, "bottom_field_poc": 0,
+               "redundant": 0, "num_ref_idx_l0": 1, "weighted_pred": 0,
+               "pic_init_qp": 26, "deblock_ctrl": 0, "cabac": 1}
+        pic = H._PictureDecoder(sps, pps)
+        dec = CabacDecoder(H._BitReader(bw.tobytes()), CabacContexts(26))
+        got, tc, cbf = pic._decode_residual_cabac(dec, cat, inc, max_coeff)
+        assert dec.terminate() == 1
+        assert got == coeffs, (trial, cat, coeffs, got)
+        assert tc == n_sig and cbf
+
+
+def test_mvd_and_ref_syntax_round_trip_extremes():
+    """mvd values across the UEG3 escape boundary (|mvd| 8,9,10 and huge)
+    and ref_idx unary depths, through the real serializer/parser pair with
+    a live picture state so the neighbour contexts evolve on both sides."""
+    from azure_workflow_for_kml_satellite_spark.functions.h264 import (
+        _serialize_mvd_cabac,
+        _serialize_ref_cabac,
+    )
+
+    rng = random.Random(9)
+    sps = {"width_mbs": 4, "height_mbs": 4, "poc": {"type": 2},
+           "log2_max_frame_num": 4, "max_num_ref_frames": 2}
+    pps = {"id": 0, "chroma_qp_off": 0, "bottom_field_poc": 0,
+           "redundant": 0, "num_ref_idx_l0": 2, "weighted_pred": 0,
+           "pic_init_qp": 26, "deblock_ctrl": 0, "cabac": 1}
+    for trial in range(60):
+        ops = []
+        for _ in range(rng.randint(1, 30)):
+            bx, by = rng.randrange(16), rng.randrange(16)
+            if rng.random() < 0.7:
+                mvd = rng.choice([0, 1, -1, 8, -8, 9, -9, 10, -10, 33,
+                                  -33, 511, -512, 20000])
+                ops.append(("mvd", bx, by, rng.randint(0, 1), mvd))
+            else:
+                ops.append(("ref", bx, by, rng.randint(0, 1)))
+        st_e = H._PictureDecoder(sps, pps)
+        bw = H._BitWriter()
+        enc = CabacEncoder(bw, CabacContexts(26))
+        for op in ops:
+            if op[0] == "mvd":
+                _, bx, by, comp, mvd = op
+                _serialize_mvd_cabac(st_e, enc, bx, by, comp, 0, mvd)
+                st_e.mvd[by, bx, comp] = mvd
+                st_e.mb_slice[(by // 4) * 4 + bx // 4] = 0
+            else:
+                _, bx, by, ref = op
+                _serialize_ref_cabac(st_e, enc, bx, by, 0, ref)
+                st_e.ref_idx[by, bx] = ref
+                st_e.mb_slice[(by // 4) * 4 + bx // 4] = 0
+        enc.terminate(1)
+        _pad(bw)
+        st_d = H._PictureDecoder(sps, pps)
+        dec = CabacDecoder(H._BitReader(bw.tobytes()), CabacContexts(26))
+        for op in ops:
+            if op[0] == "mvd":
+                _, bx, by, comp, mvd = op
+                got = st_d._mvd_cabac(dec, bx, by, comp, 0)
+                assert got == mvd, (trial, op, got)
+                st_d.mvd[by, bx, comp] = mvd
+                st_d.mb_slice[(by // 4) * 4 + bx // 4] = 0
+            else:
+                _, bx, by, ref = op
+                got = st_d._ref_idx_cabac(dec, bx, by, 0, 2)
+                assert got == ref, (trial, op, got)
+                st_d.ref_idx[by, bx] = ref
+                st_d.mb_slice[(by // 4) * 4 + bx // 4] = 0
+        assert dec.terminate() == 1
