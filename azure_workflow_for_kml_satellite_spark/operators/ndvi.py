@@ -46,9 +46,6 @@ def compute_ndvi_for_row(rec: dict, include_raster: bool = False) -> dict:
     read_bbox = [rec["min_lon"], rec["min_lat"], rec["max_lon"], rec["max_lat"]]
     scene_bbox = [rec["s_min_lon"], rec["s_min_lat"], rec["s_max_lon"], rec["s_max_lat"]]
     collection = rec["ndvi_collection"]
-    bands = R.read_window_bands(
-        rec["scene_id"], scene_bbox, rec["resolution_m"], read_bbox, collection
-    )
     out = {
         "ndvi_mean": None,
         "ndvi_min": None,
@@ -60,6 +57,33 @@ def compute_ndvi_for_row(rec: dict, include_raster: bool = False) -> dict:
         "masked_pixels": None,
         "ndvi_raster": None,
     }
+    if not include_raster:
+        # stats-only rows run the cache-blocked evaluator (bit-identical
+        # values; ~6x on monster windows — see raster.py blocked section)
+        res = R.ndvi_window_stats_blocked(
+            rec["scene_id"], scene_bbox, rec["resolution_m"], read_bbox, collection
+        )
+        if res is None:
+            return out
+        stats, masked = res
+        if stats is None:
+            return out
+        out.update(
+            {
+                "ndvi_mean": stats["mean"],
+                "ndvi_min": stats["min"],
+                "ndvi_max": stats["max"],
+                "ndvi_std": stats["std"],
+                "ndvi_median": stats["median"],
+                "valid_pixels": stats["valid_pixels"],
+                "total_pixels": stats["total_pixels"],
+                "masked_pixels": masked,
+            }
+        )
+        return out
+    bands = R.read_window_bands(
+        rec["scene_id"], scene_bbox, rec["resolution_m"], read_bbox, collection
+    )
     if bands is None:
         return out
     if collection == "landsat-c2-l2":
