@@ -177,6 +177,17 @@ _QA_TABLE = np.array([2, 8, 16, 0, 0, 0, 0, 0, 0, 0], dtype=np.uint16)
 # reference: eudr.py:229-241): 0=nodata sprinkled at ~2%.
 _CLASS_TABLE = np.array([10, 10, 10, 20, 30, 40, 50, 60, 80, 95], dtype=np.uint8)
 
+# Exact divisibility via modular inverse (odd d): x % d == 0  ⟺
+# (x * d⁻¹ mod 2³²) ≤ ⌊(2³² − 1) / d⌋. One u32 multiply + compare replaces
+# np.mod, which this numpy build runs ~10x slower than multiply (measured
+# 0.43 vs 3.9 Gelem/s) — the nodata masks only need the divisibility bit.
+_INV97 = np.uint32(pow(97, -1, 2**32))
+_THR97 = np.uint32((2**32 - 1) // 97)
+_INV101 = np.uint32(pow(101, -1, 2**32))
+_THR101 = np.uint32((2**32 - 1) // 101)
+_INV53 = np.uint32(pow(53, -1, 2**32))
+_THR53 = np.uint32((2**32 - 1) // 53)
+
 
 def gen_band(
     seed: int, band: int, window: tuple[int, int, int, int]
@@ -196,26 +207,30 @@ def gen_band(
         np.mod(t32, np.uint32(1200), out=t32)
         np.add(t32, np.uint32(300), out=t32)
         vals = t32.astype(np.uint16)
-        np.mod(h, np.uint32(97), out=h)
-        np.equal(h, 0, out=mask)
+        np.multiply(h, _INV97, out=h)  # h % 97 == 0 ⟺ h·97⁻¹ ≤ _THR97
+        np.less_equal(h, _THR97, out=mask)
         vals[mask] = 0  # ~1% nodata
         return vals
     if band == BAND_NIR:
         # Smooth vegetation gradient + noise so NDVI has spatial structure.
-        rows = (np.arange(row0, row1, dtype=np.uint32) * np.uint32(13))[:, None]
-        cols = (np.arange(col0, col1, dtype=np.uint32) * np.uint32(7))[None, :]
+        # (13·row + 7·col + seed%1000) % 100 is separable: reduce each 1-D
+        # term mod 100 first, then one conditional subtract folds the sum
+        # (< 200) — replaces the full-2D np.mod (the slow op, see above).
+        rmod = (np.arange(row0, row1, dtype=np.uint32) * np.uint32(13)
+                + np.uint32(int(seed) % 1000)) % np.uint32(100)
+        cmod = (np.arange(col0, col1, dtype=np.uint32) * np.uint32(7)) % np.uint32(100)
         veg = _scratch("gbveg", n, np.uint32).reshape(hh, ww)
-        np.add(rows, cols, out=veg)
-        np.add(veg, np.uint32(int(seed) % 1000), out=veg)
-        np.mod(veg, np.uint32(100), out=veg)
+        np.add(rmod[:, None], cmod[None, :], out=veg)
+        np.greater_equal(veg, np.uint32(100), out=mask)
+        np.subtract(veg, np.uint32(100), out=veg, where=mask)
         np.multiply(veg, np.uint32(55), out=veg)
         np.right_shift(h, 8, out=t32)
         np.mod(t32, np.uint32(900), out=t32)
         np.add(t32, veg, out=t32)
         np.add(t32, np.uint32(400), out=t32)
         vals = t32.astype(np.uint16)
-        np.mod(h, np.uint32(101), out=h)
-        np.equal(h, 0, out=mask)
+        np.multiply(h, _INV101, out=h)
+        np.less_equal(h, _THR101, out=mask)
         vals[mask] = 0  # ~1% nodata
         return vals
     if band in (BAND_SCL, BAND_QA, BAND_CLASS):
@@ -225,8 +240,8 @@ def gen_band(
         if band == BAND_QA:
             return _QA_TABLE[t32]
         out = _CLASS_TABLE[t32]
-        np.mod(h, np.uint32(53), out=h)
-        np.equal(h, 0, out=mask)
+        np.multiply(h, _INV53, out=h)
+        np.less_equal(h, _THR53, out=mask)
         out[mask] = 0  # ~2% nodata class code
         return out
     raise ValueError(f"unknown band code {band}")
@@ -458,17 +473,31 @@ def ndvi_statistics_from_values(
     array (row-major order). The blocked window path concatenates per-block
     compactions into exactly the array ``ndvi[valid_mask]`` yields, so both
     entry points are bit-identical."""
-    if len(valid_pixels) == 0:
+    n = len(valid_pixels)
+    if n == 0:
         return None
+    s = np.sort(valid_pixels)
     return {
         "mean": round(float(np.mean(valid_pixels)), 4),
-        "min": round(float(np.min(valid_pixels)), 4),
-        "max": round(float(np.max(valid_pixels)), 4),
+        "min": round(float(s[0]), 4),
+        "max": round(float(s[-1]), 4),
         "std": round(float(np.std(valid_pixels)), 4),
-        "median": round(float(np.median(valid_pixels)), 4),
-        "valid_pixels": int(len(valid_pixels)),
+        "median": round(float(_median_sorted(s)), 4),
+        "valid_pixels": int(n),
         "total_pixels": int(total_pixels),
     }
+
+
+def _median_sorted(s: np.ndarray):
+    """np.median of a NaN-free array, taken from its sorted copy. Identical
+    value: np.median partitions to the same order statistics this sorted
+    array holds, then np.mean's the middle slice — reproduced verbatim here.
+    (On this numpy build, SIMD np.sort beats introselect np.partition ~1.5x
+    on the duplicate-heavy NDVI distribution, and the sorted array also gives
+    min/max for free.)"""
+    n = len(s)
+    h = n // 2
+    return np.mean(s[h - 1 : h + 1]) if n % 2 == 0 else np.mean(s[h : h + 1])
 
 
 # ── cache-blocked window evaluation ─────────────────────────────────────────

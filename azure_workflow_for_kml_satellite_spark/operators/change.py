@@ -143,12 +143,13 @@ def change_stats_for_pair_blocked(
     valid_deltas = parts[0] if len(parts) == 1 else np.concatenate(parts)
     pixel_area_ha = abs(res_a * res_a) / 10_000
     n_stable = n_valid - n_loss - n_gain
+    s = np.sort(valid_deltas)  # order statistics: median/min/max (raster.py)
     return {
         "mean_delta": round(float(np.mean(valid_deltas)), 4),
-        "median_delta": round(float(np.median(valid_deltas)), 4),
+        "median_delta": round(float(R._median_sorted(s)), 4),
         "std_delta": round(float(np.std(valid_deltas)), 4),
-        "min_delta": round(float(np.min(valid_deltas)), 4),
-        "max_delta": round(float(np.max(valid_deltas)), 4),
+        "min_delta": round(float(s[0]), 4),
+        "max_delta": round(float(s[-1]), 4),
         "loss_ha": round(n_loss * pixel_area_ha, 2),
         "gain_ha": round(n_gain * pixel_area_ha, 2),
         "stable_ha": round(n_stable * pixel_area_ha, 2),
