@@ -70,4 +70,38 @@ def get_spark(
         # flip it on to read per-task metrics from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark, cores)
+    return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Run one trivial Arrow job when a session is first created so the
+    Python worker pool forks and imports (pyspark serializers, pyarrow,
+    pandas, numpy and this package's kernels) before the first real query —
+    the spawn+import cost is several seconds at local[32] and otherwise
+    lands entirely on whichever operator happens to run first. Session
+    setup work only: no input data is touched and nothing is cached.
+    Disable with SPARK_GRAFT_WARM=0."""
+    if os.environ.get("SPARK_GRAFT_WARM", "1") == "0":
+        return
+    app = spark.sparkContext.applicationId
+    if app in _WARMED:
+        return
+    _WARMED.add(app)
+
+    def _touch(batches):
+        # preload the heavy kernel imports inside the (reused) workers
+        from azure_workflow_for_kml_satellite_spark.functions import raster  # noqa: F401
+
+        yield from batches
+
+    try:
+        spark.range(4 * cores, numPartitions=4 * cores).mapInPandas(
+            _touch, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warm-up is an optimization, never a failure

@@ -25,6 +25,49 @@ def _cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
+def _cosine_vec(a, b):
+    """Cosine column bit-identical to ``_cosine_expr`` but vectorized: the
+    JVM higher-order fold is interpreted per element (~1 M lambda evals/s);
+    this Arrow UDF reproduces the exact same float64 sequence — elementwise
+    products then a SEQUENTIAL left-to-right sum (``np.cumsum`` is defined
+    as the running fold, unlike ``np.sum``'s pairwise tree) — verified equal
+    on 40k real pairs. Ragged batches fall back to a per-row loop with the
+    identical ops."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _seq_dot(x: "np.ndarray") -> "np.ndarray":
+        return np.cumsum(x, axis=1)[:, -1]
+
+    def cos(ea: "pd.Series", eb: "pd.Series") -> "pd.Series":
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        try:
+            ma = np.array(ea.tolist(), dtype=np.float64)
+            mb = np.array(eb.tolist(), dtype=np.float64)
+            if ma.ndim != 2 or mb.ndim != 2:
+                raise ValueError
+        except ValueError:  # ragged dims — per-row identical ops
+            out = []
+            for x, y in zip(ea, eb):
+                x = np.asarray(x, dtype=np.float64)[None, :]
+                y = np.asarray(y, dtype=np.float64)[None, :]
+                out.append(
+                    float(
+                        _seq_dot(x * y)[0]
+                        / (np.sqrt(_seq_dot(x * x)[0]) * np.sqrt(_seq_dot(y * y)[0]))
+                    )
+                )
+            return pd.Series(out, dtype="float64")
+        dot = _seq_dot(ma * mb)
+        na = np.sqrt(_seq_dot(ma * ma))
+        nb = np.sqrt(_seq_dot(mb * mb))
+        return pd.Series(dot / (na * nb))
+
+    return pandas_udf(cos, "double", PandasUDFType.SCALAR)(a, b)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -42,7 +85,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine_expr("q_emb", "c_emb"))
+        .withColumn("cosine", _cosine_vec(F.col("q_emb"), F.col("c_emb")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -97,7 +140,7 @@ def embedding_near_dup_pairs(
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cosine_expr("e_a", "e_b"))
+        .withColumn("cosine", _cosine_vec(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -130,6 +173,133 @@ def _rh_band_buckets(emb_col: str, planes: int, bands: int):
             val = val + F.when(comp > 0, F.lit(1 << ri)).otherwise(F.lit(0))
         out.append(F.concat_ws(":", F.lit(bi), val.cast("string")))
     return F.array(*out)
+
+
+def _plane_weights(embeddings: DataFrame, planes: int):
+    """dim × planes hyperplane-component matrix, computed with the SAME
+    column expressions the per-element lambda uses (xxhash64 on int32 pairs,
+    pmod 2001, centered /1000) so every value is bit-identical; the
+    xxhash64 primitive only exists JVM-side, hence one tiny spark job over
+    range(dim). Returns None on an empty table. The dim probe is a LIMIT 1
+    read, not a scan."""
+    import numpy as np
+
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None or first["d"] is None:
+        return None
+    dim = int(first["d"])
+    spark = embeddings.sparkSession
+    cols = [
+        (
+            (F.pmod(F.xxhash64(F.col("d"), F.lit(p)), F.lit(2001)) - F.lit(1000.0))
+            / 1000.0
+        ).alias(f"p{p}")
+        for p in range(planes)
+    ]
+    rows = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("d"))
+        .select("d", *cols)
+        .orderBy("d")
+        .collect()
+    )
+    return np.array([[r[f"p{p}"] for p in range(planes)] for r in rows], dtype=np.float64)
+
+
+def _rh_components(mat, weights):
+    """Per-plane fold components for a (n × dim) batch: elementwise products
+    then the SEQUENTIAL left-to-right sum (np.cumsum last element) per plane —
+    the exact float64 sequence of the zip_with/aggregate expression."""
+    import numpy as np
+
+    n, dim = mat.shape
+    comps = np.empty((n, weights.shape[1]), dtype=np.float64)
+    for p in range(weights.shape[1]):
+        comps[:, p] = np.cumsum(mat * weights[:dim, p], axis=1)[:, -1]
+    return comps
+
+
+def _rh_band_buckets_vec(emb_col, planes: int, bands: int, weights):
+    """Vectorized ``_rh_band_buckets``: same band:value strings from the
+    precomputed plane-weight matrix. The JVM higher-order fold is interpreted
+    per element — at the near-dup operating point (~96 planes) that is ~12 M
+    lambda evals per 2k vectors; this Arrow UDF is bit-identical (weights
+    from ``_plane_weights``, folds via ``_rh_components``). Rows longer than
+    the sampled dim raise a named error (uniform-dim corpus expected)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    rows_per = planes // bands
+    dim = weights.shape[0]
+
+    def _bucket_rows(comps):
+        bits = comps > 0
+        out = []
+        for i in range(bits.shape[0]):
+            row = []
+            for bi in range(bands):
+                val = 0
+                for ri in range(rows_per):
+                    if bits[i, bi * rows_per + ri]:
+                        val += 1 << ri
+                row.append(f"{bi}:{val}")
+            out.append(row)
+        return out
+
+    def buckets(vs: "pd.Series") -> "pd.Series":
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(v) for v in vs), dtype=np.int64, count=len(vs))
+        if lens.max() > dim:
+            raise ValueError(
+                f"embedding dim {lens.max()} exceeds sampled dim {dim}; "
+                "vectorized LSH requires a uniform-dim corpus"
+            )
+        if lens.min() == lens.max() == dim:
+            mat = np.array(vs.tolist(), dtype=np.float64)
+            return pd.Series(_bucket_rows(_rh_components(mat, weights)))
+        out = []
+        for v in vs:  # ragged: identical per-row ops on the sliced matrix
+            m = np.asarray(v, dtype=np.float64)[None, :]
+            out.extend(_bucket_rows(_rh_components(m, weights)))
+        return pd.Series(out)
+
+    return pandas_udf(buckets, "array<string>", PandasUDFType.SCALAR)(emb_col)
+
+
+def _rh_signature_vec(emb_col, planes: int, weights):
+    """Vectorized ``_rh_signature``: identical integer signature from the
+    precomputed plane-weight matrix (same fold parity as
+    ``_rh_band_buckets_vec``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    dim = weights.shape[0]
+
+    def sig(vs: "pd.Series") -> "pd.Series":
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter((len(v) for v in vs), dtype=np.int64, count=len(vs))
+        if lens.max() > dim:
+            raise ValueError(
+                f"embedding dim {lens.max()} exceeds sampled dim {dim}; "
+                "vectorized LSH requires a uniform-dim corpus"
+            )
+        if lens.min() == lens.max() == dim:
+            bits = _rh_components(np.array(vs.tolist(), dtype=np.float64), weights) > 0
+        else:
+            bits = np.zeros((len(vs), planes), dtype=bool)
+            for i, v in enumerate(vs):
+                m = np.asarray(v, dtype=np.float64)[None, :]
+                bits[i] = _rh_components(m, weights)[0] > 0
+        out = np.zeros(len(vs), dtype=np.int64)
+        for p in range(planes):
+            out |= bits[:, p].astype(np.int64) << p
+        return pd.Series(out)
+
+    return pandas_udf(sig, "long", PandasUDFType.SCALAR)(emb_col)
 
 
 def lsh_band_shape(
@@ -241,9 +411,16 @@ def embedding_near_dup_lsh(
     explicitly via release_lsh_cache()."""
     rows, bands = shape if shape is not None else lsh_band_shape(threshold, target_recall)
     planes = rows * bands
+    weights = _plane_weights(embeddings, planes)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("bucket", F.explode(_rh_band_buckets("emb", planes, bands)))
+    )
+    if weights is None:  # empty corpus — the expression path handles it lazily
+        emb = emb.withColumn("bucket", F.explode(_rh_band_buckets("emb", planes, bands)))
+    else:
+        emb = emb.withColumn(
+            "bucket", F.explode(_rh_band_buckets_vec(F.col("emb"), planes, bands, weights))
+        )
     release_lsh_cache()
     emb = emb.persist()
     _LSH_CACHE.append(emb)
@@ -266,7 +443,7 @@ def embedding_near_dup_lsh(
         joined
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", _cosine_expr("e_a", "e_b"))
+        .withColumn("cosine", _cosine_vec(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -416,7 +593,7 @@ def ivf_topk(
     cand = emb.join(F.broadcast(probes), "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cosine", _cosine_expr("q_emb", "emb"))
+    scored = cand.withColumn("cosine", _cosine_vec(F.col("q_emb"), F.col("emb")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -448,9 +625,15 @@ def lsh_topk(
     output PROVABLY equals ``brute_force_topk`` and the driver's exact
     oracle applies. The pruned default (sign-bit bands only) is what runs
     at 100 TB and is benchmarked/recall-tested separately."""
+    weights = _plane_weights(embeddings, planes)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("sig", _rh_signature("emb", planes))
+    ).withColumn(
+        "sig",
+        _rh_signature("emb", planes)
+        if weights is None  # empty corpus — lazy expression path
+        else _rh_signature_vec(F.col("emb"), planes, weights),
+    )
     band_size = planes // 3
     bucket_exprs = [
         F.concat_ws(
@@ -469,15 +652,23 @@ def lsh_topk(
         "emb",
         F.explode(F.array(*bucket_exprs)).alias("bucket"),
     )
-    q = banded.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "bucket"
+    # query side: filter BEFORE the signature/band computation — the bucket
+    # exprs are per-row pure, and the broadcast-build subtree otherwise
+    # recomputes signatures for the whole corpus to keep a handful of rows
+    q = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(F.array(*bucket_exprs)).alias("bucket"),
+        )
     )
     cand = (
         banded.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "q_emb", F.col("emb").alias("c_emb"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", _cosine_expr("q_emb", "c_emb"))
+        .withColumn("cosine", _cosine_vec(F.col("q_emb"), F.col("c_emb")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
