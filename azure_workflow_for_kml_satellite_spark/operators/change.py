@@ -167,8 +167,15 @@ def season_changes(
 ) -> DataFrame:
     """ndvi stats rows → one row per (aoi, season, year_from, year_to) with
     the reference's change metrics."""
-    has_stat = ndvi_df.filter(F.col("ndvi_mean").isNotNull()).select(
-        "url", "feature_index", "season", "year", *_RECIPE
+    # coalesce (no shuffle) off the NDVI cache's fine raster grain before the
+    # cheap window/pairing stages — same per-task-overhead fix as
+    # ndvi_trend_per_aoi; the window's partitionBy/orderBy fully determines
+    # the pairing, so partition merging cannot change the result
+    par = ndvi_df.sparkSession.sparkContext.defaultParallelism
+    has_stat = (
+        ndvi_df.filter(F.col("ndvi_mean").isNotNull())
+        .select("url", "feature_index", "season", "year", *_RECIPE)
+        .coalesce(par)
     )
     w = Window.partitionBy("url", "feature_index", "season").orderBy("year")
     paired = has_stat.select(

