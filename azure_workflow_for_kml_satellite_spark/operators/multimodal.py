@@ -41,7 +41,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -152,12 +151,7 @@ def _phash(img: np.ndarray) -> int:
     return v
 
 
-def cost_scatter(
-    df: DataFrame,
-    id_col: str = "asset_id",
-    bin_col: str = "payload",
-    parts: int | None = None,
-) -> DataFrame:
+def cost_scatter(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Cost-balancing scatter for heavy-tailed per-asset decode stages
     (round-7 fix for the image-stage straggler grain, measured 0.68-0.71
     N→4N efficiency in scripts/bench_multimodal_scaling vs 0.92+ for
@@ -322,7 +316,7 @@ def image_metadata(df: DataFrame, id_col: str = "asset_id", bin_col: str = "payl
                     )
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
-    return cost_scatter(df.select(id_col, bin_col), id_col, bin_col).mapInPandas(
+    return cost_scatter(df.select(id_col, bin_col)).mapInPandas(
         run, IMAGE_META_SCHEMA
     )
 
@@ -454,7 +448,7 @@ def image_thumbnails(
                     )
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
-    return cost_scatter(df.select(id_col, bin_col), id_col, bin_col).mapInPandas(
+    return cost_scatter(df.select(id_col, bin_col)).mapInPandas(
         run, THUMBNAIL_SCHEMA
     )
 

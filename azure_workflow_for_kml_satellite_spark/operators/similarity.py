@@ -360,17 +360,26 @@ def lsh_bucket_skew(
     return {"max": mx, "mean": mean, "hot_threshold": hot, "salted": mx > hot}
 
 
-_LSH_CACHE: list = []  # at most one persisted bucketed frame (see docstring)
+# At most one persisted bucketed frame PER SparkSession (keyed by
+# applicationId): a new call only unpersists its own session's previous
+# frame, so concurrent sessions cannot silently force each other's
+# still-lazy results to recompute (ADVICE r7). Single-threaded use within
+# one session is still assumed.
+_LSH_CACHE: dict[str, object] = {}
 
 
-def release_lsh_cache() -> None:
+def release_lsh_cache(app_id: str | None = None) -> None:
     """Unpersist the bucketed frame cached by the last
-    embedding_near_dup_lsh call (non-blocking; no-op if none)."""
-    while _LSH_CACHE:
-        try:
-            _LSH_CACHE.pop().unpersist(blocking=False)
-        except Exception:  # session already stopped — nothing to free
-            pass
+    embedding_near_dup_lsh call (non-blocking; no-op if none). With
+    ``app_id`` only that session's entry is released."""
+    keys = [app_id] if app_id is not None else list(_LSH_CACHE)
+    for k in keys:
+        df = _LSH_CACHE.pop(k, None)
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # session already stopped — nothing to free
+                pass
 
 
 def embedding_near_dup_lsh(
@@ -421,9 +430,10 @@ def embedding_near_dup_lsh(
         emb = emb.withColumn(
             "bucket", F.explode(_rh_band_buckets_vec(F.col("emb"), planes, bands, weights))
         )
-    release_lsh_cache()
+    app_id = embeddings.sparkSession.sparkContext.applicationId
+    release_lsh_cache(app_id)
     emb = emb.persist()
-    _LSH_CACHE.append(emb)
+    _LSH_CACHE[app_id] = emb
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("e_a"), "bucket")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("e_b"), "bucket")
     skew = lsh_bucket_skew(emb, skew_factor, min_hot_bucket)
