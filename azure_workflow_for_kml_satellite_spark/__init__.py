@@ -61,6 +61,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Shuffle writer: with reduce-count ≤ bypassMergeThreshold (default
+        # 200) Spark's bypass-merge writer opens one file PER REDUCE
+        # PARTITION per map task; on this filesystem that file churn costs
+        # ~111-380 ms of shuffle-write time per map task vs ~0.5 ms for the
+        # sort writer on identical data (measured: a 256-map-task groupBy at
+        # 64 reduce partitions, 4.06 s → 0.59 s wall). The sort writer
+        # (one output file per map task) is the safe choice at any scale —
+        # it is already what runs for reduce-counts > 200.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "2"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # glibc: serve large numpy allocations from the heap instead of fresh
         # mmaps — this sandbox page-faults new mappings at ~170 MB/s, which
