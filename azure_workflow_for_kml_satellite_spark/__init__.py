@@ -82,6 +82,27 @@ def get_spark(
         # flip it on to read per-task metrics from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    # Python worker daemon with the CPython-3.12 zipimport-cache fix: on
+    # CPython 3.11 every task's setup_spark_files → importlib
+    # .invalidate_caches() re-reads the central directory of EVERY zip on
+    # the worker path (pyspark.zip, py4j zip, spark-core jar — ~20 cached
+    # zipimporters), measured at 185-625 ms of dead time PER TASK between
+    # consecutive tasks on a reused worker. See kmlsat_fastdaemon.py.
+    fastdaemon_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("SPARK_GRAFT_FAST_DAEMON", "1") != "0" and os.path.exists(
+        os.path.join(fastdaemon_dir, "kmlsat_fastdaemon.py")
+    ):
+        # `python -m kmlsat_fastdaemon` resolves via the daemon's cwd or
+        # PYTHONPATH, not the driver's script dir — export the module's
+        # directory so the daemon finds it no matter where the driver was
+        # launched from. Must happen before the JVM gateway starts (the
+        # worker env snapshots the driver env at that point).
+        parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+        if fastdaemon_dir not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join([fastdaemon_dir, *parts])
+        builder = builder.config(
+            "spark.python.daemon.module", "kmlsat_fastdaemon"
+        )
     spark = builder.getOrCreate()
     _warm_python_workers(spark, cores)
     return spark

@@ -55,6 +55,28 @@ def buffer_bbox(bbox: list[float], buffer_m: float) -> list[float]:
     return [min_lon - lon_offset, min_lat - lat_offset, max_lon + lon_offset, max_lat + lat_offset]
 
 
+# Cached `from pyproj import <name>` probe. Python does NOT cache FAILED
+# imports, so the per-call `try: from pyproj import Geod` re-walked sys.path
+# (5 find_spec + 5 stat calls) on EVERY feature — profiled at ~70% of the
+# whole AOI-prep kernel in the round-8 pass. Probing once per process keeps
+# the documented dispatch ("the primary path activates automatically when
+# pyproj is importable"): availability cannot change within a worker.
+_PYPROJ: dict[str, object] = {}
+
+
+def pyproj_import(name: str):
+    """pyproj attribute (e.g. "Geod", "Transformer") or None when pyproj
+    is absent — the fallback-selection signal every call site keys on."""
+    if name not in _PYPROJ:
+        try:
+            import importlib
+
+            _PYPROJ[name] = getattr(importlib.import_module("pyproj"), name)
+        except (ImportError, AttributeError):
+            _PYPROJ[name] = None
+    return _PYPROJ[name]
+
+
 def haversine_km(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
     """Haversine distance in km (reference: geo.py:222-228)."""
     rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
@@ -117,16 +139,14 @@ def geodesic_area_and_perimeter(coords: Ring) -> tuple[float, float]:
     could."""
     if len(coords) < 3:
         return 0.0, 0.0
-    try:
-        from pyproj import Geod
-
+    Geod = pyproj_import("Geod")
+    if Geod is not None:
         geod = Geod(ellps="WGS84")
         area_m2, perimeter_m = geod.polygon_area_perimeter(
             [c[0] for c in coords], [c[1] for c in coords]
         )
         return abs(area_m2) / 10_000.0, abs(perimeter_m) / 1_000.0
-    except ImportError:
-        return spherical_area_ha(coords), haversine_perimeter_km(coords)
+    return spherical_area_ha(coords), haversine_perimeter_km(coords)
 
 
 def centroid(coords: Ring) -> list[float]:
@@ -222,10 +242,7 @@ def transform_bbox(bbox: list[float], src_crs: str, dst_crs: str) -> tuple[float
     sandbox. Other CRS families raise NotImplementedError."""
     if src_crs == dst_crs:
         return (bbox[0], bbox[1], bbox[2], bbox[3])
-    try:
-        from pyproj import Transformer
-    except ImportError:
-        Transformer = None  # vendored fallback below
+    Transformer = pyproj_import("Transformer")
     if Transformer is not None:
         # only the IMPORT selects the fallback; a broken pyproj install
         # failing inside from_crs/transform must surface, not silently

@@ -681,13 +681,14 @@ def reproject_bilinear(
     ys = dst_bbox[3] - (np.arange(dh) + 0.5) * dpy
     if src_crs != dst_crs:
         gx, gy = np.meshgrid(xs, ys)
-        try:
-            from pyproj import Transformer
-        except ImportError:
-            Transformer = None  # vendored fallback below
+        from azure_workflow_for_kml_satellite_spark.functions.geometry import (
+            pyproj_import,
+        )
+
+        Transformer = pyproj_import("Transformer")
         if Transformer is not None:
-            # only the IMPORT selects the fallback (a broken pyproj must
-            # surface, not silently switch transforms)
+            # only the IMPORT PROBE selects the fallback (a broken pyproj
+            # must surface, not silently switch transforms)
             tr = Transformer.from_crs(dst_crs, src_crs, always_xy=True)
             gx, gy = tr.transform(gx, gy)
         else:

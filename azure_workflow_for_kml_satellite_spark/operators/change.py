@@ -193,8 +193,13 @@ def season_changes(
     # grain + key-hash, same policy the round-5 profile study picked for
     # the NDVI stage (BASELINE.md): hash on the full pair key declusters
     # same-AOI runs (measured 29.9 s vs 35-40 s round-robin at sf0.1).
+    # Multiplier env-tunable (SPARK_GRAFT_CHANGE_GRAIN_X) — re-swept after
+    # the round-8 shuffle-writer fix changed per-task costs.
+    import os
+
+    _grain_x = int(os.environ.get("SPARK_GRAFT_CHANGE_GRAIN_X", "8"))
     paired = paired.repartition(
-        max(64, 8 * ndvi_df.sparkSession.sparkContext.defaultParallelism),
+        max(64, _grain_x * ndvi_df.sparkSession.sparkContext.defaultParallelism),
         F.col("url"), F.col("feature_index"), F.col("season"), F.col("year_to"),
     )
 
