@@ -1,0 +1,238 @@
+/* Fused raster kernels (OPTIMIZATION_r08.md §10).
+ *
+ * Exact C mirror of the numpy chain in functions/raster.py:
+ *   _hash_grid (murmur3-fmix32 over u32 with wrap) → gen_band (RED/NIR
+ *   value synthesis + nodata divisibility masks, SCL/QA class tables)
+ *   → _ndvi_core ((nir−red)/(nir+red) in IEEE float32) → aux masking
+ *   (SCL validity LUT / Landsat QA bits) → row-major compaction of the
+ *   valid NDVI values.
+ *
+ * Bit-exactness contract (tests/test_native_kernels.py pins it against
+ * the numpy path on random windows):
+ *  - every integer op is u32 arithmetic with wrap, exactly as the numpy
+ *    uint32 pipeline (including the 13·row / 7·col NIR wraps);
+ *  - the only float ops are u16→f32 convert, one f32 subtract, one f32
+ *    add and one f32 divide per pixel — IEEE-754 correctly rounded in
+ *    both numpy and C (compiled with -ffp-contract=off, no fast-math;
+ *    SSE/AVX f32, no x87 excess precision). NDVI is computed
+ *    unconditionally per pixel (0/0 → NaN quietly, exceptions masked) but
+ *    only read where valid — the same "values at masked positions are
+ *    never read" property the numpy path has;
+ *  - valid ≡ red>0 && nir>0 (implies den ≥ 2 > 0 ⟹ finite NDVI — the
+ *    identity the numpy path's mask reduces to);
+ *  - the compacted output equals ndvi[valid_mask] in row-major order, so
+ *    every downstream reduction (np.sort / mean / std / threshold
+ *    counts) runs on an identical array.
+ *
+ * Shape: per output row, elementwise passes over small row buffers
+ * (L1-resident, auto-vectorizable) followed by a scalar compaction —
+ * the same loop structure numpy uses, minus ~30 full-array DRAM passes
+ * and the Python dispatch. All REDUCTIONS stay in numpy.
+ *
+ * Thread-safety: the row scratch is process-global (PySpark workers run
+ * one task at a time; mirrors raster._SCRATCH).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define M1 0x85EBCA6Bu
+#define M2 0xC2B2AE35u
+#define BANDMIX 0x27D4EB2Fu
+#define QA_CLOUD_BITS 0x3Au /* LANDSAT_QA_CLOUD_BITS = 0b00111010 */
+
+static const uint8_t SCL_TABLE[10] = {9, 8, 3, 4, 5, 6, 2, 4, 5, 4};
+static const uint16_t QA_TABLE[10] = {2, 8, 16, 0, 0, 0, 0, 0, 0, 0};
+/* VALID_SCL_CLASSES = (2, 4, 5, 6): validity of SCL_TABLE[k] by k */
+static const uint8_t SCL_OK_BY_MOD[10] = {0, 0, 0, 1, 1, 1, 1, 1, 1, 1};
+
+static inline uint32_t fmix_tail(uint32_t h) {
+    h ^= h >> 16;
+    h *= M1;
+    h ^= h >> 13;
+    h *= M2;
+    h ^= h >> 16;
+    return h;
+}
+
+/* ── per-side row evaluator ─────────────────────────────────────────── */
+
+typedef struct {
+    uint32_t seed;
+    int32_t kind; /* 0 S2+SCL, 1 Landsat+QA, 2 no aux */
+    int64_t r0, c0;
+    int64_t aux_r0, aux_c0;
+    const int64_t *row_idx, *col_idx;
+    uint32_t s1000;
+    /* row scratch, sized >= w */
+    uint32_t *cp;     /* (c0+j)*M2 */
+    uint32_t *cm;     /* (7*(c0+j)) % 100 */
+    uint32_t *aux_cp; /* (aux_c0+col_idx[j])*M2 (S2) */
+    uint32_t *h32;    /* hash scratch */
+    uint32_t *t32;    /* value scratch */
+    uint8_t *base;    /* red>0 && nir>0 */
+    uint8_t *ok;      /* aux mask */
+    float *fr;        /* red as f32 */
+    float *fn;        /* nir as f32 */
+    float *ndvi;
+    int64_t prev_aux_row; /* last SCL source row (reuse the ok row) */
+} side_t;
+
+static void side_prepare(side_t *s, int64_t w) {
+    for (int64_t j = 0; j < w; j++) {
+        uint32_t c = (uint32_t)(s->c0 + j);
+        s->cp[j] = c * M2;
+        s->cm[j] = (7u * c) % 100u;
+    }
+    if (s->kind == 0) {
+        for (int64_t j = 0; j < w; j++) {
+            uint32_t ac = (uint32_t)(s->aux_c0 + s->col_idx[j]);
+            s->aux_cp[j] = ac * M2;
+        }
+    }
+    s->prev_aux_row = -1;
+}
+
+/* Fill ndvi/base/ok for output row i (length w). */
+static void side_eval_row(side_t *s, int64_t i, int64_t w) {
+    uint32_t r = (uint32_t)(s->r0 + i);
+    uint32_t rp = r * M1;
+    uint32_t sr = s->seed ^ (1u * BANDMIX);
+    uint32_t sn = s->seed ^ (2u * BANDMIX);
+    uint32_t *h = s->h32, *t = s->t32;
+    const uint32_t *cp = s->cp, *cm = s->cm;
+
+    /* RED: value + nodata + f32 */
+    for (int64_t j = 0; j < w; j++) h[j] = fmix_tail(rp ^ cp[j] ^ sr);
+    for (int64_t j = 0; j < w; j++) {
+        uint32_t v = ((h[j] >> 8) % 1200u) + 300u;
+        t[j] = (h[j] % 97u == 0u) ? 0u : v;
+    }
+    for (int64_t j = 0; j < w; j++) s->fr[j] = (float)t[j];
+    for (int64_t j = 0; j < w; j++) s->base[j] = t[j] > 0u;
+
+    /* NIR */
+    uint32_t rm = (13u * r + s->s1000) % 100u;
+    for (int64_t j = 0; j < w; j++) h[j] = fmix_tail(rp ^ cp[j] ^ sn);
+    for (int64_t j = 0; j < w; j++) {
+        uint32_t veg = rm + cm[j];
+        if (veg >= 100u) veg -= 100u;
+        uint32_t v = ((h[j] >> 8) % 900u) + veg * 55u + 400u;
+        t[j] = (h[j] % 101u == 0u) ? 0u : v;
+    }
+    for (int64_t j = 0; j < w; j++) s->fn[j] = (float)t[j];
+    for (int64_t j = 0; j < w; j++) s->base[j] &= t[j] > 0u;
+
+    /* NDVI (unconditional; only read where base) */
+    for (int64_t j = 0; j < w; j++)
+        s->ndvi[j] = (s->fn[j] - s->fr[j]) / (s->fn[j] + s->fr[j]);
+
+    /* aux mask */
+    if (s->kind == 0) {
+        int64_t ar = s->row_idx[i];
+        if (ar != s->prev_aux_row) { /* 2x downsample: rows repeat */
+            s->prev_aux_row = ar;
+            uint32_t arp = (uint32_t)(s->aux_r0 + ar) * M1;
+            uint32_t ss = s->seed ^ (3u * BANDMIX);
+            const uint32_t *acp = s->aux_cp;
+            for (int64_t j = 0; j < w; j++) {
+                uint32_t hs = fmix_tail(arp ^ acp[j] ^ ss);
+                s->ok[j] = SCL_OK_BY_MOD[hs % 10u];
+            }
+        }
+    } else if (s->kind == 1) {
+        uint32_t sq = s->seed ^ (4u * BANDMIX);
+        for (int64_t j = 0; j < w; j++) {
+            uint32_t hq = fmix_tail(rp ^ cp[j] ^ sq);
+            s->ok[j] = (QA_TABLE[hq % 10u] & QA_CLOUD_BITS) == 0;
+        }
+    } else {
+        memset(s->ok, 1, (size_t)w);
+    }
+}
+
+/* ── scratch management ─────────────────────────────────────────────── */
+
+static void *grow(void **p, size_t *cap, size_t need) {
+    if (*cap < need) {
+        free(*p);
+        *p = malloc(need);
+        *cap = need;
+    }
+    return *p;
+}
+
+#define SIDE_SLOTS 11
+static void *side_mem[2][SIDE_SLOTS];
+static size_t side_cap[2][SIDE_SLOTS];
+
+static void side_bind(side_t *s, int slot, int64_t w) {
+    size_t w4 = (size_t)w * 4, w1 = (size_t)w;
+    void **m = side_mem[slot];
+    size_t *c = side_cap[slot];
+    s->cp = grow(&m[0], &c[0], w4);
+    s->cm = grow(&m[1], &c[1], w4);
+    s->aux_cp = grow(&m[2], &c[2], w4);
+    s->h32 = grow(&m[3], &c[3], w4);
+    s->t32 = grow(&m[4], &c[4], w4);
+    s->base = grow(&m[5], &c[5], w1);
+    s->ok = grow(&m[6], &c[6], w1);
+    s->fr = grow(&m[7], &c[7], w4);
+    s->fn = grow(&m[8], &c[8], w4);
+    s->ndvi = grow(&m[9], &c[9], w4);
+}
+
+/* ── entry points ───────────────────────────────────────────────────── */
+
+/* NDVI stats feed: compact the window's valid NDVI values (row-major).
+ * Returns n_valid; *masked_count = pixels base-valid but aux-masked. */
+int64_t kmlsat_window_valid(uint32_t seed, int32_t kind, int64_t r0, int64_t c0,
+                            int64_t h, int64_t w, int64_t aux_r0, int64_t aux_c0,
+                            const int64_t *row_idx, const int64_t *col_idx,
+                            uint32_t s1000, float *out_vals,
+                            int64_t *masked_count) {
+    side_t s = {seed, kind, r0, c0, aux_r0, aux_c0, row_idx, col_idx, s1000};
+    side_bind(&s, 0, w);
+    side_prepare(&s, w);
+    int64_t n = 0, masked = 0;
+    for (int64_t i = 0; i < h; i++) {
+        side_eval_row(&s, i, w);
+        for (int64_t j = 0; j < w; j++) {
+            int base = s.base[j], ok = s.ok[j];
+            masked += base & !ok;
+            if (base & ok) out_vals[n++] = s.ndvi[j];
+        }
+    }
+    *masked_count = masked;
+    return n;
+}
+
+/* Change-pair feed: deltas (ndvi_b − ndvi_a, f32) at jointly-valid pixels
+ * of the trimmed common shape, row-major. Returns n_valid. */
+int64_t kmlsat_change_pair_valid(
+    uint32_t seed_a, int32_t kind_a, int64_t ar0, int64_t ac0, int64_t a_aux_r0,
+    int64_t a_aux_c0, const int64_t *a_row_idx, const int64_t *a_col_idx,
+    uint32_t a_s1000, uint32_t seed_b, int32_t kind_b, int64_t br0, int64_t bc0,
+    int64_t b_aux_r0, int64_t b_aux_c0, const int64_t *b_row_idx,
+    const int64_t *b_col_idx, uint32_t b_s1000, int64_t h, int64_t w,
+    float *out_deltas) {
+    side_t a = {seed_a, kind_a, ar0, ac0, a_aux_r0, a_aux_c0, a_row_idx,
+                a_col_idx, a_s1000};
+    side_t b = {seed_b, kind_b, br0, bc0, b_aux_r0, b_aux_c0, b_row_idx,
+                b_col_idx, b_s1000};
+    side_bind(&a, 0, w);
+    side_bind(&b, 1, w);
+    side_prepare(&a, w);
+    side_prepare(&b, w);
+    int64_t n = 0;
+    for (int64_t i = 0; i < h; i++) {
+        side_eval_row(&a, i, w);
+        side_eval_row(&b, i, w);
+        for (int64_t j = 0; j < w; j++) {
+            if (a.base[j] & a.ok[j] & b.base[j] & b.ok[j])
+                out_deltas[n++] = b.ndvi[j] - a.ndvi[j];
+        }
+    }
+    return n;
+}

@@ -578,6 +578,86 @@ def s2_aux_win(
     return window_from_bounds(scene_bbox, resolution_m * 2, read_bbox)
 
 
+# ── fused native kernels (functions/native.c; bit-identical fast path) ──────
+#
+# When the ctypes library is available the window/pair evaluators below feed
+# the SAME numpy reductions from a single fused C pass (hash → band → NDVI →
+# mask → row-major compaction), instead of ~30 elementwise numpy passes. The
+# C mirror is exact (see native.c header); reductions never move out of
+# numpy, so every downstream value is bit-identical either way. The numpy
+# blocked path remains both the fallback and the differential oracle
+# (tests/test_native_kernels.py).
+
+
+def native_side_params(
+    seed: int,
+    collection: str,
+    win: tuple[int, int, int, int],
+    aux_win: tuple[int, int, int, int] | None,
+    out_h: int,
+    out_w: int,
+):
+    """(kind, r0, c0, aux_r0, aux_c0, row_idx, col_idx, seed%1000) for one
+    side of a native kernel call. Resample indices are computed against the
+    FULL window shape then trimmed — the numpy path's exact semantics."""
+    from azure_workflow_for_kml_satellite_spark.functions import native as N
+
+    r0, _r1, c0, _c1 = win
+    if collection == "landsat-c2-l2":
+        return N.KIND_LANDSAT, r0, c0, 0, 0, None, None, int(seed) % 1000
+    if aux_win is None:
+        return N.KIND_BARE, r0, c0, 0, 0, None, None, int(seed) % 1000
+    h_full, w_full = win[1] - win[0], win[3] - win[2]
+    scl_shape = (aux_win[1] - aux_win[0], aux_win[3] - aux_win[2])
+    row_idx, col_idx = _resample_indices(scl_shape, (h_full, w_full))
+    return (
+        N.KIND_S2,
+        r0,
+        c0,
+        aux_win[0],
+        aux_win[2],
+        np.ascontiguousarray(row_idx[:out_h]),
+        np.ascontiguousarray(col_idx[:out_w]),
+        int(seed) % 1000,
+    )
+
+
+def _i64p(arr):
+    import ctypes
+
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def native_window_valid(
+    seed: int,
+    collection: str,
+    win: tuple[int, int, int, int],
+    aux_win: tuple[int, int, int, int] | None,
+) -> tuple[np.ndarray, int]:
+    """(valid NDVI values row-major — a scratch view, consume before the
+    next call — , masked_count) for the full window, via the fused C pass.
+    Caller must have checked native.available()."""
+    import ctypes
+
+    from azure_workflow_for_kml_satellite_spark.functions import native as N
+
+    h, w = win[1] - win[0], win[3] - win[2]
+    kind, r0, c0, ar0, ac0, ri, ci, s1000 = native_side_params(
+        seed, collection, win, aux_win, h, w
+    )
+    buf = _scratch("nat_vals", h * w, np.float32)
+    masked = ctypes.c_int64(0)
+    n = N.LIB.kmlsat_window_valid(
+        int(seed) & 0xFFFFFFFF, kind, r0, c0, h, w, ar0, ac0,
+        _i64p(ri), _i64p(ci), s1000,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(masked),
+    )
+    return buf[: int(n)], int(masked.value)
+
+
 def ndvi_window_stats_blocked(
     scene_id: str,
     scene_bbox: list[float],
@@ -597,6 +677,14 @@ def ndvi_window_stats_blocked(
     aux_win = win if collection == "landsat-c2-l2" else s2_aux_win(
         scene_bbox, resolution_m, read_bbox
     )
+    total = (win[1] - win[0]) * (win[3] - win[2])
+    from azure_workflow_for_kml_satellite_spark.functions import native as N
+
+    if N.available():
+        values, masked = native_window_valid(seed, collection, win, aux_win)
+        if len(values) == 0:
+            return None, masked
+        return ndvi_statistics_from_values(values, total), masked
     parts: list[np.ndarray] = []
     masked = 0
     for ndvi, vm, m in iter_masked_ndvi_chunks(seed, collection, win, aux_win):
@@ -607,7 +695,6 @@ def ndvi_window_stats_blocked(
     if not parts:
         return None, masked
     values = parts[0] if len(parts) == 1 else np.concatenate(parts)
-    total = (win[1] - win[0]) * (win[3] - win[2])
     return ndvi_statistics_from_values(values, total), masked
 
 

@@ -96,6 +96,33 @@ def _recipe_windows(rec: dict, prefix: str):
     return R.scene_seed(p("scene_id")), collection, win, aux_win, float(res)
 
 
+def _native_pair_deltas(
+    seed_a, coll_a, win_a, aux_a, seed_b, coll_b, win_b, aux_b, min_h, min_w
+) -> np.ndarray:
+    """Jointly-valid deltas via the fused C pair kernel — a scratch view,
+    consumed by the reductions in the caller before any further call."""
+    import ctypes
+
+    from azure_workflow_for_kml_satellite_spark.functions import native as N
+
+    ka, ar0, ac0, aar0, aac0, ari, aci, as1000 = R.native_side_params(
+        seed_a, coll_a, win_a, aux_a, min_h, min_w
+    )
+    kb, br0, bc0, bar0, bac0, bri, bci, bs1000 = R.native_side_params(
+        seed_b, coll_b, win_b, aux_b, min_h, min_w
+    )
+    buf = R._scratch("nat_deltas", min_h * min_w, np.float32)
+    n = N.LIB.kmlsat_change_pair_valid(
+        int(seed_a) & 0xFFFFFFFF, ka, ar0, ac0, aar0, aac0,
+        R._i64p(ari), R._i64p(aci), as1000,
+        int(seed_b) & 0xFFFFFFFF, kb, br0, bc0, bar0, bac0,
+        R._i64p(bri), R._i64p(bci), bs1000,
+        min_h, min_w,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return buf[: int(n)]
+
+
 def change_stats_for_pair_blocked(
     rec: dict,
     loss_threshold: float,
@@ -117,30 +144,47 @@ def change_stats_for_pair_blocked(
     seed_b, coll_b, win_b, aux_b, _res_b = wb
     min_h = min(win_a[1] - win_a[0], win_b[1] - win_b[0])
     min_w = min(win_a[3] - win_a[2], win_b[3] - win_b[2])
-    ga = R.iter_masked_ndvi_chunks(seed_a, coll_a, win_a, aux_a, min_h, min_w)
-    gb = R.iter_masked_ndvi_chunks(seed_b, coll_b, win_b, aux_b, min_h, min_w)
-    parts: list[np.ndarray] = []
-    n_valid = n_loss = n_gain = 0
-    for ndvi_a, vm_a, _ in ga:
-        # the chunk arrays are scratch-backed and side b's computation will
-        # reuse the same buffers — materialize side a as its masked raster
-        # (exactly the array the full path builds) before advancing b
-        a = np.where(vm_a, ndvi_a, np.nan)
-        ndvi_b, vm_b, _ = next(gb)
-        valid = np.isfinite(a)
-        np.logical_and(valid, vm_b, out=valid)
-        if not valid.any():
-            continue
-        np.subtract(ndvi_b, a, out=a)  # delta in the owned side-a buffer
-        vals = a[valid]
-        n = len(vals)
-        n_valid += n
-        n_loss += int(np.sum(vals < loss_threshold))
-        n_gain += int(np.sum(vals > gain_threshold))
-        parts.append(vals)
-    if n_valid == 0:
-        return None
-    valid_deltas = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    from azure_workflow_for_kml_satellite_spark.functions import native as N
+
+    if N.available():
+        # fused C pass over both sides (functions/native.c): the compacted
+        # delta array equals the blocked path's concatenation bit-for-bit,
+        # and every reduction below is the same numpy code either way
+        valid_deltas = _native_pair_deltas(
+            seed_a, coll_a, win_a, aux_a, seed_b, coll_b, win_b, aux_b,
+            min_h, min_w,
+        )
+        n_valid = len(valid_deltas)
+        if n_valid == 0:
+            return None
+        n_loss = int(np.sum(valid_deltas < loss_threshold))
+        n_gain = int(np.sum(valid_deltas > gain_threshold))
+    else:
+        ga = R.iter_masked_ndvi_chunks(seed_a, coll_a, win_a, aux_a, min_h, min_w)
+        gb = R.iter_masked_ndvi_chunks(seed_b, coll_b, win_b, aux_b, min_h, min_w)
+        parts: list[np.ndarray] = []
+        n_valid = n_loss = n_gain = 0
+        for ndvi_a, vm_a, _ in ga:
+            # the chunk arrays are scratch-backed and side b's computation
+            # will reuse the same buffers — materialize side a as its masked
+            # raster (exactly the array the full path builds) before
+            # advancing b
+            a = np.where(vm_a, ndvi_a, np.nan)
+            ndvi_b, vm_b, _ = next(gb)
+            valid = np.isfinite(a)
+            np.logical_and(valid, vm_b, out=valid)
+            if not valid.any():
+                continue
+            np.subtract(ndvi_b, a, out=a)  # delta in the owned side-a buffer
+            vals = a[valid]
+            n = len(vals)
+            n_valid += n
+            n_loss += int(np.sum(vals < loss_threshold))
+            n_gain += int(np.sum(vals > gain_threshold))
+            parts.append(vals)
+        if n_valid == 0:
+            return None
+        valid_deltas = parts[0] if len(parts) == 1 else np.concatenate(parts)
     pixel_area_ha = abs(res_a * res_a) / 10_000
     n_stable = n_valid - n_loss - n_gain
     s = np.sort(valid_deltas)  # order statistics: median/min/max (raster.py)
