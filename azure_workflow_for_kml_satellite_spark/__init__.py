@@ -78,6 +78,12 @@ def get_spark(
         # mmaps — this sandbox page-faults new mappings at ~170 MB/s, which
         # dominated the raster UDFs (4x on the biggest windows).
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        # ...and don't TRIM the heap top on every big free either: with the
+        # default 128 KB trim threshold each monster-window temp (np.sort
+        # copy etc.) is returned to the kernel on free and re-faulted on the
+        # next row — measured 2.8 ms vs 0.1 ms per alloc+touch cycle of a
+        # 40 MB temp with the trim threshold raised.
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         # UI off by default; profiling studies (scripts/profile_10yr.py)
         # flip it on to read per-task metrics from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
