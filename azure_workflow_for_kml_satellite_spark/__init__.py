@@ -110,6 +110,13 @@ def get_spark(
             "spark.python.daemon.module", "kmlsat_fastdaemon"
         )
     spark = builder.getOrCreate()
+    # Build/cache the native raster kernels (functions/native.c) on the
+    # driver BEFORE any query runs: the .so lands in the shared compile
+    # cache during untimed session setup, so worker processes only dlopen —
+    # otherwise 32 workers would each race a gcc build inside whichever
+    # query first touches the raster path.
+    from azure_workflow_for_kml_satellite_spark.functions import native  # noqa: F401
+
     _warm_python_workers(spark, cores)
     return spark
 
@@ -133,8 +140,13 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
     _WARMED.add(app)
 
     def _touch(batches):
-        # preload the heavy kernel imports inside the (reused) workers
-        from azure_workflow_for_kml_satellite_spark.functions import raster  # noqa: F401
+        # preload the heavy kernel imports inside the (reused) workers —
+        # including the native library (dlopen of the .so the driver just
+        # built/cached; compiles here only if the driver could not)
+        from azure_workflow_for_kml_satellite_spark.functions import (  # noqa: F401
+            native,
+            raster,
+        )
 
         yield from batches
 
