@@ -33,6 +33,7 @@
  * one task at a time; mirrors raster._SCRATCH).
  */
 
+#include <math.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -206,6 +207,254 @@ int64_t kmlsat_window_valid(uint32_t seed, int32_t kind, int64_t r0, int64_t c0,
     }
     *masked_count = masked;
     return n;
+}
+
+/* ── numpy-exact float32 statistics (OPTIMIZATION_r08.md §12) ─────────
+ *
+ * The per-row reductions (mean/std/min/max/median/threshold counts) were
+ * ~54% of a row's cost in numpy: np.sort for the order statistics plus
+ * five more full passes and two scratch allocations for mean/std/counts.
+ * This block computes the identical values in 4-5 linear C passes:
+ *
+ *  - mean/std reproduce np.mean/np.std on float32 BIT-FOR-BIT. np.sum on
+ *    this numpy build (1.26.4) is: acc = 0.0f; acc += pairwise(chunk)
+ *    per 8192-element buffer chunk sequentially, where pairwise() is the
+ *    classic blocked algorithm (n<8 sequential from 0.0f; n<=128 eight
+ *    partial accumulators combined ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7))
+ *    plus a sequential remainder; else split at n/2 rounded down to a
+ *    multiple of 8).  np.mean then divides the f32 sum by n IN FLOAT64
+ *    and casts back to f32 (scalar float32/int promotion); np.std
+ *    subtracts the f32 mean elementwise, squares elementwise (both
+ *    correctly-rounded f32 ops, reproduced inline without the scratch
+ *    array), pairwise-sums, divides in f64, casts to f32 and takes the
+ *    f32 sqrt (sqrtss — IEEE correctly rounded, same as numpy).  All of
+ *    this is pinned bitwise against numpy in tests/test_native_kernels.py
+ *    over every length 1..600 plus chunk-boundary and monster sizes.
+ *    NO -ffast-math / -ffp-contract=off: C evaluates the written
+ *    association order exactly.
+ *  - median order statistics come from an MSD radix select over the
+ *    monotonic u32 key map (flip sign bit for positives, all bits for
+ *    negatives).  Order statistics are VALUES of the sorted multiset, so
+ *    any exact selection algorithm yields np.sort(a)[k] verbatim; no
+ *    float arithmetic is involved.  (The round-8 radix-SORT negative does
+ *    not apply: selection needs no scatter and touches ~1.3n elements.)
+ *    The kernel value arrays contain no NaN and no -0.0 (valid ⟹ finite,
+ *    and IEEE subtract of equal finite operands is +0.0), so total order
+ *    == numpy's comparison order.
+ *  - min/max/counts are comparison-only (no FP arithmetic): exact.
+ */
+
+static float pw_sum_f32(const float *a, int64_t n) {
+    if (n < 8) {
+        float res = 0.0f;
+        for (int64_t i = 0; i < n; i++) res += a[i];
+        return res;
+    }
+    if (n <= 128) {
+        float r[8];
+        for (int j = 0; j < 8; j++) r[j] = a[j];
+        int64_t i = 8;
+        for (; i + 8 <= n; i += 8)
+            for (int j = 0; j < 8; j++) r[j] += a[i + j];
+        float res = ((r[0] + r[1]) + (r[2] + r[3])) + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += a[i];
+        return res;
+    }
+    int64_t n2 = n / 2;
+    n2 -= n2 % 8;
+    return pw_sum_f32(a, n2) + pw_sum_f32(a + n2, n - n2);
+}
+
+static float np_sum_f32(const float *a, int64_t n) {
+    float acc = 0.0f; /* reduce identity: np.sum([-0.0,...]) == +0.0 */
+    for (int64_t s = 0; s < n; s += 8192) {
+        int64_t m = n - s < 8192 ? n - s : 8192;
+        acc += pw_sum_f32(a + s, m);
+    }
+    return acc;
+}
+
+/* pairwise sum of (a[i]-mean)^2 — the same summation tree over the
+ * virtual squared-deviation array numpy materializes for np.std (each
+ * element is two correctly-rounded f32 ops either way). */
+static float pw_sum_sqdev(const float *a, int64_t n, float mean) {
+    if (n < 8) {
+        float res = 0.0f;
+        for (int64_t i = 0; i < n; i++) {
+            float d = a[i] - mean;
+            res += d * d;
+        }
+        return res;
+    }
+    if (n <= 128) {
+        float r[8];
+        for (int j = 0; j < 8; j++) {
+            float d = a[j] - mean;
+            r[j] = d * d;
+        }
+        int64_t i = 8;
+        for (; i + 8 <= n; i += 8)
+            for (int j = 0; j < 8; j++) {
+                float d = a[i + j] - mean;
+                r[j] += d * d;
+            }
+        float res = ((r[0] + r[1]) + (r[2] + r[3])) + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) {
+            float d = a[i] - mean;
+            res += d * d;
+        }
+        return res;
+    }
+    int64_t n2 = n / 2;
+    n2 -= n2 % 8;
+    return pw_sum_sqdev(a, n2, mean) + pw_sum_sqdev(a + n2, n - n2, mean);
+}
+
+static float np_sum_sqdev(const float *a, int64_t n, float mean) {
+    float acc = 0.0f;
+    for (int64_t s = 0; s < n; s += 8192) {
+        int64_t m = n - s < 8192 ? n - s : 8192;
+        acc += pw_sum_sqdev(a + s, m, mean);
+    }
+    return acc;
+}
+
+/* monotonic total-order key: ascending float order == ascending u32 order */
+static inline uint32_t fkey(float x) {
+    uint32_t u;
+    memcpy(&u, &x, 4);
+    return (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+}
+
+static void *sel_mem;
+static size_t sel_cap;
+
+/* k-th smallest (0-based) by MSD radix select; scratch holds >= n floats.
+ * Each level compacts the candidate set to one 8-bit-digit bucket
+ * (in-place safe: writes trail reads). After the last level all
+ * candidates share all 32 key bits, i.e. are bitwise equal. */
+static float radix_select(const float *a, int64_t n, int64_t k, float *scratch) {
+    const float *cur = a;
+    float *buf = scratch;
+    int64_t m = n;
+    for (int shift = 24; shift >= 0; shift -= 8) {
+        int64_t hist[256] = {0};
+        for (int64_t i = 0; i < m; i++) hist[(fkey(cur[i]) >> shift) & 0xFFu]++;
+        int64_t cum = 0;
+        int b = 0;
+        for (; b < 256; b++) {
+            if (cum + hist[b] > k) break;
+            cum += hist[b];
+        }
+        k -= cum;
+        if (hist[b] == m) continue; /* all candidates share this digit */
+        int64_t w = 0;
+        for (int64_t i = 0; i < m; i++)
+            if ((int)((fkey(cur[i]) >> shift) & 0xFFu) == b) buf[w++] = cur[i];
+        cur = buf;
+        m = w;
+    }
+    return cur[0];
+}
+
+/* 16-bit-digit top level for large arrays. The NDVI/delta value range is
+ * narrow ([-1, 1]) and duplicate-heavy, so 8-bit top digits concentrate:
+ * the selected bucket holds a large fraction of n and the 8-bit select
+ * degrades to repeated near-full compactions. A 64Ki histogram resolves
+ * the top 16 key bits in ONE pass shared by both ranks, one compaction
+ * pass extracts the (at most two) candidate buckets, and the small
+ * remainders finish on the 8-bit select. */
+static int32_t hist16[65536];
+
+static float select_in_bucket(const float *v, int64_t m, int64_t l, float *scratch) {
+    if (m <= 4096) return radix_select(v, m, l, scratch);
+    memset(hist16, 0, sizeof(hist16));
+    for (int64_t i = 0; i < m; i++) hist16[fkey(v[i]) & 0xFFFFu]++;
+    int64_t cum = 0;
+    uint32_t b = 0;
+    for (; b < 65536u; b++) {
+        if (l < cum + hist16[b]) break;
+        cum += hist16[b];
+    }
+    /* all elements of this low-16 bucket share every key bit (the high 16
+     * were fixed by the caller) — any member is the value */
+    for (int64_t i = 0;; i++)
+        if ((fkey(v[i]) & 0xFFFFu) == b) return v[i];
+}
+
+static void radix_select_pair(const float *a, int64_t n, int64_t k1, int64_t k2,
+                              float *out_k1, float *out_k2) {
+    /* n floats for the compacted bucket(s) + 4096 for the 8-bit select's
+     * own scratch (select_in_bucket only recurses when m <= 4096) */
+    float *scr = (float *)grow(&sel_mem, &sel_cap, ((size_t)n + 4096) * 4);
+    if (n <= 8192) {
+        *out_k2 = radix_select(a, n, k2, scr);
+        *out_k1 = (k1 == k2) ? *out_k2 : radix_select(a, n, k1, scr);
+        return;
+    }
+    memset(hist16, 0, sizeof(hist16));
+    for (int64_t i = 0; i < n; i++) hist16[fkey(a[i]) >> 16]++;
+    int64_t cum = 0, base1 = 0, base2 = 0;
+    int32_t b1 = -1, b2 = -1;
+    for (uint32_t b = 0; b < 65536u && b2 < 0; b++) {
+        int64_t h = hist16[b];
+        if (b1 < 0 && k1 < cum + h) { b1 = (int32_t)b; base1 = cum; }
+        if (b2 < 0 && k2 < cum + h) { b2 = (int32_t)b; base2 = cum; }
+        cum += h;
+    }
+    int64_t m1 = hist16[b1];
+    if (b1 == b2) {
+        int64_t w = 0;
+        for (int64_t i = 0; i < n; i++)
+            if ((int32_t)(fkey(a[i]) >> 16) == b1) scr[w++] = a[i];
+        *out_k2 = select_in_bucket(scr, w, k2 - base2, scr + w);
+        *out_k1 = (k1 == k2) ? *out_k2
+                             : select_in_bucket(scr, w, k1 - base1, scr + w);
+        return;
+    }
+    /* adjacent ranks in different buckets: compact both in one pass */
+    int64_t w1 = 0, w2 = 0;
+    float *scr_b2 = scr + m1;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t hb = (int32_t)(fkey(a[i]) >> 16);
+        if (hb == b1) scr[w1++] = a[i];
+        else if (hb == b2) scr_b2[w2++] = a[i];
+    }
+    *out_k1 = select_in_bucket(scr, w1, k1 - base1, scr_b2 + w2);
+    *out_k2 = select_in_bucket(scr_b2, w2, k2 - base2, scr_b2 + w2);
+}
+
+/* All per-row reductions in one call.
+ * out6: {mean, std, min, max, med_lo, med_hi}; out2: {n_loss, n_gain}.
+ * med_lo/med_hi are np.sort(a)[n//2 - 1] / [n//2] (med_lo == med_hi for
+ * odd n) — the caller reproduces _median_sorted's np.mean on them.
+ * Caller guarantees n >= 1, no NaN. */
+void kmlsat_stats_f32(const float *a, int64_t n, float loss_t, float gain_t,
+                      float *out6, int64_t *out2) {
+    float s = np_sum_f32(a, n);
+    float mean = (float)((double)s / (double)n);
+    float sq = np_sum_sqdev(a, n, mean);
+    float sd = sqrtf((float)((double)sq / (double)n));
+    float mn = a[0], mx = a[0];
+    int64_t lo = 0, hi = 0;
+    for (int64_t i = 0; i < n; i++) {
+        float x = a[i];
+        if (x < mn) mn = x;
+        if (x > mx) mx = x;
+        lo += (x < loss_t);
+        hi += (x > gain_t);
+    }
+    int64_t h = n / 2;
+    float med_lo, med_hi;
+    radix_select_pair(a, n, (n % 2 == 0) ? h - 1 : h, h, &med_lo, &med_hi);
+    out6[0] = mean;
+    out6[1] = sd;
+    out6[2] = mn;
+    out6[3] = mx;
+    out6[4] = med_lo;
+    out6[5] = med_hi;
+    out2[0] = lo;
+    out2[1] = hi;
 }
 
 /* Change-pair feed: deltas (ndvi_b − ndvi_a, f32) at jointly-valid pixels

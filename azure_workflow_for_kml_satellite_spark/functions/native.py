@@ -94,6 +94,11 @@ def _build() -> "ctypes.CDLL | None":
             ctypes.c_int64, ctypes.c_int64, _I64P, _I64P, ctypes.c_uint32,
             ctypes.c_int64, ctypes.c_int64, _F32P,
         ]
+        lib.kmlsat_stats_f32.restype = None
+        lib.kmlsat_stats_f32.argtypes = [
+            _F32P, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            _F32P, _I64P,
+        ]
         return lib
     except Exception:
         return None
@@ -104,3 +109,25 @@ LIB = _build()
 
 def available() -> bool:
     return LIB is not None
+
+
+def stats_f32(arr, loss_t: float = 0.0, gain_t: float = 0.0):
+    """All per-row reductions of a contiguous float32 array in one C call
+    (numpy-exact; see native.c §stats): returns
+    ``(mean, std, vmin, vmax, med_lo, med_hi, n_loss, n_gain)`` where the
+    floats are bitwise np.mean/np.std/np.sort-order-statistic values and
+    the counts are ``sum(arr < loss_t)`` / ``sum(arr > gain_t)`` under
+    numpy's f32 scalar-comparison cast. Caller guarantees len >= 1,
+    float32, C-contiguous, no NaN."""
+    import ctypes
+
+    out6 = (ctypes.c_float * 6)()
+    out2 = (ctypes.c_int64 * 2)()
+    LIB.kmlsat_stats_f32(
+        arr.ctypes.data_as(_F32P), len(arr),
+        ctypes.c_float(loss_t), ctypes.c_float(gain_t), out6, out2,
+    )
+    return (
+        out6[0], out6[1], out6[2], out6[3], out6[4], out6[5],
+        int(out2[0]), int(out2[1]),
+    )

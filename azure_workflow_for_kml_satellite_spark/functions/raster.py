@@ -476,6 +476,25 @@ def ndvi_statistics_from_values(
     n = len(valid_pixels)
     if n == 0:
         return None
+    from azure_workflow_for_kml_satellite_spark.functions import native as N
+
+    if (
+        N.available()
+        and valid_pixels.dtype == np.float32
+        and valid_pixels.flags["C_CONTIGUOUS"]
+    ):
+        # one fused C call (native.c §stats — bitwise np.mean/np.std and
+        # np.sort's order statistics; tests/test_native_kernels.py pins it)
+        mean, std, vmin, vmax, med_lo, med_hi, _, _ = N.stats_f32(valid_pixels)
+        return {
+            "mean": round(mean, 4),
+            "min": round(vmin, 4),
+            "max": round(vmax, 4),
+            "std": round(std, 4),
+            "median": round(float(_median_of_pair(med_lo, med_hi, n)), 4),
+            "valid_pixels": int(n),
+            "total_pixels": int(total_pixels),
+        }
     s = np.sort(valid_pixels)
     return {
         "mean": round(float(np.mean(valid_pixels)), 4),
@@ -498,6 +517,15 @@ def _median_sorted(s: np.ndarray):
     n = len(s)
     h = n // 2
     return np.mean(s[h - 1 : h + 1]) if n % 2 == 0 else np.mean(s[h : h + 1])
+
+
+def _median_of_pair(med_lo: float, med_hi: float, n: int):
+    """_median_sorted from the two middle order statistics (as produced by
+    the native radix select): the same np.mean call on the same values, so
+    the result is bit-identical to the sorted-slice path."""
+    if n % 2 == 0:
+        return np.mean(np.array([med_lo, med_hi], dtype=np.float32))
+    return np.mean(np.array([med_hi], dtype=np.float32))
 
 
 # ── cache-blocked window evaluation ─────────────────────────────────────────

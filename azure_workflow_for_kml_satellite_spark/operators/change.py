@@ -149,7 +149,9 @@ def change_stats_for_pair_blocked(
     if N.available():
         # fused C pass over both sides (functions/native.c): the compacted
         # delta array equals the blocked path's concatenation bit-for-bit,
-        # and every reduction below is the same numpy code either way
+        # and the fused C reductions are bitwise np.mean/np.std/np.sort
+        # order statistics / f32-cast threshold counts (native.c §stats;
+        # pinned in tests/test_native_kernels.py)
         valid_deltas = _native_pair_deltas(
             seed_a, coll_a, win_a, aux_a, seed_b, coll_b, win_b, aux_b,
             min_h, min_w,
@@ -157,8 +159,25 @@ def change_stats_for_pair_blocked(
         n_valid = len(valid_deltas)
         if n_valid == 0:
             return None
-        n_loss = int(np.sum(valid_deltas < loss_threshold))
-        n_gain = int(np.sum(valid_deltas > gain_threshold))
+        mean_d, std_d, min_d, max_d, med_lo, med_hi, n_loss, n_gain = N.stats_f32(
+            valid_deltas, loss_threshold, gain_threshold
+        )
+        res_a_ha = abs(res_a * res_a) / 10_000
+        n_stable = n_valid - n_loss - n_gain
+        return {
+            "mean_delta": round(mean_d, 4),
+            "median_delta": round(float(R._median_of_pair(med_lo, med_hi, n_valid)), 4),
+            "std_delta": round(std_d, 4),
+            "min_delta": round(min_d, 4),
+            "max_delta": round(max_d, 4),
+            "loss_ha": round(n_loss * res_a_ha, 2),
+            "gain_ha": round(n_gain * res_a_ha, 2),
+            "stable_ha": round(n_stable * res_a_ha, 2),
+            "total_ha": round(n_valid * res_a_ha, 2),
+            "loss_pct": round(n_loss / n_valid * 100, 1) if n_valid else 0.0,
+            "gain_pct": round(n_gain / n_valid * 100, 1) if n_valid else 0.0,
+            "valid_pixels": n_valid,
+        }
     else:
         ga = R.iter_masked_ndvi_chunks(seed_a, coll_a, win_a, aux_a, min_h, min_w)
         gb = R.iter_masked_ndvi_chunks(seed_b, coll_b, win_b, aux_b, min_h, min_w)

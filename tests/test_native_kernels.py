@@ -153,3 +153,90 @@ def test_change_stats_entrypoint_matches_forced_numpy():
     finally:
         N.LIB = lib
     assert native_out == numpy_out
+
+
+def _np_stats_ref(x, lt, gt):
+    s = np.sort(x)
+    n = len(x)
+    return (
+        np.mean(x).tobytes(), np.std(x).tobytes(),
+        s[0].tobytes(), s[-1].tobytes(),
+        s[(n // 2 - 1) if n % 2 == 0 else n // 2].tobytes(),
+        s[n // 2].tobytes(),
+        int(np.sum(x < lt)), int(np.sum(x > gt)),
+    )
+
+
+def _c_stats(x, lt, gt):
+    mean, std, mn, mx, lo, hi, nl, ng = N.stats_f32(x, lt, gt)
+    return (
+        np.float32(mean).tobytes(), np.float32(std).tobytes(),
+        np.float32(mn).tobytes(), np.float32(mx).tobytes(),
+        np.float32(lo).tobytes(), np.float32(hi).tobytes(), nl, ng,
+    )
+
+
+def test_stats_f32_bitwise_every_small_length():
+    """kmlsat_stats_f32 == np.mean/np.std/np.sort order stats BITWISE for
+    every length 1..600 (covers the n<8, 8-accumulator, remainder and
+    recursion-split cases of numpy's pairwise sum)."""
+    rng = np.random.default_rng(1001)
+    for n in range(1, 601):
+        x = (rng.standard_normal(n) * 0.4).astype(np.float32)
+        assert _c_stats(x, -0.1, 0.1) == _np_stats_ref(x, -0.1, 0.1), n
+
+
+def test_stats_f32_bitwise_distributions_and_chunk_boundaries():
+    """Random lengths across the 8192-element reduce-chunk boundary and
+    the distribution families the kernels actually produce (narrow
+    duplicate-heavy NDVI bands, constants, sorted runs)."""
+    rng = np.random.default_rng(1002)
+    sizes = [8191, 8192, 8193, 16384, 44321, 200001, 1048577]
+    for trial in range(120):
+        n = sizes[trial % len(sizes)] + int(rng.integers(0, 7))
+        kind = trial % 5
+        if kind == 0:
+            x = (rng.standard_normal(n) * 0.4).astype(np.float32)
+        elif kind == 1:  # duplicate-heavy narrow band (NDVI-like)
+            x = ((rng.integers(0, 5000, n).astype(np.float32) / 10000) + 0.2).astype(
+                np.float32
+            )
+        elif kind == 2:
+            x = np.full(n, np.float32(rng.standard_normal() * 0.5))
+        elif kind == 3:
+            x = np.sort((rng.standard_normal(n) * 0.3).astype(np.float32))
+        else:
+            x = rng.uniform(-1, 1, n).astype(np.float32)
+        assert _c_stats(x, -0.1, 0.1) == _np_stats_ref(x, -0.1, 0.1), (trial, n)
+
+
+def test_stats_f32_threshold_boundary_cast():
+    """The loss/gain comparisons must use numpy's f32 scalar cast: a value
+    EQUAL to float32(-0.1) is not < -0.1, its next-lower float32 is."""
+    tf = np.float32(-0.1)
+    below = np.nextafter(tf, np.float32(-1), dtype=np.float32)
+    x = np.array([tf, below, np.float32(0.1), np.float32(0.10000001)], np.float32)
+    *_, nl, ng = N.stats_f32(x, -0.1, 0.1)
+    assert nl == int(np.sum(x < -0.1)) == 1
+    assert ng == int(np.sum(x > 0.1)) == 1
+
+
+def test_stats_entry_values_native_vs_numpy_unrounded():
+    """ndvi_statistics_from_values: native and forced-numpy paths agree on
+    real kernel value arrays (the rounded dict AND the raw C floats vs the
+    raw numpy reductions — the stricter check)."""
+    rng = np.random.default_rng(1003)
+    lib = N.LIB
+    for trial in range(60):
+        seed, coll, win, aux = _random_case(rng, trial)
+        vals, _ = _numpy_window(seed, coll, win, aux)
+        if len(vals) == 0:
+            continue
+        assert _c_stats(vals, -0.1, 0.1) == _np_stats_ref(vals, -0.1, 0.1)
+        d_native = R.ndvi_statistics_from_values(vals, vals.size)
+        try:
+            N.LIB = None
+            d_numpy = R.ndvi_statistics_from_values(vals, vals.size)
+        finally:
+            N.LIB = lib
+        assert d_native == d_numpy, (trial, d_native, d_numpy)
