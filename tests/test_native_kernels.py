@@ -240,3 +240,17 @@ def test_stats_entry_values_native_vs_numpy_unrounded():
         finally:
             N.LIB = lib
         assert d_native == d_numpy, (trial, d_native, d_numpy)
+
+
+def test_stats_f32_median_ranks_split_across_buckets():
+    """Even-n arrays whose two middle order statistics differ in the TOP 16
+    key bits exercise the b1 != b2 two-bucket compaction path of the radix
+    select (half negatives, half positives — the split lands exactly
+    between the middle ranks)."""
+    rng = np.random.default_rng(1004)
+    for n_half in [4, 64, 4096, 4097, 8192, 30000]:
+        lo = (-rng.uniform(0.2, 1.0, n_half)).astype(np.float32)
+        hi = rng.uniform(0.2, 1.0, n_half).astype(np.float32)
+        x = np.concatenate([lo, hi])
+        rng.shuffle(x)
+        assert _c_stats(x, -0.1, 0.1) == _np_stats_ref(x, -0.1, 0.1), n_half
